@@ -1,0 +1,120 @@
+"""Foundation utilities: dot-key params, colors, config loaders, temp dirs."""
+
+import os
+from typing import List
+
+from totalsegmentator2d_tpu.utils import colors, config, params, temp
+
+
+class TestParams:
+    def test_dict_get_nested(self):
+        d = {'a': {'b': {'c': 5}}}
+        assert params.dict_get(d, 'a.b.c') == 5
+        assert params.dict_get(d, 'a.b.x', default=7) == 7
+
+    def test_dict_get_flat(self):
+        d = {'nnu.predict.stepsize': 0.5}
+        assert params.dict_get(d, 'nnu.predict.stepsize') == 0.5
+
+    def test_dict_get_mixed(self):
+        d = {'nnu': {'predict.stepsize': 0.5}}
+        assert params.dict_get(d, 'nnu.predict.stepsize') == 0.5
+
+    def test_dtype_conversion(self):
+        d = {'folds': '3', 'list': [1, '2']}
+        assert params.dict_get(d, 'folds', dtype=int) == 3
+        assert params.dict_get(d, 'list', dtype=List[int]) == [1, 2]
+        assert params.dict_get({'v': 'false'}, 'v', dtype=bool) is False
+        assert params.dict_get({'v': 'true'}, 'v', dtype=bool) is True
+
+    def test_nest_flatten_roundtrip(self):
+        flat = {'a.b': 1, 'a.c': 2, 'd': 3}
+        nested = params.nest_dict(flat)
+        assert nested == {'a': {'b': 1, 'c': 2}, 'd': 3}
+        assert params.flatten_dict(nested) == flat
+
+    def test_merge_deep(self):
+        a = {'x': {'y': 1, 'z': 2}, 'k': 1}
+        b = {'x': {'z': 3}, 'n': 4}
+        merged = params.dict_merge(a, b)
+        assert merged == {'x': {'y': 1, 'z': 3}, 'k': 1, 'n': 4}
+        assert a == {'x': {'y': 1, 'z': 2}, 'k': 1}  # inputs untouched
+
+    def test_collections(self):
+        assert params.as_list('a') == ['a']
+        assert params.as_list(None) == []
+        assert params.unwrap_singular(['x']) == 'x'
+        assert params.unwrap_singular([1, 2]) == [1, 2]
+
+
+class TestColors:
+    def test_hex_roundtrip(self):
+        assert colors.hex_to_rgb('#9370DB') == (0x93, 0x70, 0xDB)
+        assert colors.rgb_to_hex((147, 112, 219)) == '#9370db'
+
+    def test_default_palette_deterministic(self):
+        p1 = colors.default_palette(20)
+        p2 = colors.default_palette(20)
+        assert p1 == p2
+        assert p1[0] == (255, 0, 0)
+        assert len(p1) == 20
+
+    def test_color_str_floats(self):
+        s = colors.to_color_str_rgb_floats((255, 0, 128), sep=' ')
+        rgb = colors.color_str_to_rgb(s)
+        assert rgb[0] == 255 and rgb[1] == 0 and abs(rgb[2] - 128) <= 1
+
+    def test_to_palette_dense(self):
+        pal = colors.to_palette({1: '#ff0000', 3: (0, 0, 255)})
+        assert pal[0] == [255, 255, 255]   # background
+        assert pal[1] == [255, 0, 0]
+        assert pal[3] == [0, 0, 255]
+        assert len(pal) == 4
+
+
+class TestConfig:
+    def test_label_colors_loaded(self):
+        lc = config.get_label_colors()
+        assert len(lc) > 100
+        assert lc['esophagus'].startswith('#')
+        assert all(k == k.lower() for k in lc)
+
+    def test_default_model(self):
+        assert config.get_default_model() == 'ts2d-v2-ep4000b2'
+
+    def test_resolve_map(self):
+        m = config.get_model_resolve_map()
+        assert m['ts2d'] == 'ts2d-v2'
+        assert m['ts2d-v2'] == 'ts2d-v2-ep4000b2'
+
+    def test_shared_urls(self):
+        urls = config.get_shared_urls(fetch_remote=False)
+        assert 'ts2d-v2-ep4000b2' in urls
+        assert 'cardiac' in urls['ts2d-v2-ep4000b2']['r001']
+
+
+class TestTemp:
+    def test_safe_tempdir_cleanup(self):
+        with temp.SafeTemporaryDirectory() as path:
+            assert os.path.isdir(path)
+            assert os.path.exists(os.path.join(path, '~INFO.json'))
+        assert not os.path.exists(path)
+
+    def test_orphan_reaped(self, tmp_path, monkeypatch):
+        monkeypatch.setenv('TS2D_TEMP', str(tmp_path))
+        # fabricate an orphan owned by an impossible pid
+        orphan = tmp_path / 'orphan'
+        orphan.mkdir()
+        (orphan / '~INFO.json').write_text('{"pid": 999999999, "create_time": 0}')
+        removed = temp.reap_orphans(str(tmp_path))
+        assert removed == 1
+        assert not orphan.exists()
+
+    def test_temporary_destination_atomic(self, tmp_path, monkeypatch):
+        monkeypatch.setenv('TS2D_TEMP', str(tmp_path / 'scratch'))
+        dest = tmp_path / 'out' / 'result.txt'
+        with temp.TemporaryDestination(str(dest)) as wp:
+            with open(wp, 'w') as f:
+                f.write('done')
+            assert not dest.exists()
+        assert dest.read_text() == 'done'

@@ -1,0 +1,139 @@
+"""IO layer: NRRD/NIfTI/MetaImage codecs against the bundled reference assets
+(headers documented in SURVEY.md §4) and synthetic round-trips."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import asset_path
+from totalsegmentator2d_tpu.io import (MedicalImage, image_from_array,
+                                       read_image, write_image)
+
+
+class TestReferenceAssets:
+    def test_ct_volume(self):
+        img = read_image(asset_path('sample_s0521.nrrd'))
+        assert img.size == (53, 120, 133)
+        assert img.dim == 3
+        assert img.ncomponents == 1
+        assert img.array.dtype == np.int16
+        assert np.allclose(img.spacing, (1.5, 1.5, 1.5))
+        # space directions (-1.5,0,0) (0,-1.5,0) (0,0,1.5) => direction diag(-1,-1,1)
+        assert np.allclose(img.direction, np.diag([-1, -1, 1]))
+        arr = img.array
+        assert arr.shape == (133, 120, 53)
+        assert arr.min() < -500 and arr.max() > 500  # plausible CT HU range
+
+    def test_preprojected_2ch(self):
+        img = read_image(asset_path('sample_s0332.nrrd'))
+        assert img.is_vector
+        assert img.ncomponents == 2
+        assert img.size == (269, 1, 505)
+        assert img.dim == 3
+        assert img.array.dtype == np.float32
+        assert np.allclose(img.spacing, (1.5, 403.5, 1.5))
+        assert img.actual_dimension() == 2
+
+    def test_true_2d_vector(self):
+        img = read_image(asset_path('sample_s0616.nrrd'))
+        assert img.dim == 2
+        assert img.is_vector and img.ncomponents == 2
+        assert img.size == (337, 644)
+        assert img.array.dtype == np.float64
+        # rotated direction matrix must be unit-norm columns
+        assert np.allclose(np.linalg.norm(img.direction, axis=0), 1.0)
+        assert np.allclose(img.spacing, (1.4991536, 1.4999976), atol=1e-4)
+
+    def test_xray_2d(self):
+        img = read_image(asset_path('sample_chexpert.nrrd'))
+        assert img.dim == 2
+        assert not img.is_vector
+        assert img.size == (320, 320)
+        assert img.array.dtype == np.uint8
+        assert np.allclose(img.spacing, (1.25, 1.25))
+
+
+class TestRoundTrips:
+    def _mk3d(self, rng, dtype=np.int16):
+        arr = rng.integers(-1000, 1000, size=(7, 6, 5)).astype(dtype)
+        return MedicalImage(
+            array=arr, spacing=(1.5, 2.0, 2.5), origin=(10.0, -5.0, 3.25),
+            direction=np.diag([-1.0, -1.0, 1.0]),
+            meta={'who': 'ts2d-tpu', 'k': 'v'})
+
+    @pytest.mark.parametrize('ext,compress', [
+        ('nrrd', True), ('nrrd', False), ('nii', False), ('nii.gz', True),
+        ('mha', True), ('mha', False), ('mhd', True),
+    ])
+    def test_scalar_3d(self, tmp_path, rng, ext, compress):
+        img = self._mk3d(rng)
+        p = str(tmp_path / f'img.{ext}')
+        write_image(img, p, compress=compress)
+        back = read_image(p)
+        np.testing.assert_array_equal(back.array, img.array)
+        assert back.array.dtype == img.array.dtype
+        assert np.allclose(back.spacing, img.spacing)
+        assert np.allclose(back.origin, img.origin, atol=1e-5)
+        assert np.allclose(back.direction, img.direction, atol=1e-6)
+
+    def test_nrrd_meta_roundtrip(self, tmp_path, rng):
+        img = self._mk3d(rng)
+        img.meta = {'Segment0_Name': 'heart', 'Segment0_LabelValue': '1'}
+        p = str(tmp_path / 'img.nrrd')
+        write_image(img, p)
+        back = read_image(p)
+        assert back.meta['Segment0_Name'] == 'heart'
+        assert back.meta['Segment0_LabelValue'] == '1'
+
+    @pytest.mark.parametrize('ext', ['nrrd', 'mha', 'nii.gz'])
+    def test_vector_2d(self, tmp_path, rng, ext):
+        arr = rng.random((10, 8, 2)).astype(np.float32)
+        img = MedicalImage(array=arr, spacing=(1.0, 2.0), origin=(1.0, 2.0),
+                           direction=np.eye(2), is_vector=True)
+        p = str(tmp_path / f'img.{ext}')
+        write_image(img, p)
+        back = read_image(p)
+        assert back.is_vector and back.ncomponents == 2
+        np.testing.assert_allclose(back.array, arr, rtol=1e-6)
+        assert np.allclose(back.spacing, img.spacing)
+
+    def test_reference_asset_rewrite(self, tmp_path):
+        """Round-trip a real reference asset bit-exactly."""
+        src = read_image(asset_path('sample_s0332.nrrd'))
+        p = str(tmp_path / 'copy.nrrd')
+        write_image(src, p)
+        back = read_image(p)
+        np.testing.assert_array_equal(back.array, src.array)
+        assert np.allclose(back.spacing, src.spacing)
+        assert np.allclose(back.direction, src.direction)
+        assert np.allclose(back.origin, src.origin)
+
+
+class TestGeometry:
+    def test_index_physical_roundtrip(self, rng):
+        img = MedicalImage(
+            array=np.zeros((4, 5, 6), np.float32), spacing=(1.5, 2.0, 0.5),
+            origin=(4.0, -3.0, 9.0),
+            direction=np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], float))
+        idx = np.array([3.0, 2.0, 1.0])
+        p = img.index_to_physical(idx)
+        back = img.physical_to_index(p)
+        np.testing.assert_allclose(back, idx, atol=1e-9)
+
+    def test_compose_split(self, rng):
+        a = image_from_array(rng.random((5, 4)).astype(np.float32))
+        b = image_from_array(rng.random((5, 4)).astype(np.float32))
+        v = MedicalImage.compose([a, b])
+        assert v.ncomponents == 2
+        chans = v.split_channels()
+        np.testing.assert_array_equal(chans[0].array, a.array)
+        np.testing.assert_array_equal(chans[1].array, b.array)
+
+    def test_png_roundtrip(self, tmp_path, rng):
+        arr = rng.integers(0, 255, size=(16, 16, 3)).astype(np.uint8)
+        img = MedicalImage(array=arr, is_vector=True)
+        p = str(tmp_path / 'x.png')
+        write_image(img, p)
+        back = read_image(p)
+        np.testing.assert_array_equal(back.array, arr)
