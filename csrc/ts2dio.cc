@@ -1,0 +1,121 @@
+// ts2dio — native host-side codec for totalsegmentator2d_tpu.
+//
+// Provides the byte-level hot paths of medical image IO (gzip/zlib inflate
+// and deflate for NRRD/NIfTI/MetaImage payloads) as a small C library bound
+// via ctypes (see totalsegmentator2d_tpu/io/native.py). The reference tool
+// delegated this work to ITK's C++ IO factories; this is the in-tree
+// TPU-VM-host equivalent.
+//
+// All functions return -1 on failure, otherwise the number of bytes written.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+// Upper bound for the inflated size of a gzip/zlib stream.
+// For gzip streams the ISIZE trailer gives the size mod 2^32; for zlib (or
+// multi-member/large streams) we run a counting inflate pass.
+long long ts2dio_inflate_bound(const char* src, size_t src_len) {
+  if (src_len < 2) return -1;
+  const unsigned char* s = reinterpret_cast<const unsigned char*>(src);
+  // single-member gzip fast path: trust ISIZE if it is plausible
+  if (s[0] == 0x1f && s[1] == 0x8b && src_len >= 18) {
+    uint32_t isize;
+    std::memcpy(&isize, src + src_len - 4, 4);
+    // ISIZE is mod 2^32; only trust it for payloads < 1 GiB expansion
+    if (isize > 0 && isize < (1u << 30)) return static_cast<long long>(isize);
+  }
+  // counting pass
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 47) != Z_OK) return -1;
+  zs.next_in = const_cast<Bytef*>(reinterpret_cast<const Bytef*>(src));
+  zs.avail_in = static_cast<uInt>(src_len);
+  std::vector<unsigned char> buf(1 << 20);
+  long long total = 0;
+  int ret = Z_OK;
+  while (ret != Z_STREAM_END) {
+    zs.next_out = buf.data();
+    zs.avail_out = static_cast<uInt>(buf.size());
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret != Z_OK && ret != Z_STREAM_END) {
+      inflateEnd(&zs);
+      return -1;
+    }
+    total += static_cast<long long>(buf.size() - zs.avail_out);
+    if (ret == Z_STREAM_END && zs.avail_in > 0) {
+      // concatenated members: restart
+      if (inflateReset2(&zs, 47) != Z_OK) break;
+      ret = Z_OK;
+    }
+  }
+  inflateEnd(&zs);
+  return total;
+}
+
+long long ts2dio_inflate(const char* src, size_t src_len,
+                         char* dst, size_t dst_cap) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, 47) != Z_OK) return -1;  // 47: auto gzip/zlib
+  zs.next_in = const_cast<Bytef*>(reinterpret_cast<const Bytef*>(src));
+  zs.avail_in = static_cast<uInt>(src_len);
+  zs.next_out = reinterpret_cast<Bytef*>(dst);
+  zs.avail_out = static_cast<uInt>(dst_cap);
+  long long total = 0;
+  int ret = Z_OK;
+  while (ret != Z_STREAM_END) {
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret == Z_STREAM_END && zs.avail_in > 0 && zs.avail_out > 0) {
+      total = static_cast<long long>(dst_cap - zs.avail_out);
+      if (inflateReset2(&zs, 47) != Z_OK) break;  // concatenated members
+      ret = Z_OK;
+      continue;
+    }
+    if (ret != Z_OK && ret != Z_STREAM_END) {
+      inflateEnd(&zs);
+      return -1;
+    }
+    if (zs.avail_out == 0 && ret != Z_STREAM_END) {
+      inflateEnd(&zs);
+      return -1;  // destination too small
+    }
+  }
+  total = static_cast<long long>(dst_cap - zs.avail_out);
+  inflateEnd(&zs);
+  return total;
+}
+
+static long long deflate_impl(const char* src, size_t src_len,
+                              char* dst, size_t dst_cap,
+                              int level, int window_bits) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (level < 0 || level > 9) level = 1;
+  if (deflateInit2(&zs, level, Z_DEFLATED, window_bits, 8,
+                   Z_DEFAULT_STRATEGY) != Z_OK)
+    return -1;
+  zs.next_in = const_cast<Bytef*>(reinterpret_cast<const Bytef*>(src));
+  zs.avail_in = static_cast<uInt>(src_len);
+  zs.next_out = reinterpret_cast<Bytef*>(dst);
+  zs.avail_out = static_cast<uInt>(dst_cap);
+  int ret = deflate(&zs, Z_FINISH);
+  long long out = static_cast<long long>(dst_cap - zs.avail_out);
+  deflateEnd(&zs);
+  return (ret == Z_STREAM_END) ? out : -1;
+}
+
+long long ts2dio_deflate_gzip(const char* src, size_t src_len,
+                              char* dst, size_t dst_cap, int level) {
+  return deflate_impl(src, src_len, dst, dst_cap, level, 31);  // 31: gzip
+}
+
+long long ts2dio_deflate_zlib(const char* src, size_t src_len,
+                              char* dst, size_t dst_cap, int level) {
+  return deflate_impl(src, src_len, dst, dst_cap, level, 15);  // 15: zlib
+}
+
+}  // extern "C"

@@ -1,0 +1,158 @@
+"""Intensity projections (the MIP/AIP front-end of the TS2D pipeline).
+
+Device-side jnp kernels plus MedicalImage wrappers with ITK-compatible
+geometry semantics, replacing the ITK projection filters the reference drives
+in image.py:46-101. Mode set matches the reference dispatch table:
+first / max|mip / min / avg|mean / median / std / depth / multiclass /
+slice[:pos] ('xr' is rejected the same way).
+
+Geometry: the projected axis keeps size 1 and absorbs the full physical
+extent (out_spacing[axis] = in_spacing[axis] * in_size[axis]) — this is what
+ITK's ProjectionImageFilter produces and what the bundled pre-projected
+sample (403.5 mm thickness = 269 * 1.5 mm, SURVEY.md §4) confirms. The origin
+is reset to the input origin on the projected axis (reference
+image.py:97-100).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.image import MedicalImage
+from ..utils.params import parse_float
+from .geometry import axis_name_to_index
+
+#: modes whose jnp kernel is a plain axis reduction
+_REDUCTIONS = {
+    'max': lambda a, ax: jnp.max(a, axis=ax),
+    'mip': lambda a, ax: jnp.max(a, axis=ax),
+    'min': lambda a, ax: jnp.min(a, axis=ax),
+    'avg': lambda a, ax: jnp.mean(a, axis=ax),
+    'mean': lambda a, ax: jnp.mean(a, axis=ax),
+    'median': lambda a, ax: jnp.median(a, axis=ax),
+    # ITK StandardDeviationProjectionImageFilter uses the unbiased (N-1) form
+    'std': lambda a, ax: jnp.std(a, axis=ax, ddof=1),
+}
+
+
+def project_array(arr: jnp.ndarray, mode: str, axis: int) -> jnp.ndarray:
+    """Project a jnp array along ``axis`` (kept as size 1). jit-friendly."""
+    mode = str(mode).lower().strip()
+    if mode in _REDUCTIONS:
+        out = _REDUCTIONS[mode](arr.astype(jnp.float32) if mode in
+                                ('avg', 'mean', 'median', 'std') else arr, axis)
+        return jnp.expand_dims(out, axis)
+    if mode in ('first', 'depth'):
+        return _project_first(arr, axis)
+    raise ValueError(f'Unsupported projection mode: {mode}')
+
+
+def _project_first(arr: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """First non-zero value along the axis (reference image.py:141-153)."""
+    nonzero = arr != 0
+    idx = jnp.argmax(nonzero, axis=axis, keepdims=True)
+    return jnp.take_along_axis(arr, idx, axis=axis)
+
+
+def project(img: MedicalImage, mode: str = 'max',
+            axis: Union[int, str] = -1) -> MedicalImage:
+    """Project a MedicalImage along an axis, handling geometry like the
+    reference's ``project()`` (image.py:46-101)."""
+    itk_axis = axis_name_to_index(axis) if isinstance(axis, str) else \
+        list(range(img.dim))[axis]
+    mode = str(mode).lower().strip()
+    mode, *param = f'{mode}:'.split(':')[:-1]
+
+    if mode == 'xr':
+        raise NotImplementedError(
+            'Synthetic XR projection from 3D images is not supported.')
+    if mode == 'slice':
+        return extract_slice_factor(img, pos=_slice_pos(param[0]), axis=itk_axis)
+    if mode == 'multiclass':
+        return _project_multiclass(img, num=int(param[0]) if param else None,
+                                   axis=itk_axis)
+
+    np_axis = img.dim - 1 - itk_axis  # channel tail (if any) is after spatial
+    out = np.asarray(project_array(jnp.asarray(img.array), mode, np_axis))
+    return _projected_image(img, out, itk_axis)
+
+
+def _projected_image(img: MedicalImage, arr: np.ndarray, itk_axis: int,
+                     is_vector: Optional[bool] = None) -> MedicalImage:
+    spacing = list(img.spacing)
+    spacing[itk_axis] = spacing[itk_axis] * img.size[itk_axis]
+    return img.replace(array=arr, spacing=tuple(spacing),
+                       is_vector=img.is_vector if is_vector is None else is_vector)
+
+
+def _slice_pos(pos: str) -> float:
+    factor = parse_float(pos, err=None)
+    if factor is None:
+        factor = {'first': 0.0, 'middle': 0.5, 'last': 1.0}.get(pos)
+    if factor is None:
+        raise ValueError(f'Invalid slice position: {pos}')
+    return factor
+
+
+def extract_slice_index(img: MedicalImage, index: int, axis: int = -1) -> MedicalImage:
+    """Extract one slice, keeping the axis at size 1 (reference image.py:103-128)."""
+    dim = img.dim
+    axis = list(range(dim))[axis]
+    n = img.size[axis]
+    if not (0 <= index < n):
+        raise ValueError(f'Slice index outside the available range: [0, {n - 1}]')
+    np_axis = dim - 1 - axis
+    arr = np.take(img.array, [index], axis=np_axis)
+    origin = np.asarray(img.origin, float)
+    step = np.zeros(dim)
+    step[axis] = index
+    origin = img.index_to_physical(step)
+    return img.replace(array=arr, origin=tuple(origin))
+
+
+def extract_slice_factor(img: MedicalImage, pos: float, axis: int = -1) -> MedicalImage:
+    n = img.size[list(range(img.dim))[axis]]
+    index = int(np.clip(np.round(n * pos), 0, n - 1))
+    return extract_slice_index(img, index=index, axis=axis)
+
+
+def _project_multiclass(img: MedicalImage, num: Optional[int], axis: int) -> MedicalImage:
+    """One-hot binary projection of a label volume: channel k marks where
+    label k+1 occurs anywhere along the axis (reference image.py:164-193)."""
+    np_axis = img.dim - 1 - axis
+    if img.ncomponents == 1:
+        if num is None:
+            raise ValueError('multiclass projection needs a channel count, '
+                             "use mode 'multiclass:<num>'")
+        arr = jnp.asarray(img.array)
+        labels = jnp.arange(1, num + 1)
+        onehot = (arr[..., None] == labels).any(axis=np_axis, keepdims=True)
+        out = np.asarray(onehot.astype(jnp.uint8))
+        return _projected_image(img, out, axis, is_vector=True)
+    # already multichannel: max-project each channel
+    out = np.asarray(jnp.max(jnp.asarray(img.array), axis=np_axis, keepdims=True))
+    return _projected_image(img, out, axis)
+
+
+def flatten_vector_max(img: MedicalImage, index: bool = False) -> MedicalImage:
+    """Collapse a vector image to a single channel: per-voxel max over
+    components, or (``index=True``) the 1-based index of the *last* non-zero
+    component, 0 where all components are zero (reference image.py:266-290)."""
+    if img.ncomponents <= 1:
+        return img
+    arr = jnp.asarray(img.array)
+    if index:
+        nz = arr != 0
+        # last non-zero component, 1-based; 0 when none
+        comp = jnp.arange(1, arr.shape[-1] + 1)
+        out = jnp.max(jnp.where(nz, comp, 0), axis=-1)
+        out = np.asarray(out)
+    else:
+        out = np.asarray(jnp.max(arr, axis=-1))
+    return img.replace(array=out.astype(img.array.dtype if not index else np.int64),
+                       is_vector=False)
