@@ -1,0 +1,174 @@
+"""End-to-end API + CLI tests on the synthetic model database, mirroring the
+reference test stages (predict on 3 asset types -> result matrix -> CLI)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import asset_path
+from tests.model_fixtures import build_group_set, build_model_dir
+from totalsegmentator2d_tpu.api import TS2D
+from totalsegmentator2d_tpu.cli import _enumerate_cases, ts2d_run
+from totalsegmentator2d_tpu.io import MedicalImage, read_image
+from totalsegmentator2d_tpu.ops.annotations import get_annotation_labels
+
+
+@pytest.fixture(scope='module')
+def model_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('zoo'))
+    # CT-style 2-channel (max+mean projection) models, two groups
+    build_group_set(root, model='ts2d-v9-test', groups=('cardiac', 'ribs'))
+    # native-2D single-channel X-ray model
+    build_model_dir(root, model='tsxr-v9-test', group='ribs',
+                    labels=('rib-left-1', 'rib-right-1'), channels=('xr',),
+                    task_id=300)
+    return root
+
+
+@pytest.fixture(scope='module')
+def tool(model_root):
+    with TS2D(key='ts2d-v9-test', use_remote=False, local=model_root) as t:
+        yield t
+
+
+class TestPredict:
+    def test_predict_3d_ct(self, tool):
+        """Real 3D CT: reorient -> project max/mean -> 2-group ensemble."""
+        res = tool.predict(asset_path('sample_s0521.nrrd'))
+        seg = res.get_segmentation()
+        assert isinstance(seg, MedicalImage)
+        # merged multilabel: 2 cardiac + 3 ribs labels
+        assert seg.ncomponents == 5
+        names = list(get_annotation_labels(seg))
+        assert 'heart' in names and 'rib-left-1' in names
+        # 3D geometry restored with size-1 coronal axis
+        assert seg.dim == 3
+        assert seg.size[1] == 1
+        proj = res.get_projection()
+        assert set(proj) == {'max', 'mean'}
+
+    def test_predict_preprojected_2ch(self, tool):
+        """Pre-projected 2-channel image (size-1 axis): skips projection."""
+        res = tool.predict(asset_path('sample_s0332.nrrd'))
+        seg = res.get_segmentation()
+        assert seg.ncomponents == 5
+        assert set(res.get_projection()) == {'ch0', 'ch1'}
+
+    def test_predict_true_2d(self, tool):
+        res = tool.predict(asset_path('sample_s0616.nrrd'))
+        seg = res.get_segmentation()
+        assert seg.dim == 2
+        assert seg.size == (337, 644)
+
+    def test_predict_collapse(self, tool):
+        res = tool.predict(asset_path('sample_s0521.nrrd'), collapse=True)
+        seg = res.get_segmentation()
+        assert seg.dim == 2
+
+    def test_predict_no_merge(self, tool):
+        res = tool.predict(asset_path('sample_s0332.nrrd'), merge=False)
+        assert res.get_segmentation() is None
+        assert len(res.models) == 2
+        per_model = res.get_segmentation(res.models[0])
+        assert per_model.ncomponents == 2
+
+    def test_predict_xray(self, model_root):
+        """Native 2D X-ray through a single-channel tsxr-style model."""
+        with TS2D(key='tsxr-v9-test', use_remote=False, local=model_root) as t:
+            res = t.predict(asset_path('sample_chexpert.nrrd'))
+            seg = res.get_segmentation()
+            assert isinstance(seg, MedicalImage)
+            assert seg.dim == 2
+            assert seg.ncomponents == 2
+            assert set(res.get_projection()) == {'ch0'}
+
+    def test_unknown_key_raises(self, model_root):
+        with pytest.raises(RuntimeError):
+            TS2D(key='ts2d-nope', use_remote=False, local=model_root)
+
+
+class TestResultSave:
+    def test_full_export_matrix(self, tool, tmp_path):
+        """targets=all, models=all, content=all (reference test_022)."""
+        res = tool.predict(asset_path('sample_s0332.nrrd'))
+        res.save(str(tmp_path), name='test', models='all', targets='all',
+                 content='all')
+        expected = [
+            'test.nrrd', 'test.seg.nrrd', 'test.seg.png',
+            'test-cardiac.nrrd', 'test-cardiac.seg.nrrd',
+            'test-ribs.seg.nrrd', 'test-ribs.seg.png',
+            'test_ch0.nrrd', 'test_ch0.png', 'test_ch1.nrrd', 'test_ch1.png',
+        ]
+        for fn in expected:
+            assert (tmp_path / fn).exists(), f'missing {fn}'
+        # input visuals are exported per channel for the 2-channel input
+        assert (tmp_path / 'test-ch0.png').exists()
+
+    def test_final_only(self, tool, tmp_path):
+        res = tool.predict(asset_path('sample_s0332.nrrd'))
+        res.save(str(tmp_path), name='x', models='final',
+                 targets=['segmentation'], content='file')
+        assert (tmp_path / 'x.seg.nrrd').exists()
+        assert not (tmp_path / 'x-cardiac.seg.nrrd').exists()
+        assert not (tmp_path / 'x.png').exists()
+
+    def test_saved_segmentation_reloads_with_labels(self, tool, tmp_path):
+        res = tool.predict(asset_path('sample_s0332.nrrd'))
+        res.save(str(tmp_path), name='y', targets=['segmentation'],
+                 content='file')
+        back = read_image(str(tmp_path / 'y.seg.nrrd'))
+        labels = get_annotation_labels(back)
+        assert set(labels) == {'heart', 'aorta',
+                               'rib-left-1', 'rib-right-1', 'rib-left-2'}
+        assert all(v['color'] is not None for v in labels.values())
+
+    def test_png_rejected_as_file_ext(self, tool):
+        res = tool.predict(asset_path('sample_s0332.nrrd'))
+        with pytest.raises(AssertionError):
+            res.save('/tmp', ext='png')
+
+
+class TestCLI:
+    def test_enumerate_cases_single(self):
+        cases = list(_enumerate_cases(asset_path('sample_s0521.nrrd')))
+        assert cases == [('sample_s0521', asset_path('sample_s0521.nrrd'))]
+
+    def test_enumerate_cases_directory_filters(self, tmp_path):
+        import shutil
+        shutil.copy(asset_path('sample_s0521.nrrd'), tmp_path / 'a.nrrd')
+        (tmp_path / 'notes.txt').write_text('skip me')
+        cases = list(_enumerate_cases(str(tmp_path)))
+        assert [n for n, _ in cases] == ['a']
+
+    def test_enumerate_rejects_bad_single(self, tmp_path):
+        bad = tmp_path / 'x.txt'
+        bad.write_text('nope')
+        with pytest.raises(ValueError):
+            list(_enumerate_cases(str(bad)))
+
+    def test_run_end_to_end(self, model_root, tmp_path, capsys):
+        out = tmp_path / 'out'
+        ts2d_run(src=asset_path('sample_s0332.nrrd'), dest=str(out),
+                 model='ts2d-v9-test', use_remote=False, fetch_remote=False,
+                 visualize=True, save_all=True, silent=False,
+                 local=model_root)
+        for fn in ['sample_s0332.seg.nrrd', 'sample_s0332.seg.png',
+                   'sample_s0332-cardiac.seg.nrrd', 'sample_s0332-ribs.seg.nrrd',
+                   'sample_s0332_ch0.nrrd', 'sample_s0332_ch0.png']:
+            assert (out / fn).exists(), f'missing {fn}'
+        captured = capsys.readouterr()
+        assert 'NOT validated for clinical use' in captured.out
+
+    def test_run_directory_input(self, model_root, tmp_path):
+        import shutil
+        src = tmp_path / 'src'
+        src.mkdir()
+        shutil.copy(asset_path('sample_s0332.nrrd'), src / 'case1.nrrd')
+        shutil.copy(asset_path('sample_s0616.nrrd'), src / 'case2.nrrd')
+        out = tmp_path / 'out'
+        ts2d_run(src=str(src), dest=str(out), model='ts2d-v9-test',
+                 use_remote=False, fetch_remote=False, visualize=False,
+                 silent=True, local=model_root)
+        assert (out / 'case1.seg.nrrd').exists()
+        assert (out / 'case2.seg.nrrd').exists()

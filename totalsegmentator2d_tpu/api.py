@@ -1,0 +1,284 @@
+"""Public API: the TS2D orchestrator and its Result container.
+
+API-compatible with the reference tool (ts2d/tool.py:19-311): the same
+constructor signature, predict()/Result.save() surface, output-file naming
+matrix, and projection caching — but each anatomical-group model is a
+device-resident HostedModel (fold-stacked weights in HBM, fused XLA predict
+program) instead of a spawned torch worker process.
+"""
+
+from __future__ import annotations
+
+import os
+import traceback
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from .inference.database import URLDataBase, decompose_model_key
+from .inference.model import HostedModel
+from .inference.zoo import Zoo
+from .io import MedicalImage, read_image, write_image
+from .ops.annotations import combine_segmentations
+from .ops.geometry import reduce_dimensions, reorient, restore_dimension
+from .ops.projection import project
+from .ops.visual import create_visual
+from .utils.config import get_label_colors, get_shared_urls
+from .utils.files import mkdirs
+from .utils.logging import log, warn
+from .utils.params import as_list, as_set, unwrap_singular
+
+
+class TS2D:
+    """Segment anatomical structures in CT scans (via coronal projection) or
+    native 2D X-rays using an ensemble of 2D multilabel U-Net models.
+
+    :param key: model key, resolved through the alias map + registry
+        (default 'ts2d' -> ts2d-v2-ep4000b2, all five groups)
+    :param use_remote: allow downloading models from the remote registry
+    :param fetch_remote: refresh the registry from the upstream repo first
+    :param local: override the local model database root (testing/offline)
+    :param param: extra dot-key parameters merged into every model config
+    """
+
+    def __init__(self, key: str = 'ts2d', use_remote: bool = True,
+                 fetch_remote: bool = True,
+                 local: Optional[str] = None,
+                 param: Optional[dict] = None):
+        colors = get_label_colors()
+        model_param = {'nnu.result.colors': colors}
+        if param:
+            model_param.update(param)
+
+        remote = URLDataBase(get_shared_urls(fetch_remote)) if use_remote else False
+        self.zoo = Zoo(remote=remote, local=local)
+        self.models: Dict[str, HostedModel] = {}
+
+        ids = self.zoo.resolve(key, unique_model=True)
+        if not ids:
+            raise RuntimeError(f'No models were resolved for key: {key}')
+        if len(ids) > 1:
+            log(f"The model key '{key}' was resolved to {len(ids)} models: "
+                f"{', '.join(ids)}.")
+        for id_ in ids:
+            try:
+                model = self.zoo.load(id_, param=model_param)
+                model.start(wait=False)
+                if not model.multilabel:
+                    warn(f'The loaded model {id_} is not configured for '
+                         f'multilabel inference - this should not be the case '
+                         f'in TS2D and may lead to unexpected results.')
+                self.models[id_] = model
+            except Exception:
+                traceback.print_exc()
+                raise RuntimeError(
+                    f'Failed to load model {id_}'
+                    + (f' (resolved from {key})' if key != id_ else ''))
+        for model in self.models.values():
+            model.await_startup()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def __enter__(self) -> 'TS2D':
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> None:
+        self.close()
+
+    def close(self) -> None:
+        for model in self.models.values():
+            model.stop()
+        self.models = {}
+
+    # -- prediction -------------------------------------------------------
+
+    def predict(self, input: Union[MedicalImage, str], collapse: bool = False,
+                merge: bool = True) -> 'TS2D.Result':
+        """Predict the segmentation for an image (path or MedicalImage).
+
+        :param collapse: collapse outputs to true 2D, discarding the 3D
+            size-1-axis geometry
+        :param merge: merge the per-group segmentations into one multilabel
+            image (117 channels for ts2d-v2)
+        """
+        if isinstance(input, str):
+            input = read_image(input)
+        if not isinstance(input, MedicalImage):
+            raise RuntimeError(
+                f'input must be a string path or a MedicalImage, found: '
+                f'{type(input).__name__}')
+
+        result: dict = {}
+        cache: dict = {}
+        for id_, model in self.models.items():
+            res = self._predict_model(id_, input=input, collapse=collapse,
+                                      cache=cache)
+            result.setdefault('models', {})[id_] = res
+
+        if merge:
+            segs = {id_: r['segmentation']
+                    for id_, r in result['models'].items()}
+            if len(segs) == 1:
+                result['segmentation'] = unwrap_singular(list(segs.values()))
+            else:
+                result['segmentation'] = combine_segmentations(list(segs.values()))
+
+        result['input'] = input
+        projections = cache.get('projections')
+        if projections:
+            result['projections'] = projections
+        return TS2D.Result(result)
+
+    def _predict_model(self, id_: str, input: MedicalImage, collapse: bool,
+                       cache: dict) -> dict:
+        model = self.models.get(id_)
+        assert isinstance(model, HostedModel), f'Model {id_!r} is not available.'
+
+        result = {'id': id_}
+        result['model'], result['group'] = decompose_model_key(id_)
+        result['revision'] = model.revision
+
+        channels = model.channels
+        if not channels:
+            raise RuntimeError(f'Model {id_} does not have a channel '
+                               f'definition, cannot project the input image.')
+        channels = sorted(channels.items(), key=lambda kv: kv[0])
+
+        projections = cache.setdefault('projections', {})
+        if input.actual_dimension() > 2:
+            # 3D input: reorient and project each requested channel
+            input = reorient(input, 'RAI')
+            ch_list = []
+            for _, ch_name in channels:
+                if ch_name not in projections:
+                    projections[ch_name] = self._project(input, mode=ch_name)
+                ch_list.append(projections[ch_name])
+            input = MedicalImage.compose(ch_list) if len(ch_list) > 1 \
+                else unwrap_singular(ch_list)
+        else:
+            model_nch = len(channels)
+            input_nch = input.ncomponents
+            if model_nch != input_nch:
+                raise RuntimeError(
+                    f'The number of channels in the input image does not '
+                    f'match the models channel definition '
+                    f'({model_nch} vs {input_nch}).')
+            projections.update((f'ch{i}', ch) for i, ch in
+                               enumerate(input.split_channels()))
+
+        native_2d = input.dim < 3
+        input2d = input if native_2d else reduce_dimensions(input)
+        seg = model.apply(input2d)
+        seg = seg if (collapse or native_2d) else restore_dimension(seg, input)
+        input = input2d if collapse else input
+
+        result['input'] = input
+        result['segmentation'] = seg
+        return result
+
+    @staticmethod
+    def _project(img: MedicalImage, mode: str) -> MedicalImage:
+        res = project(img, mode=mode, axis='coronal')
+        return res.astype(np.float32)
+
+    # -- results ------------------------------------------------------------
+
+    class Result:
+        def __init__(self, data: dict):
+            self.data = data
+
+        @property
+        def models(self) -> List[str]:
+            return sorted(self.data.get('models', {}).keys())
+
+        def get_input(self, model: Optional[str] = None):
+            if model is not None:
+                return self.data.get('models', {}).get(model, {}).get('input')
+            return self.data.get('input')
+
+        def get_segmentation(self, model: Optional[str] = None):
+            if model is not None:
+                return self.data.get('models', {}).get(model, {}).get('segmentation')
+            return self.data.get('segmentation')
+
+        def get_projection(self, channel: Optional[str] = None):
+            projections = self.data.get('projections', {})
+            if channel is not None:
+                return projections.get(channel)
+            return projections
+
+        def save(self, dest: str, name: str = 'result', ext: str = 'nrrd',
+                 models: Union[str, List[str]] = 'final',
+                 targets: Union[str, List[str]] = 'all',
+                 content: str = 'all',
+                 naming: str = 'group') -> None:
+            """Export results. File naming matrix matches the reference
+            (tool.py:235-311): `<name>[-<group>][.seg].<ext>`, projections
+            `<name>_<channel>.<ext>`, PNG visuals as siblings.
+
+            :param models: 'final', 'all', or explicit model ids
+            :param targets: subset of {'input','segmentation','projection'} or 'all'
+            :param content: 'file', 'visual' or 'all'
+            :param naming: 'group' (default) or 'model'
+            """
+            assert ext.lower() != 'png', \
+                "PNG is not a valid export format for the 'file' content type."
+            assert naming in ('group', 'model'), \
+                f"Invalid naming scheme '{naming}', must be 'group' or 'model'."
+            assert content in ('file', 'visual', 'all'), \
+                f"Invalid export type '{content}'."
+            contents = {'visual', 'file'} if content == 'all' else {content}
+
+            model_set = as_set(str(t).strip().lower() for t in as_list(models))
+            if 'all' in model_set:
+                model_set |= set(self.models) | {None}
+            if 'final' in model_set:
+                model_set |= {None}
+            model_set -= {'all', 'final'}
+            target_set = as_set(str(t).strip().lower() for t in as_list(targets))
+
+            def _filename(base, key):
+                if key is not None and naming == 'group':
+                    _, group = decompose_model_key(key)
+                    return f'{base}-{group}'
+                return base if key is None else f'{base}-{key}'
+
+            def _export(img: MedicalImage, base: str, suffix: str = '',
+                        labels=False):
+                if 'file' in contents:
+                    write_image(img, os.path.join(dest, f'{base}{suffix}.{ext}'))
+                if 'visual' in contents:
+                    if labels:
+                        vis = create_visual(img, labels=labels, axis='coronal')
+                        write_image(vis, os.path.join(dest, f'{base}{suffix}.png'))
+                    else:
+                        nch = img.ncomponents
+                        for cidx, ch in enumerate(img.split_channels()):
+                            vis = create_visual(ch, labels=False, axis='coronal')
+                            fn = (f'{base}{suffix}.png' if nch == 1
+                                  else f'{base}-ch{cidx}{suffix}.png')
+                            write_image(vis, os.path.join(dest, fn))
+
+            mkdirs(dest)
+
+            if {'all', 'input'} & target_set:
+                for key in model_set:
+                    img = self.get_input(key)
+                    if img is not None:
+                        _export(img, _filename(name, key))
+
+            if {'all', 'segmentation'} & target_set:
+                for key in model_set:
+                    img = self.get_segmentation(key)
+                    if img is not None:
+                        _export(img, _filename(name, key), suffix='.seg',
+                                labels=True)
+
+            if {'all', 'projection'} & target_set:
+                for channel, img in self.get_projection().items():
+                    base = f'{name}_{channel}'
+                    if 'file' in contents:
+                        write_image(img, os.path.join(dest, f'{base}.{ext}'))
+                    if 'visual' in contents:
+                        vis = create_visual(img)
+                        write_image(vis, os.path.join(dest, f'{base}.png'))

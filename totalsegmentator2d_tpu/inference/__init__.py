@@ -1,0 +1,11 @@
+"""Inference runtime: model databases/zoo, hosted models, and the fused
+sliding-window engine."""
+
+from .database import (DataBase, FileDataBase, URLDataBase,
+                       decompose_model_key)
+from .engine import InferenceEngine
+from .model import HostedModel
+from .zoo import Zoo
+
+__all__ = ['DataBase', 'FileDataBase', 'URLDataBase', 'decompose_model_key',
+           'InferenceEngine', 'HostedModel', 'Zoo']

@@ -1,0 +1,209 @@
+"""Model key grammar and databases.
+
+Key grammar (reference database.py:17-22 and doc/available_models.md):
+``<model>-<dataset>-<config>_<group>`` — the group is split on the *last*
+underscore; model-name matching is component-wise prefix matching on
+'-'-separated parts, so 'ts2d-v2' matches 'ts2d-v2-ep4000b2'. Revisions are
+directories named ``r%03d``.
+
+ - FileDataBase: local store ``<root>/<model>_<group>/r###/``
+ - URLDataBase : the shared.json registry; ``copy`` downloads + extracts a
+   model zip into a local root.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import zipfile
+from glob import glob
+from typing import Dict, Iterator, Optional, Tuple
+
+from ..utils.files import isemptydir, mkdirs, removeall, rmdirs
+from ..utils.logging import log, warn
+from ..utils.params import parse_int
+from ..utils.temp import SafeTemporaryDirectory
+
+
+def decompose_model_key(key: str) -> Tuple[str, Optional[str]]:
+    """'ts2d-v2-ep4000b2_cardiac' -> ('ts2d-v2-ep4000b2', 'cardiac')."""
+    if '_' in key:
+        model, group = key.rsplit('_', 1)
+        return model, group
+    return key, None
+
+
+def revision_str(revision) -> str:
+    return f'r{revision:03d}' if isinstance(revision, int) else str(revision)
+
+
+def parse_revision(rn) -> Optional[int]:
+    if isinstance(rn, int):
+        return rn
+    s = str(rn)
+    return parse_int(s[1:] if s.startswith('r') else s)
+
+
+def match_model_name(pattern: Optional[str], model: str) -> bool:
+    """Component-wise prefix match: each '-'-part of the pattern must equal
+    the corresponding part of the model name (empty parts match anything)."""
+    if pattern is None:
+        return True
+    if '-' in model:
+        pat = pattern.split('-')
+        parts = model.split('-')
+        for i in range(len(parts)):
+            if i < len(pat) and pat[i] and pat[i] != parts[i]:
+                return False
+        return True
+    return model == pattern
+
+
+class DataBase:
+    """Query interface over (model, group, revision) -> location entries."""
+
+    def _enumerate(self) -> Iterator[Tuple[str, str, int, str]]:
+        raise NotImplementedError
+
+    def list(self, model: Optional[str] = None, group: Optional[str] = None,
+             key: Optional[str] = None, revision=None) -> Dict[tuple, str]:
+        if key is not None:
+            model, group = decompose_model_key(key)
+        if isinstance(revision, str):
+            revision = parse_revision(revision)
+        res = {}
+        for m, g, r, path in self._enumerate():
+            if (match_model_name(model, m)
+                    and (revision is None or revision == r)
+                    and (group is None or group == g)):
+                res[(m, g, r)] = path
+        return res
+
+    def has(self, **kw) -> bool:
+        return bool(self.list(**kw))
+
+    def ids(self, **kw) -> list:
+        return sorted({f'{m}_{g}' for (m, g, r) in self.list(**kw)})
+
+    def models(self, **kw) -> list:
+        return sorted({m for (m, g, r) in self.list(**kw)})
+
+    def groups(self, **kw) -> list:
+        return sorted({g for (m, g, r) in self.list(**kw)})
+
+    def revisions(self, **kw) -> list:
+        return sorted({r for (m, g, r) in self.list(**kw)})
+
+    def latest(self, **kw) -> Optional[int]:
+        revs = self.revisions(**kw)
+        return revs[-1] if revs else None
+
+    def get(self, **kw) -> dict:
+        """Details of the first (lexicographically by id) matching model."""
+        entries = sorted((f'{m}_{g}', (m, g, r, p))
+                         for (m, g, r), p in self.list(**kw).items())
+        if not entries:
+            raise LookupError(f'No model matches {kw}')
+        id_, (m, g, r, p) = entries[0]
+        return {'id': id_, 'model': m, 'group': g, 'revision': r, 'path': p}
+
+    def copy(self, dest_root: str, key: str, revision: Optional[int] = None):
+        raise NotImplementedError
+
+
+class FileDataBase(DataBase):
+    """Local on-disk store: ``<root>/<model>_<group>/r###/``."""
+
+    def __init__(self, root: str, readonly: bool = True):
+        self._root = root
+        self._readonly = readonly
+
+    @property
+    def root(self) -> str:
+        return self._root
+
+    @property
+    def readonly(self) -> bool:
+        return self._readonly
+
+    def _enumerate(self):
+        for dn in glob(os.path.join(self._root, '*', 'r*')):
+            rel = os.path.relpath(dn, self._root)
+            try:
+                modeldir, rn = os.path.split(rel)
+                rev = parse_revision(rn)
+                if rev is None:
+                    raise ValueError(f'bad revision dir {rn!r}')
+                model, group = decompose_model_key(modeldir)
+                if group is None:
+                    raise ValueError(f'no group in {modeldir!r}')
+                yield model, group, rev, dn
+            except Exception as ex:
+                warn(f'Skipping malformed database entry {rel!r}: {ex}')
+
+    def resource_path(self, key: str, revision: Optional[int] = None,
+                      must_exist: bool = True) -> Optional[str]:
+        path = os.path.join(self._root, str(key).lower().strip())
+        if revision is not None:
+            path = os.path.join(path, revision_str(revision))
+        if must_exist and not os.path.exists(path):
+            return None
+        return path
+
+    def copy(self, dest_root: str, key: str, revision: Optional[int] = None):
+        src = self.resource_path(key, revision)
+        if src is None:
+            raise LookupError(f'Model {key!r} (rev {revision}) not in database')
+        dst = os.path.join(dest_root, os.path.relpath(src, self._root))
+        mkdirs(os.path.dirname(dst))
+        shutil.copytree(src, dst, dirs_exist_ok=True)
+
+    def clear(self, key: Optional[str] = None, revision: Optional[int] = None):
+        if self.readonly:
+            raise PermissionError('Database is read-only')
+        if key is None:
+            for (m, g, r), path in self.list().items():
+                rmdirs(path)
+        else:
+            path = self.resource_path(key, revision, must_exist=False)
+            removeall(path)
+        # prune empty model dirs
+        for dn in glob(os.path.join(self._root, '*')):
+            if isemptydir(dn):
+                rmdirs(dn)
+
+
+class URLDataBase(DataBase):
+    """Remote registry backed by the shared.json dict
+    {model: {revision: {group: url}}}."""
+
+    def __init__(self, urls: dict):
+        self._urls = urls or {}
+
+    def _enumerate(self):
+        for model, revs in self._urls.items():
+            for rev, groups in revs.items():
+                for group, url in groups.items():
+                    yield model, group, parse_revision(rev), url
+
+    def copy(self, dest_root: str, key: str, revision: Optional[int] = None):
+        entries = self.list(key=key, revision=revision)
+        if not entries:
+            raise LookupError(f'Model {key!r} not in the remote registry')
+        for (m, g, rn), url in entries.items():
+            name = f'{m}_{g}-{revision_str(rn)}'
+            with SafeTemporaryDirectory(prefix='ts2d-dl-') as temp:
+                zip_path = os.path.join(temp, f'{name}.zip')
+                _download(url, zip_path)
+                with zipfile.ZipFile(zip_path) as zf:
+                    zf.extractall(dest_root)
+
+
+def _download(url: str, dest: str, chunk: int = 1 << 20) -> None:
+    import requests
+    log(f'Downloading {url}')
+    with requests.get(url, stream=True, timeout=60, allow_redirects=True) as r:
+        r.raise_for_status()
+        with open(dest, 'wb') as f:
+            for block in r.iter_content(chunk_size=chunk):
+                f.write(block)

@@ -1,0 +1,259 @@
+"""The inference engine: one fused device program per input shape.
+
+TPU-native replacement for the whole nnU-Net predict path the reference runs
+out-of-process (preprocess -> logits -> export, reference
+prediction_worker.py:177-242). Everything between host numpy-in and host
+numpy-out is a single jitted XLA program:
+
+    normalize (plans schemes)
+    -> resample to plan spacing  (B-spline prefilter + MXU weight matmuls)
+    -> pad to tile grid
+    -> lax.scan over tiles: mirror-TTA batch -> vmapped multi-fold U-Net
+       -> Gaussian-weighted accumulate
+    -> inverse-resample logits to the input grid (order 1)
+    -> sigmoid>0.5 multilabel one-hot  (or softmax argmax)
+
+Programs are cached per (input shape, dtype); the fold axis is a stacked
+params pytree vmapped inside the program. Mirror TTA materializes all flip
+combinations of each tile as one batch so the U-Net runs with batch
+M = 2^len(mirror_axes), keeping the MXU fed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.plans import ModelSpec
+from ..models.unet import forward, pad_to_stride
+from ..ops.gaussian import gaussian_map
+from ..ops.normalize import apply_scheme
+from ..ops.resample import apply_separable, axis_weights, bspline_prefilter
+from ..utils.logging import log
+from .tiling import pad_amounts, padded_shape, tile_positions
+
+
+def _mirror_combos(axes: Sequence[int]) -> List[Tuple[int, ...]]:
+    """All subsets of the allowed mirror axes (identity first).
+    Axes are spatial: 0 = y, 1 = x."""
+    combos: List[Tuple[int, ...]] = [()]
+    for ax in axes:
+        combos += [c + (ax,) for c in combos]
+    return combos
+
+
+def compute_new_shape(shape: Sequence[int], old_spacing: Sequence[float],
+                      new_spacing: Sequence[float]) -> Tuple[int, ...]:
+    """nnU-Net target shape: round(shape * old / new)."""
+    return tuple(int(round(n * o / s))
+                 for n, o, s in zip(shape, old_spacing, new_spacing))
+
+
+class InferenceEngine:
+    """Runs one model configuration (all folds) on preprocessed-2D inputs.
+
+    Parameters
+    ----------
+    spec : ModelSpec parsed from plans.json/dataset.json
+    fold_params : list of per-fold params pytrees (stacked internally)
+    tile_step_size : sliding-window step as a fraction of the patch
+        (reference default 0.5, `nnu.predict.stepsize`, nnu.py:143)
+    use_mirroring : mirror test-time augmentation (reference
+        `nnu.predict.augment`, nnu.py:155-156)
+    """
+
+    def __init__(self, spec: ModelSpec, fold_params: List[dict],
+                 tile_step_size: float = 0.5, use_mirroring: bool = True,
+                 dtype=jnp.float32):
+        if not fold_params:
+            raise ValueError('At least one fold is required')
+        self.spec = spec
+        self.n_folds = len(fold_params)
+        self.tile_step_size = float(tile_step_size)
+        self.use_mirroring = bool(use_mirroring)
+        self.dtype = dtype
+        self.params = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]), *fold_params)
+        self._cache: Dict[Tuple, any] = {}
+
+    # -- program construction ------------------------------------------------
+
+    def _build(self, in_shape: Tuple[int, int], in_spacing: Tuple[float, float]):
+        """Compile the fused program for one (H, W) input shape. Spacing is
+        in array order (y, x), matching plans.json."""
+        spec = self.spec
+        pre = spec.preprocess
+        C = spec.arch.in_channels
+        L = spec.arch.out_channels
+        patch = tuple(pre.patch_size)
+
+        rs_shape = compute_new_shape(in_shape, in_spacing, pre.spacing)
+        pad_shape = padded_shape(rs_shape, patch)
+        pads = pad_amounts(rs_shape, pad_shape)
+        tiles = tile_positions(pad_shape, patch, self.tile_step_size)
+        mirrors = _mirror_combos(spec.allowed_mirroring_axes
+                                 if self.use_mirroring else ())
+        gauss = jnp.asarray(gaussian_map(patch), self.dtype)[..., None]
+
+        # host-built, shape-static interpolation matrices
+        def _w(n_in, n_out, order):
+            if n_in == n_out:
+                return None
+            coords = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+            return jnp.asarray(axis_weights(n_in, coords, order, outside='edge'),
+                               self.dtype)
+
+        w_down = [_w(in_shape[k], rs_shape[k], 3) for k in range(2)]
+        w_up = [_w(rs_shape[k], in_shape[k], 1) for k in range(2)]
+        tiles_j = jnp.asarray(tiles)
+
+        n_mirror = len(mirrors)
+
+        def tta_batch(patch_img):
+            """(ph, pw, C) -> (M, ph, pw, C) with all flip combinations."""
+            outs = [patch_img if not m else jnp.flip(patch_img, axis=m)
+                    for m in mirrors]
+            return jnp.stack(outs, axis=0)
+
+        def tta_merge(logits):
+            """(M, ph, pw, L) -> (ph, pw, L): unflip then average."""
+            outs = [logits[i] if not m else jnp.flip(logits[i], axis=m)
+                    for i, m in enumerate(mirrors)]
+            return sum(outs) / float(n_mirror)
+
+        unet = functools.partial(forward, spec=spec.arch)
+
+        def net_multifold(x):
+            """(M, ph, pw, C) -> fold-averaged (M, ph, pw, L)."""
+            outs = jax.vmap(lambda p: unet(p, x))(self.params)
+            return jnp.mean(outs, axis=0)
+
+        def program(arr):
+            # arr: (H, W, C) float32, already cropped on host; fold-stacked
+            # weights are closed over (they live on device across calls)
+            work = arr.astype(self.dtype)
+            # 1. normalize per channel (plans schemes)
+            chans = [apply_scheme(work[..., c], pre.normalization_schemes[c]
+                                  if c < len(pre.normalization_schemes)
+                                  else 'zscore',
+                                  pre.intensity_properties[c]
+                                  if c < len(pre.intensity_properties) else None)
+                     for c in range(C)]
+            work = jnp.stack(chans, axis=-1)
+            # 2. resample to plan spacing (cubic)
+            if any(w is not None for w in w_down):
+                pref = bspline_prefilter(work, [k for k in range(2)
+                                                if w_down[k] is not None])
+                work = apply_separable(pref, w_down, axes=(0, 1))
+            # 3. pad to tile grid
+            work = jnp.pad(work, pads + [(0, 0)])
+            # 4. sliding window + TTA + fold ensemble + gaussian accumulate
+            acc0 = jnp.zeros(pad_shape + (L,), self.dtype)
+            wacc0 = jnp.zeros(pad_shape + (1,), self.dtype)
+
+            def step(carry, pos):
+                acc, wacc = carry
+                tile = jax.lax.dynamic_slice(
+                    work, (pos[0], pos[1], 0), (patch[0], patch[1], C))
+                batch = tta_batch(tile)
+                logits = net_multifold(batch)
+                merged = tta_merge(logits) * gauss
+                acc = jax.lax.dynamic_update_slice(
+                    acc, jax.lax.dynamic_slice(
+                        acc, (pos[0], pos[1], 0), (patch[0], patch[1], L)) + merged,
+                    (pos[0], pos[1], 0))
+                wacc = jax.lax.dynamic_update_slice(
+                    wacc, jax.lax.dynamic_slice(
+                        wacc, (pos[0], pos[1], 0), (patch[0], patch[1], 1)) + gauss,
+                    (pos[0], pos[1], 0))
+                return (acc, wacc), None
+
+            (acc, wacc), _ = jax.lax.scan(step, (acc0, wacc0), tiles_j)
+            logits = acc / jnp.maximum(wacc, 1e-8)
+            # 5. unpad to resampled shape
+            logits = jax.lax.slice(
+                logits, (pads[0][0], pads[1][0], 0),
+                (pads[0][0] + rs_shape[0], pads[1][0] + rs_shape[1], L))
+            # 6. inverse-resample logits to the input grid (order 1, like
+            #    nnU-Net's resampling_fn_probabilities)
+            if any(w is not None for w in w_up):
+                logits = apply_separable(logits, w_up, axes=(0, 1))
+            # 7. decision rule
+            if spec.multilabel:
+                seg = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.uint8)
+            else:
+                seg = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            return seg, logits
+
+        jitted = jax.jit(program)
+        meta = {'rs_shape': rs_shape, 'pad_shape': pad_shape,
+                'n_tiles': len(tiles), 'n_mirror': n_mirror}
+        return jitted, meta
+
+    def _program(self, in_shape, in_spacing):
+        key = (tuple(in_shape), tuple(round(float(s), 6) for s in in_spacing))
+        hit = self._cache.get(key)
+        if hit is None:
+            hit = self._build(tuple(in_shape), tuple(in_spacing))
+            self._cache[key] = hit
+            log(f'compiled inference program for shape={key[0]} '
+                f'spacing={key[1]} ({hit[1]["n_tiles"]} tiles, '
+                f'{hit[1]["n_mirror"]} mirrors, {self.n_folds} folds)', once=False)
+        return hit
+
+    # -- host API --------------------------------------------------------
+
+    def predict_array(self, arr: np.ndarray, spacing_yx: Sequence[float],
+                      return_logits: bool = False):
+        """Predict a (H, W, C) float array with array-order (y, x) spacing.
+        Returns (H, W) labels or (H, W, L) multilabel one-hot uint8."""
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if arr.shape[-1] != self.spec.arch.in_channels:
+            raise ValueError(
+                f'Input has {arr.shape[-1]} channels; the model expects '
+                f'{self.spec.arch.in_channels}')
+        # crop to nonzero bounding box (nnU-Net crop_to_nonzero)
+        bbox = _nonzero_bbox(arr)
+        (y0, y1), (x0, x1) = bbox
+        cropped = arr[y0:y1, x0:x1]
+
+        fn, _ = self._program(cropped.shape[:2], spacing_yx)
+        seg_c, logits_c = fn(jnp.asarray(cropped, self.dtype))
+        seg_c = np.asarray(jax.device_get(seg_c))
+
+        full_shape = arr.shape[:2] + (seg_c.shape[-1:] if seg_c.ndim == 3 else ())
+        if seg_c.shape[:2] != arr.shape[:2]:
+            seg = np.zeros(full_shape, np.uint8)
+            seg[y0:y1, x0:x1] = seg_c
+        else:
+            seg = seg_c
+        if return_logits:
+            return seg, np.asarray(jax.device_get(logits_c)), bbox
+        return seg
+
+    def warmup(self, in_shape: Sequence[int],
+               in_spacing: Optional[Sequence[float]] = None) -> None:
+        """Pre-compile + execute once for a given shape (the engine-level
+        equivalent of the reference's 'startup' dummy predict,
+        prediction_worker.py:74-96)."""
+        if in_spacing is None:
+            in_spacing = self.spec.preprocess.spacing
+        dummy = np.zeros(tuple(in_shape) + (self.spec.arch.in_channels,),
+                         np.float32)
+        self.predict_array(dummy, in_spacing)
+
+
+def _nonzero_bbox(arr: np.ndarray) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """Bounding box of non-zero voxels over all channels; the full image if
+    everything is zero."""
+    mask = np.any(arr != 0, axis=-1) if arr.ndim == 3 else (arr != 0)
+    ys, xs = np.nonzero(mask)
+    if ys.size == 0:
+        return (0, arr.shape[0]), (0, arr.shape[1])
+    return ((int(ys.min()), int(ys.max()) + 1),
+            (int(xs.min()), int(xs.max()) + 1))

@@ -1,0 +1,200 @@
+"""2D U-Net (nnU-Net PlainConvUNet family) as pure JAX functions.
+
+TPU-first reimplementation of the network the reference runs through
+PyTorch/`nnunetv2` (`predict_logits_from_preprocessed_data`,
+reference prediction_worker.py:209):
+
+ - NHWC layout (channels-last feeds the MXU's 128-lane minor dimension).
+ - Params are a nested dict pytree whose structure mirrors the torch
+   state-dict naming (encoder.stages[s].convs[c].conv/norm, decoder
+   transpconvs/stages/seg_layers) so checkpoint conversion is mechanical
+   (see convert.py) and groups stack cleanly for vmapped ensembles.
+ - Conv + InstanceNorm + LeakyReLU per block; InstanceNorm uses batch
+   statistics (biased variance) exactly like torch's InstanceNorm2d with
+   track_running_stats=False.
+ - Decoder: stride-matched transposed convs, skip concat, conv stacks, and
+   1x1 seg heads per stage (deep supervision); inference reads the final
+   full-resolution head only.
+
+Everything here is shape-static and jit/vmap-safe; ensemble stacking over
+folds/groups is a vmap over the params pytree.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .plans import ArchSpec
+
+Params = Dict[str, Any]
+
+_DN = ('NHWC', 'HWIO', 'NHWC')
+
+
+def _conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
+          stride: Tuple[int, int], kernel: Tuple[int, int]) -> jnp.ndarray:
+    pad = [((k - 1) // 2, (k - 1) // 2) for k in kernel]
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=pad, dimension_numbers=_DN,
+        preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _conv_transpose(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
+                    stride: Tuple[int, int]) -> jnp.ndarray:
+    """torch ConvTranspose2d(k=stride, padding=0) equivalent: output spatial
+    size = input * stride. Weight layout HWOI + transpose_kernel=True matches
+    torch's gradient-of-conv semantics exactly (verified in tests)."""
+    out = jax.lax.conv_transpose(
+        x, w, strides=stride, padding='VALID', dimension_numbers=_DN,
+        transpose_kernel=True, preferred_element_type=jnp.float32)
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _instance_norm(x: jnp.ndarray, scale: Optional[jnp.ndarray],
+                   bias: Optional[jnp.ndarray], eps: float) -> jnp.ndarray:
+    # per-sample, per-channel statistics over spatial dims; biased variance
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _leaky_relu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def _block(x: jnp.ndarray, p: Params, stride: Tuple[int, int],
+           kernel: Tuple[int, int], spec: ArchSpec) -> jnp.ndarray:
+    """ConvDropoutNormReLU: conv -> InstanceNorm -> LeakyReLU."""
+    x = _conv(x, p['conv']['w'], p['conv'].get('b'), stride, kernel)
+    norm = p.get('norm')
+    if norm is not None:
+        x = _instance_norm(x, norm.get('scale'), norm.get('bias'), spec.norm_eps)
+    return _leaky_relu(x, spec.nonlin_slope)
+
+
+def _conv_stack(x: jnp.ndarray, blocks: List[Params], first_stride: Tuple[int, int],
+                kernel: Tuple[int, int], spec: ArchSpec) -> jnp.ndarray:
+    for i, p in enumerate(blocks):
+        x = _block(x, p, first_stride if i == 0 else (1, 1), kernel, spec)
+    return x
+
+
+def forward(params: Params, x: jnp.ndarray, spec: ArchSpec,
+            deep_supervision: bool = False):
+    """Run the U-Net. x: (N, H, W, C_in), H/W divisible by the total stride.
+    Returns logits (N, H, W, C_out), or a list (highest resolution first)
+    when deep_supervision is set."""
+    a = spec
+    skips = []
+    h = x
+    for s in range(a.n_stages):
+        h = _conv_stack(h, params['encoder']['stages'][s], a.strides[s],
+                        a.kernel_sizes[s], a)
+        skips.append(h)
+
+    seg_outputs = []
+    h = skips[-1]
+    n_dec = a.n_stages - 1
+    for d in range(n_dec):
+        enc_stage = n_dec - d  # stage whose stride this transpconv undoes
+        t = params['decoder']['transpconvs'][d]
+        h = _conv_transpose(h, t['w'], t.get('b'), a.strides[enc_stage])
+        h = jnp.concatenate([h, skips[enc_stage - 1]], axis=-1)
+        h = _conv_stack(h, params['decoder']['stages'][d], (1, 1),
+                        a.kernel_sizes[enc_stage - 1], a)
+        sl = params['decoder']['seg_layers'][d]
+        if deep_supervision or d == n_dec - 1:
+            seg_outputs.append(_conv(h, sl['w'], sl.get('b'), (1, 1), (1, 1)))
+
+    if deep_supervision:
+        return seg_outputs[::-1]
+    return seg_outputs[-1]
+
+
+# ---------------------------------------------------------------------------
+# initialization (matches torch kaiming defaults closely enough for training;
+# inference params come from checkpoint conversion)
+# ---------------------------------------------------------------------------
+
+def _he_init(key, shape, fan_in, dtype=jnp.float32):
+    std = math.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def init_params(key: jax.Array, spec: ArchSpec, dtype=jnp.float32) -> Params:
+    a = spec
+    keys = iter(jax.random.split(key, 4096))
+
+    def conv_block(cin, cout, kernel):
+        kh, kw = kernel
+        p = {'conv': {'w': _he_init(next(keys), (kh, kw, cin, cout),
+                                    cin * kh * kw, dtype)}}
+        if a.conv_bias:
+            p['conv']['b'] = jnp.zeros((cout,), dtype)
+        if a.norm_affine:
+            p['norm'] = {'scale': jnp.ones((cout,), dtype),
+                         'bias': jnp.zeros((cout,), dtype)}
+        return p
+
+    enc_stages = []
+    cin = a.in_channels
+    for s in range(a.n_stages):
+        blocks = []
+        for c in range(a.n_conv_per_stage[s]):
+            blocks.append(conv_block(cin if c == 0 else a.features_per_stage[s],
+                                     a.features_per_stage[s], a.kernel_sizes[s]))
+        enc_stages.append(blocks)
+        cin = a.features_per_stage[s]
+
+    transpconvs, dec_stages, seg_layers = [], [], []
+    n_dec = a.n_stages - 1
+    for d in range(n_dec):
+        enc_stage = n_dec - d
+        cin_below = a.features_per_stage[enc_stage]
+        cskip = a.features_per_stage[enc_stage - 1]
+        sh, sw = a.strides[enc_stage]
+        t = {'w': _he_init(next(keys), (sh, sw, cskip, cin_below),  # HWOI
+                           cin_below * sh * sw, dtype)}
+        t['b'] = jnp.zeros((cskip,), dtype)
+        transpconvs.append(t)
+        blocks = []
+        for c in range(a.n_conv_per_stage_decoder[d]):
+            blocks.append(conv_block(2 * cskip if c == 0 else cskip, cskip,
+                                     a.kernel_sizes[enc_stage - 1]))
+        dec_stages.append(blocks)
+        seg = {'w': _he_init(next(keys), (1, 1, cskip, a.out_channels), cskip, dtype),
+               'b': jnp.zeros((a.out_channels,), dtype)}
+        seg_layers.append(seg)
+
+    return {'encoder': {'stages': enc_stages},
+            'decoder': {'transpconvs': transpconvs, 'stages': dec_stages,
+                        'seg_layers': seg_layers}}
+
+
+def param_count(params: Params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def pad_to_stride(shape: Sequence[int], total_stride: Sequence[int],
+                  patch_size: Sequence[int]) -> Tuple[int, ...]:
+    """Smallest spatial shape >= max(shape, patch) divisible by the stride."""
+    out = []
+    for n, s, p in zip(shape, total_stride, patch_size):
+        n = max(int(n), int(p))
+        out.append(int(math.ceil(n / s) * s))
+    return tuple(out)
