@@ -1,0 +1,181 @@
+"""Parallel execution + training on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from totalsegmentator2d_tpu.models.plans import ArchSpec
+from totalsegmentator2d_tpu.models.unet import forward, init_params
+from totalsegmentator2d_tpu.parallel import (auto_axes, batch_sharding,
+                                             ensemble_forward, make_mesh,
+                                             merge_multilabel, shard_params,
+                                             split_group_outputs, stack_groups)
+from totalsegmentator2d_tpu.training import (TrainConfig, Trainer,
+                                             augment_batch, dice_score)
+
+
+def small_spec(out_channels=3, in_channels=2):
+    return ArchSpec(
+        n_stages=3, features_per_stage=(8, 16, 16),
+        kernel_sizes=((3, 3),) * 3, strides=((1, 1), (2, 2), (2, 2)),
+        n_conv_per_stage=(2, 2, 2), n_conv_per_stage_decoder=(2, 2),
+        in_channels=in_channels, out_channels=out_channels)
+
+
+class TestMesh:
+    def test_eight_devices(self):
+        assert len(jax.devices()) == 8
+
+    def test_make_mesh(self):
+        mesh = make_mesh({'data': 4, 'model': 2})
+        assert mesh.axis_names == ('data', 'model')
+        assert mesh.devices.shape == (4, 2)
+
+    def test_auto_axes(self):
+        axes = auto_axes(8)
+        assert np.prod(list(axes.values())) == 8
+        assert 'ensemble' in axes and 'data' in axes and 'model' in axes
+
+
+class TestEnsemble:
+    def test_stack_pad_split(self, rng):
+        specs = [small_spec(out_channels=c) for c in (2, 3, 5)]
+        key = jax.random.PRNGKey(0)
+        group_params = [init_params(k, s) for k, s in
+                        zip(jax.random.split(key, 3), specs)]
+        stacked, max_l = stack_groups(group_params, [2, 3, 5])
+        assert max_l == 5
+        head = stacked['decoder']['seg_layers'][-1]['w']
+        assert head.shape[0] == 3 and head.shape[-1] == 5
+
+        run_spec = small_spec(out_channels=5)
+        x = jnp.asarray(rng.standard_normal((1, 32, 32, 2)), jnp.float32)
+        out = ensemble_forward(lambda p, v: forward(p, v, run_spec), stacked, x)
+        assert out.shape == (3, 1, 32, 32, 5)
+
+        # per-group outputs must equal running each group standalone
+        parts = split_group_outputs(out, [2, 3, 5])
+        for g, (p, s, n) in enumerate(zip(group_params, specs, (2, 3, 5))):
+            solo = forward(jax.tree_util.tree_map(jnp.asarray, p), x, s)
+            np.testing.assert_allclose(np.asarray(parts[g]), np.asarray(solo),
+                                       rtol=2e-4, atol=2e-5)
+
+        merged = merge_multilabel(out, [2, 3, 5])
+        assert merged.shape == (1, 32, 32, 10)
+
+    def test_ensemble_sharded_over_mesh(self, rng):
+        from totalsegmentator2d_tpu.parallel import ensemble_forward_sharded
+        mesh = make_mesh({'ensemble': 2, 'data': 2, 'model': 2})
+        spec = small_spec(out_channels=4)
+        keys = jax.random.split(jax.random.PRNGKey(1), 2)
+        stacked, _ = stack_groups(
+            [init_params(k, spec) for k in keys], [4, 4])
+        sharded = shard_params(stacked, mesh, ensemble_axis='ensemble',
+                               stacked=True)
+        x = jnp.asarray(rng.standard_normal((4, 32, 32, 2)), jnp.float32)
+        xs = jax.device_put(x, batch_sharding(mesh, 'data'))
+
+        fwd = lambda q, u: forward(q, u, spec)
+        out = jax.jit(lambda p, v: ensemble_forward_sharded(
+            fwd, p, v, mesh))(sharded, xs)
+        assert out.shape == (2, 4, 32, 32, 4)
+        ref = jax.jit(lambda p, v: ensemble_forward(fwd, p, v))(stacked, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+class TestTraining:
+    def _batch(self, rng, n=4, hw=32, c=2, l=3):
+        img = rng.standard_normal((n, hw, hw, c)).astype(np.float32)
+        tgt = (rng.random((n, hw, hw, l)) > 0.7).astype(np.uint8)
+        return {'image': jnp.asarray(img), 'target': jnp.asarray(tgt)}
+
+    def test_single_device_training_decreases_loss(self, rng):
+        spec = small_spec()
+        cfg = TrainConfig(lr=5e-3, total_steps=50, multilabel=True)
+        tr = Trainer(spec, cfg, seed=0)
+        batch = self._batch(rng)
+        losses = [float(tr.step(batch)) for _ in range(20)]
+        assert losses[-1] < losses[0]
+        assert np.isfinite(losses).all()
+
+    def test_sharded_dp_tp_training(self, rng):
+        mesh = make_mesh({'data': 4, 'model': 2})
+        spec = small_spec()
+        cfg = TrainConfig(lr=1e-3, total_steps=20, multilabel=True)
+        tr = Trainer(spec, cfg, mesh=mesh, seed=0)
+        batch = self._batch(rng, n=8)
+        l0 = float(tr.step(batch))
+        l1 = float(tr.step(batch))
+        assert np.isfinite([l0, l1]).all()
+        # weights really are sharded over the model axis
+        w = tr.params['encoder']['stages'][0][0]['conv']['w']
+        assert 'model' in str(w.sharding.spec)
+
+    def test_sharded_matches_unsharded(self, rng):
+        spec = small_spec()
+        cfg = TrainConfig(lr=1e-2, total_steps=10, multilabel=True,
+                          deep_supervision=False)
+        batch = self._batch(rng)
+        tr1 = Trainer(spec, cfg, seed=3)
+        mesh = make_mesh({'data': 2, 'model': 2})
+        tr2 = Trainer(spec, cfg, mesh=mesh, seed=3)
+        l1 = float(tr1.step(batch))
+        l2 = float(tr2.step(batch))
+        assert abs(l1 - l2) < 1e-3
+
+    def test_ensemble_training(self, rng):
+        mesh = make_mesh({'ensemble': 2, 'data': 2, 'model': 2})
+        spec = small_spec()
+        cfg = TrainConfig(lr=1e-3, total_steps=10, multilabel=True)
+        tr = Trainer(spec, cfg, mesh=mesh, seed=0, ensemble_size=2)
+        single = self._batch(rng, n=4)
+        batch = {k: jnp.stack([v, v]) for k, v in single.items()}
+        loss = tr.step(batch)
+        assert loss.shape == (2,)
+        assert np.isfinite(np.asarray(loss)).all()
+
+    def test_checkpoint_roundtrip(self, rng, tmp_path):
+        spec = small_spec()
+        cfg = TrainConfig(lr=1e-3, total_steps=10)
+        tr = Trainer(spec, cfg, seed=0)
+        batch = self._batch(rng)
+        tr.step(batch)
+        path = str(tmp_path / 'ckpt')
+        tr.save_checkpoint(path)
+        tr2 = Trainer(spec, cfg, seed=99)
+        tr2.restore_checkpoint(path)
+        a = jax.tree_util.tree_leaves(tr.params)
+        b = jax.tree_util.tree_leaves(tr2.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        assert tr2.step_count == 1
+
+    def test_augmentation_shapes_and_alignment(self, rng):
+        batch = self._batch(rng)
+        key = jax.random.PRNGKey(0)
+        out = augment_batch(key, batch)
+        assert out['image'].shape == batch['image'].shape
+        assert out['target'].shape == batch['target'].shape
+        # flips must be applied consistently: augment a batch whose target
+        # equals a thresholded image channel and check alignment survives
+        img = np.asarray(batch['image'])
+        tgt = (img[..., :1] > 0).astype(np.uint8).repeat(3, axis=-1)
+        out2 = augment_batch(key, {'image': batch['image'],
+                                   'target': jnp.asarray(tgt)})
+        img2 = np.asarray(out2['image'])
+        # intensity ops are monotonic, so sign pattern is preserved where
+        # scale > 0: recompute mask from augmented image (before noise this
+        # would be exact; allow mismatch from noise/gamma on a few pixels)
+        mask2 = np.asarray(out2['target'][..., 0])
+        # alignment check: flipped target equals flipped mask to >90%
+        base = (img2[..., 0] > np.median(img2[..., 0])).astype(np.uint8)
+        agreement = (mask2 == base).mean()
+        assert agreement > 0.8
+
+    def test_dice_score(self):
+        pred = jnp.asarray(np.array([[[1, 0], [0, 1]]], np.uint8))[..., None]
+        tgt = jnp.asarray(np.array([[[1, 0], [1, 1]]], np.uint8))[..., None]
+        d = np.asarray(dice_score(pred, tgt))
+        np.testing.assert_allclose(d, [2 * 2 / (2 + 3)], rtol=1e-4)

@@ -1,0 +1,88 @@
+"""EnsembleEngine: fused multi-group program vs per-group engines."""
+
+import numpy as np
+import pytest
+
+from tests.model_fixtures import make_dataset_json, make_plans
+from tests.torch_mirror import TorchPlainConvUNet, make_spec as tspec
+from totalsegmentator2d_tpu.inference import EnsembleEngine, InferenceEngine
+from totalsegmentator2d_tpu.models.convert import state_dict_to_params
+from totalsegmentator2d_tpu.models.plans import parse_model_spec
+from totalsegmentator2d_tpu.models.unet import init_params_np
+
+
+@pytest.fixture(scope='module')
+def groups():
+    import torch
+    plans = make_plans(patch=(64, 64))
+    label_sets = [('heart', 'aorta'), ('rib-1', 'rib-2', 'rib-3')]
+    specs, params = [], []
+    for i, labels in enumerate(label_sets):
+        ds = make_dataset_json(labels)
+        spec = parse_model_spec(plans, ds)
+        torch.manual_seed(10 + i)
+        net = TorchPlainConvUNet(tspec(in_channels=2, out_channels=len(labels)))
+        p = state_dict_to_params(
+            {k: v.numpy() for k, v in net.state_dict().items()}, spec.arch)
+        specs.append(spec)
+        params.append([p])
+    return specs, params
+
+
+class TestEnsembleEngine:
+    def test_matches_individual_engines(self, groups, rng):
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        arr = (rng.standard_normal((80, 70, 2)) + 2.0).astype(np.float32)
+        merged = ens.predict_array(arr, (1.5, 1.5))
+        assert merged.shape == (80, 70, 5)
+
+        singles = []
+        for spec, p in zip(specs, params):
+            eng = InferenceEngine(spec, p)
+            singles.append(eng.predict_array(arr, (1.5, 1.5)))
+        ref = np.concatenate(singles, axis=-1)
+        # hard decisions must agree except where |p-0.5| is at fp noise level
+        agree = (merged == ref).mean()
+        assert agree > 0.9999, f'agreement {agree}'
+
+    def test_labels_map(self, groups):
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        labels = ens.labels()
+        assert labels == {1: 'heart', 2: 'aorta', 3: 'rib-1', 4: 'rib-2',
+                          5: 'rib-3'}
+        assert ens.total_labels == 5
+
+    def test_mismatched_preprocess_rejected(self, groups):
+        specs, params = groups
+        import dataclasses
+        bad = dataclasses.replace(specs[1], preprocess=dataclasses.replace(
+            specs[1].preprocess, spacing=(2.0, 2.0)))
+        with pytest.raises(ValueError):
+            EnsembleEngine([specs[0], bad], params)
+
+    def test_resampled_input(self, groups, rng):
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        arr = (rng.standard_normal((40, 30, 2)) + 2.0).astype(np.float32)
+        merged = ens.predict_array(arr, (3.0, 3.0))
+        assert merged.shape == (40, 30, 5)
+
+
+class TestNumpyInit:
+    def test_layout_matches_jax_init(self):
+        import jax
+        from totalsegmentator2d_tpu.models.unet import init_params
+        from __graft_entry__ import _flagship_spec
+        spec = _flagship_spec(out_channels=4, in_channels=2, n_stages=3)
+        a = init_params(jax.random.PRNGKey(0), spec)
+        b = init_params_np(0, spec)
+        sa = jax.tree_util.tree_map(lambda x: x.shape, a)
+        sb = jax.tree_util.tree_map(lambda x: x.shape, b)
+        assert sa == sb
+        # norm scales must be ones, biases zero
+        blk = b['encoder']['stages'][0][0]
+        assert np.all(blk['norm']['scale'] == 1.0)
+        assert np.all(blk['conv']['b'] == 0.0)
+        assert blk['conv']['w'].std() > 0

@@ -4,8 +4,9 @@ sliding-window engine."""
 from .database import (DataBase, FileDataBase, URLDataBase,
                        decompose_model_key)
 from .engine import InferenceEngine
+from .ensemble_engine import EnsembleEngine
 from .model import HostedModel
 from .zoo import Zoo
 
 __all__ = ['DataBase', 'FileDataBase', 'URLDataBase', 'decompose_model_key',
-           'InferenceEngine', 'HostedModel', 'Zoo']
+           'InferenceEngine', 'EnsembleEngine', 'HostedModel', 'Zoo']

@@ -1,0 +1,242 @@
+"""EnsembleEngine: the whole anatomical-group ensemble as ONE device program.
+
+Where InferenceEngine runs a single group model, this stacks all G group
+models (heads padded to the widest label count, parallel/ensemble.py) and
+F folds into one params pytree and compiles ONE XLA program per input shape:
+
+    normalize -> resample -> pad
+    -> scan tiles: TTA batch -> vmap(G) x vmap(F) U-Net -> Gaussian blend
+    -> inverse resample -> per-group sigmoid>0.5 -> on-device 117-ch concat
+
+This is the TPU-native replacement for the reference's five resident
+predictor processes run sequentially per case (tool.py:110-112,
+SURVEY.md §2.3): one dispatch, one compile, all groups share the projection
+input and the memory traffic of every stage.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.plans import ModelSpec
+from ..models.unet import forward
+from ..ops.gaussian import gaussian_map
+from ..ops.normalize import apply_scheme
+from ..ops.resample import apply_separable, axis_weights, bspline_prefilter
+from ..parallel.ensemble import pad_head
+from ..utils.logging import log
+from .engine import _mirror_combos, _nonzero_bbox, compute_new_shape
+from .tiling import pad_amounts, padded_shape, tile_positions
+
+
+class EnsembleEngine:
+    """Fused multi-group multi-fold inference.
+
+    :param specs: per-group ModelSpecs; architectures must match except for
+        the segmentation-head width, and preprocessing must be identical
+        (true for the published ts2d model sets, which share one plans
+        configuration per release).
+    :param group_fold_params: params[group][fold] pytrees
+    """
+
+    def __init__(self, specs: Sequence[ModelSpec],
+                 group_fold_params: Sequence[Sequence[dict]],
+                 tile_step_size: float = 0.5, use_mirroring: bool = True,
+                 dtype=jnp.float32):
+        if not specs:
+            raise ValueError('At least one group is required')
+        self.specs = list(specs)
+        self.spec = specs[0]
+        for s in specs[1:]:
+            if s.preprocess != self.spec.preprocess:
+                raise ValueError('All groups must share one preprocessing '
+                                 'configuration')
+            if s.arch.in_channels != self.spec.arch.in_channels:
+                raise ValueError('All groups must share the input channels')
+        self.label_counts = [s.arch.out_channels for s in specs]
+        self.max_labels = max(self.label_counts)
+        self.n_groups = len(specs)
+        self.n_folds = len(group_fold_params[0])
+        if any(len(f) != self.n_folds for f in group_fold_params):
+            raise ValueError('All groups must provide the same fold count')
+        self.tile_step_size = float(tile_step_size)
+        self.use_mirroring = bool(use_mirroring)
+        self.dtype = dtype
+
+        # stack: per group pad heads + stack folds -> (F, ...); then stack
+        # groups -> (G, F, ...)
+        per_group = []
+        for g, folds in enumerate(group_fold_params):
+            padded = [pad_head(p, self.label_counts[g], self.max_labels)
+                      for p in folds]
+            per_group.append(jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *padded))
+        self.params = jax.tree_util.tree_map(
+            lambda *xs: jnp.asarray(np.stack(xs), dtype), *per_group)
+        self._cache: Dict[Tuple, object] = {}
+
+    @property
+    def total_labels(self) -> int:
+        return sum(self.label_counts)
+
+    def labels(self) -> Dict[int, str]:
+        """Merged label map: 1-based values in group order (the order the
+        reference's combine_segmentations produces)."""
+        out: Dict[int, str] = {}
+        v = 0
+        for s in self.specs:
+            for _, name in sorted(s.labels.items()):
+                v += 1
+                out[v] = name
+        return out
+
+    # -- program construction ----------------------------------------------
+
+    def _build(self, in_shape: Tuple[int, int], in_spacing: Tuple[float, float]):
+        spec = self.spec
+        pre = spec.preprocess
+        C = spec.arch.in_channels
+        Lp = self.max_labels
+        G = self.n_groups
+        patch = tuple(pre.patch_size)
+
+        rs_shape = compute_new_shape(in_shape, in_spacing, pre.spacing)
+        pad_shape = padded_shape(rs_shape, patch)
+        pads = pad_amounts(rs_shape, pad_shape)
+        tiles = tile_positions(pad_shape, patch, self.tile_step_size)
+        mirrors = _mirror_combos(spec.allowed_mirroring_axes
+                                 if self.use_mirroring else ())
+        n_mirror = len(mirrors)
+        gauss = jnp.asarray(gaussian_map(patch), self.dtype)[..., None]
+
+        def _w(n_in, n_out, order):
+            if n_in == n_out:
+                return None
+            coords = (np.arange(n_out) + 0.5) * (n_in / n_out) - 0.5
+            return jnp.asarray(axis_weights(n_in, coords, order, outside='edge'),
+                               self.dtype)
+
+        w_down = [_w(in_shape[k], rs_shape[k], 3) for k in range(2)]
+        w_up = [_w(rs_shape[k], in_shape[k], 1) for k in range(2)]
+        tiles_j = jnp.asarray(tiles)
+        label_counts = list(self.label_counts)
+
+        def tta_batch(tile):
+            return jnp.stack([tile if not m else jnp.flip(tile, axis=m)
+                              for m in mirrors], axis=0)
+
+        def tta_merge(logits):
+            outs = [logits[i] if not m else jnp.flip(logits[i], axis=m)
+                    for i, m in enumerate(mirrors)]
+            return sum(outs) / float(n_mirror)
+
+        def net(params, x):
+            # (G, F, ...) params; x (M, ph, pw, C) -> (G, M, ph, pw, Lp)
+            def per_group(pg):
+                outs = jax.vmap(lambda pf: forward(pf, x, spec.arch))(pg)
+                return jnp.mean(outs, axis=0)  # fold average
+            return jax.vmap(per_group)(params)
+
+        def program(params, arr):
+            work = arr.astype(self.dtype)
+            chans = [apply_scheme(work[..., c], pre.normalization_schemes[c]
+                                  if c < len(pre.normalization_schemes)
+                                  else 'zscore',
+                                  pre.intensity_properties[c]
+                                  if c < len(pre.intensity_properties) else None)
+                     for c in range(C)]
+            work = jnp.stack(chans, axis=-1)
+            if any(w is not None for w in w_down):
+                pref = bspline_prefilter(work, [k for k in range(2)
+                                                if w_down[k] is not None])
+                work = apply_separable(pref, w_down, axes=(0, 1))
+            work = jnp.pad(work, pads + [(0, 0)])
+
+            acc0 = jnp.zeros((G,) + pad_shape + (Lp,), self.dtype)
+            wacc0 = jnp.zeros(pad_shape + (1,), self.dtype)
+
+            def step(carry, pos):
+                acc, wacc = carry
+                tile = jax.lax.dynamic_slice(
+                    work, (pos[0], pos[1], 0), (patch[0], patch[1], C))
+                logits = net(params, tta_batch(tile))       # (G, M, ph, pw, Lp)
+                merged = jax.vmap(tta_merge)(logits) * gauss  # (G, ph, pw, Lp)
+                cur = jax.lax.dynamic_slice(
+                    acc, (0, pos[0], pos[1], 0), (G, patch[0], patch[1], Lp))
+                acc = jax.lax.dynamic_update_slice(
+                    acc, cur + merged, (0, pos[0], pos[1], 0))
+                wcur = jax.lax.dynamic_slice(
+                    wacc, (pos[0], pos[1], 0), (patch[0], patch[1], 1))
+                wacc = jax.lax.dynamic_update_slice(
+                    wacc, wcur + gauss, (pos[0], pos[1], 0))
+                return (acc, wacc), None
+
+            (acc, wacc), _ = jax.lax.scan(step, (acc0, wacc0), tiles_j)
+            logits = acc / jnp.maximum(wacc, 1e-8)[None]
+            logits = jax.lax.slice(
+                logits, (0, pads[0][0], pads[1][0], 0),
+                (G, pads[0][0] + rs_shape[0], pads[1][0] + rs_shape[1], Lp))
+            if any(w is not None for w in w_up):
+                logits = apply_separable(logits, w_up, axes=(1, 2))
+            # per-group decision + on-device multilabel concat
+            parts = []
+            for g, n in enumerate(label_counts):
+                lg = logits[g, ..., :n]
+                if self.specs[g].multilabel:
+                    parts.append((jax.nn.sigmoid(lg) > 0.5).astype(jnp.uint8))
+                else:
+                    parts.append(jax.nn.one_hot(
+                        jnp.argmax(lg, axis=-1), n,
+                        dtype=jnp.uint8)[..., 1:])
+            return jnp.concatenate(parts, axis=-1)
+
+        jitted = jax.jit(program)
+        meta = {'rs_shape': rs_shape, 'n_tiles': len(tiles),
+                'n_mirror': n_mirror}
+        return jitted, meta
+
+    def _program(self, in_shape, in_spacing):
+        key = (tuple(in_shape), tuple(round(float(s), 6) for s in in_spacing))
+        hit = self._cache.get(key)
+        if hit is None:
+            hit = self._build(tuple(in_shape), tuple(in_spacing))
+            self._cache[key] = hit
+            log(f'compiled ensemble program for shape={key[0]} '
+                f'({self.n_groups} groups, {hit[1]["n_tiles"]} tiles, '
+                f'{hit[1]["n_mirror"]} mirrors, {self.n_folds} folds)')
+        return hit
+
+    # -- host API ------------------------------------------------------------
+
+    def predict_array(self, arr: np.ndarray, spacing_yx: Sequence[float]
+                      ) -> np.ndarray:
+        """(H, W, C) float array -> (H, W, sum(labels)) merged multilabel
+        one-hot uint8."""
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if arr.shape[-1] != self.spec.arch.in_channels:
+            raise ValueError(
+                f'Input has {arr.shape[-1]} channels; the models expect '
+                f'{self.spec.arch.in_channels}')
+        (y0, y1), (x0, x1) = _nonzero_bbox(arr)
+        cropped = arr[y0:y1, x0:x1]
+        fn, _ = self._program(cropped.shape[:2], spacing_yx)
+        seg_c = np.asarray(jax.device_get(
+            fn(self.params, jnp.asarray(cropped, self.dtype))))
+        if seg_c.shape[:2] != arr.shape[:2]:
+            seg = np.zeros(arr.shape[:2] + (seg_c.shape[-1],), np.uint8)
+            seg[y0:y1, x0:x1] = seg_c
+            return seg
+        return seg_c
+
+    def warmup(self, in_shape: Sequence[int],
+               in_spacing: Optional[Sequence[float]] = None) -> None:
+        if in_spacing is None:
+            in_spacing = self.spec.preprocess.spacing
+        dummy = np.zeros(tuple(in_shape) + (self.spec.arch.in_channels,),
+                         np.float32)
+        self.predict_array(dummy, in_spacing)

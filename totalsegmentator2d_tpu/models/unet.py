@@ -186,6 +186,58 @@ def init_params(key: jax.Array, spec: ArchSpec, dtype=jnp.float32) -> Params:
                         'seg_layers': seg_layers}}
 
 
+def init_params_np(seed: int, spec: ArchSpec, dtype=np.float32) -> Params:
+    """Host-side (numpy) initializer with the same pytree layout and
+    semantics as init_params (He conv weights, zero biases, unit norm
+    scales). Use when the accelerator has high per-op dispatch latency —
+    device-side init issues one op per leaf — or when params are immediately
+    re-stacked on host anyway."""
+    a = spec
+    rng = np.random.default_rng(seed)
+
+    def he(shape, fan_in):
+        return (rng.standard_normal(shape) * math.sqrt(2.0 / fan_in)).astype(dtype)
+
+    def conv_block(cin, cout, kernel):
+        kh, kw = kernel
+        p = {'conv': {'w': he((kh, kw, cin, cout), cin * kh * kw)}}
+        if a.conv_bias:
+            p['conv']['b'] = np.zeros((cout,), dtype)
+        if a.norm_affine:
+            p['norm'] = {'scale': np.ones((cout,), dtype),
+                         'bias': np.zeros((cout,), dtype)}
+        return p
+
+    enc_stages = []
+    cin = a.in_channels
+    for s in range(a.n_stages):
+        blocks = [conv_block(cin if c == 0 else a.features_per_stage[s],
+                             a.features_per_stage[s], a.kernel_sizes[s])
+                  for c in range(a.n_conv_per_stage[s])]
+        enc_stages.append(blocks)
+        cin = a.features_per_stage[s]
+
+    transpconvs, dec_stages, seg_layers = [], [], []
+    n_dec = a.n_stages - 1
+    for d in range(n_dec):
+        enc_stage = n_dec - d
+        cin_below = a.features_per_stage[enc_stage]
+        cskip = a.features_per_stage[enc_stage - 1]
+        sh, sw = a.strides[enc_stage]
+        transpconvs.append({'w': he((sh, sw, cskip, cin_below),  # HWOI
+                                    cin_below * sh * sw),
+                            'b': np.zeros((cskip,), dtype)})
+        dec_stages.append([conv_block(2 * cskip if c == 0 else cskip, cskip,
+                                      a.kernel_sizes[enc_stage - 1])
+                           for c in range(a.n_conv_per_stage_decoder[d])])
+        seg_layers.append({'w': he((1, 1, cskip, a.out_channels), cskip),
+                           'b': np.zeros((a.out_channels,), dtype)})
+
+    return {'encoder': {'stages': enc_stages},
+            'decoder': {'transpconvs': transpconvs, 'stages': dec_stages,
+                        'seg_layers': seg_layers}}
+
+
 def param_count(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
 

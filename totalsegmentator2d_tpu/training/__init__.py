@@ -1,0 +1,13 @@
+"""Training: losses, augmentation, sharded train steps, trainer."""
+
+from .augment import augment_batch, augment_pair
+from .losses import (bce_loss, ce_loss, deep_supervision_loss, dice_and_ce,
+                     dice_score, soft_dice_loss)
+from .train import (TrainConfig, Trainer, build_sharded_train_step,
+                    ensemble_train_step, make_optimizer, train_step)
+
+__all__ = ['augment_batch', 'augment_pair', 'bce_loss', 'ce_loss',
+           'deep_supervision_loss', 'dice_and_ce', 'dice_score',
+           'soft_dice_loss', 'TrainConfig', 'Trainer',
+           'build_sharded_train_step', 'ensemble_train_step',
+           'make_optimizer', 'train_step']
