@@ -60,19 +60,18 @@ def build_engine():
 
 
 def predict_scan(engine, path):
-    """The full per-scan pipeline, host-to-host."""
+    """The full per-scan pipeline, host-to-host: NRRD read + RAI reorient on
+    host, then ONE fused device program (projection -> preprocessing ->
+    ensemble -> merge)."""
     from totalsegmentator2d_tpu.io import read_image
-    from totalsegmentator2d_tpu.ops import project, reorient
+    from totalsegmentator2d_tpu.ops import reorient
 
     img = read_image(path)
     img = reorient(img, 'RAI')
-    mip = project(img, mode='max', axis='coronal')
-    aip = project(img, mode='mean', axis='coronal')
-    x = np.stack([np.squeeze(np.asarray(mip.array), 1),
-                  np.squeeze(np.asarray(aip.array), 1)],
-                 axis=-1).astype(np.float32)
-    spacing_yx = (float(mip.spacing[2]), float(mip.spacing[0]))
-    return engine.predict_array(x, spacing_yx)
+    spacing_yx = (float(img.spacing[2]), float(img.spacing[0]))
+    seg, _proj = engine.predict_volume(np.ascontiguousarray(img.array),
+                                       spacing_yx, ('max', 'mean'))
+    return seg
 
 
 def main():

@@ -1,0 +1,133 @@
+"""Host runtime: async runner, scan pipeline, stage timers."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tests.conftest import asset_path
+from tests.model_fixtures import build_group_set
+from totalsegmentator2d_tpu.inference.runner import AsyncRunner
+from totalsegmentator2d_tpu.utils.trace import StageTimer, device_trace
+
+
+class TestAsyncRunner:
+    def test_submit_and_result(self):
+        with AsyncRunner(num_workers=2) as r:
+            futs = [r.submit(lambda i=i: i * i) for i in range(10)]
+            assert [f.result(timeout=5) for f in futs] == \
+                [i * i for i in range(10)]
+
+    def test_warmup_runs_before_tasks(self):
+        order = []
+        with AsyncRunner(num_workers=1) as r:
+            r.stop()
+            r2 = AsyncRunner(num_workers=1)
+            r2.start(warmup=lambda: order.append('warm'))
+            r2.submit(lambda: order.append('task')).result(timeout=5)
+            r2.stop()
+        assert order == ['warm', 'task']
+
+    def test_task_exception_propagates(self):
+        with AsyncRunner() as r:
+            fut = r.submit(lambda: 1 / 0)
+            with pytest.raises(ZeroDivisionError):
+                fut.result(timeout=5)
+
+    def test_wait_blocks_until_done(self):
+        with AsyncRunner(num_workers=2) as r:
+            done = []
+            for i in range(4):
+                r.submit(lambda i=i: (time.sleep(0.05), done.append(i)))
+            r.wait(timeout=5)
+            assert len(done) == 4
+
+    def test_timestamps_recorded(self):
+        with AsyncRunner() as r:
+            fut = r.submit(lambda: time.sleep(0.01), task_id='t1')
+            fut.result(timeout=5)
+            marks = r.timestamps('t1')
+            assert set(marks) >= {'start', 'get', 'done'}
+
+    def test_stop_cancels_pending(self):
+        r = AsyncRunner(num_workers=1)
+        r.start()
+        r.submit(lambda: time.sleep(0.3))
+        fut = r.submit(lambda: 42)
+        r.stop(timeout=2)
+        assert fut.cancelled() or fut.done()
+        assert not r.alive()
+
+
+class TestStageTimer:
+    def test_deltas_and_report(self):
+        t = StageTimer('x')
+        time.sleep(0.01)
+        t.mark('read')
+        time.sleep(0.01)
+        t.mark('predict')
+        d = t.deltas()
+        assert list(d) == ['read', 'predict']
+        assert all(v > 0 for v in d.values())
+        assert 'total' in t.report()
+
+    def test_device_trace_noop(self):
+        with device_trace(None):
+            pass
+
+    def test_device_trace_writes(self, tmp_path):
+        import jax.numpy as jnp
+        with device_trace(str(tmp_path)):
+            jnp.ones(8).sum().block_until_ready()
+        # profiler output lands under the dir (plugins/profile/...)
+        assert any(tmp_path.rglob('*'))
+
+
+class TestScanPipeline:
+    def test_pipeline_end_to_end(self, tmp_path):
+        import shutil
+        from totalsegmentator2d_tpu.api import TS2D
+        from totalsegmentator2d_tpu.inference.pipeline import ScanPipeline
+
+        zoo_root = tmp_path / 'zoo'
+        build_group_set(str(zoo_root))
+        src = tmp_path / 'src'
+        src.mkdir()
+        shutil.copy(asset_path('sample_s0332.nrrd'), src / 'a.nrrd')
+        shutil.copy(asset_path('sample_s0616.nrrd'), src / 'b.nrrd')
+        out = tmp_path / 'out'
+
+        with TS2D(key='ts2d-v9-test', use_remote=False,
+                  local=str(zoo_root)) as tool:
+            pipe = ScanPipeline(tool, prefetch=2, save_workers=2)
+            cases = [('a', str(src / 'a.nrrd')), ('b', str(src / 'b.nrrd'))]
+            timers = pipe.run(cases, save_kwargs=dict(
+                dest=str(out), targets=['segmentation'], content='file'))
+        assert (out / 'a.seg.nrrd').exists()
+        assert (out / 'b.seg.nrrd').exists()
+        assert len(timers) == 2
+        assert all('predict' in t.marks for t in timers)
+
+    def test_pipeline_skips_bad_case(self, tmp_path):
+        import shutil
+        from totalsegmentator2d_tpu.api import TS2D
+        from totalsegmentator2d_tpu.inference.pipeline import ScanPipeline
+
+        zoo_root = tmp_path / 'zoo'
+        build_group_set(str(zoo_root))
+        src = tmp_path / 'src'
+        src.mkdir()
+        shutil.copy(asset_path('sample_s0332.nrrd'), src / 'ok.nrrd')
+        out = tmp_path / 'out'
+        with TS2D(key='ts2d-v9-test', use_remote=False,
+                  local=str(zoo_root)) as tool:
+            pipe = ScanPipeline(tool)
+            results = []
+            timers = pipe.run(
+                [('bad', str(src / 'missing.nrrd')), ('ok', str(src / 'ok.nrrd'))],
+                on_result=lambda n, r: results.append(n),
+                save_kwargs=dict(dest=str(out), targets=['segmentation'],
+                                 content='file'))
+        assert results == ['ok']
+        assert (out / 'ok.seg.nrrd').exists()

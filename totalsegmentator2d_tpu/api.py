@@ -19,7 +19,7 @@ from .inference.database import URLDataBase, decompose_model_key
 from .inference.model import HostedModel
 from .inference.zoo import Zoo
 from .io import MedicalImage, read_image, write_image
-from .ops.annotations import combine_segmentations
+from .ops.annotations import combine_segmentations, set_annotation_meta
 from .ops.geometry import reduce_dimensions, reorient, restore_dimension
 from .ops.projection import project
 from .ops.visual import create_visual
@@ -63,7 +63,6 @@ class TS2D:
         for id_ in ids:
             try:
                 model = self.zoo.load(id_, param=model_param)
-                model.start(wait=False)
                 if not model.multilabel:
                     warn(f'The loaded model {id_} is not configured for '
                          f'multilabel inference - this should not be the case '
@@ -74,8 +73,38 @@ class TS2D:
                 raise RuntimeError(
                     f'Failed to load model {id_}'
                     + (f' (resolved from {key})' if key != id_ else ''))
-        for model in self.models.values():
-            model.await_startup()
+
+        # fast path: homogeneous multi-group ensembles fuse into ONE device
+        # program (all groups + folds stacked); heterogeneous sets fall back
+        # to per-model engines, matching the reference's sequential loop
+        self._fused = self._build_fused() if len(self.models) > 1 else None
+        if self._fused is None:
+            for model in self.models.values():
+                model.start(wait=False)
+            for model in self.models.values():
+                model.await_startup()
+
+    def _build_fused(self):
+        from .inference.ensemble_engine import EnsembleEngine
+        models = list(self.models.values())
+        try:
+            for m in models:
+                m.load_fold_params()  # also refines spec with mirror axes
+            specs = [m.spec for m in models]
+            ref = models[0]
+            if not all(m.spec.multilabel for m in models):
+                return None
+            if any(m.channels != ref.channels for m in models):
+                return None
+            engine = EnsembleEngine(
+                specs, [m.load_fold_params() for m in models],
+                tile_step_size=(ref.tile_step_size
+                                if ref.tile_step_size is not None else 0.5),
+                use_mirroring=ref.use_mirroring)
+            return engine
+        except Exception as ex:
+            log(f'Fused ensemble unavailable ({ex}); using per-model engines.')
+            return None
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -107,6 +136,9 @@ class TS2D:
             raise RuntimeError(
                 f'input must be a string path or a MedicalImage, found: '
                 f'{type(input).__name__}')
+
+        if self._fused is not None:
+            return self._predict_fused(input, collapse=collapse, merge=merge)
 
         result: dict = {}
         cache: dict = {}
@@ -180,6 +212,107 @@ class TS2D:
     def _project(img: MedicalImage, mode: str) -> MedicalImage:
         res = project(img, mode=mode, axis='coronal')
         return res.astype(np.float32)
+
+    # -- fused ensemble path -------------------------------------------------
+
+    @staticmethod
+    def _model_colors(model: HostedModel) -> dict:
+        palette = model.get_colors()
+        colors = {}
+        for _, name in model.labels.items():
+            c = palette.get(name) or palette.get(str(name).lower())
+            if c is not None:
+                colors[name] = c
+        return colors
+
+    def _predict_fused(self, original: MedicalImage, collapse: bool,
+                       merge: bool) -> 'TS2D.Result':
+        """One device program for the whole case: projection (3D inputs) +
+        preprocessing + all group models + the multilabel merge run fused;
+        per-model results are channel slices of the merged output."""
+        from .ops.projection import make_projected_image
+
+        models = list(self.models.items())
+        ref = models[0][1]
+        channels = sorted(ref.channels.items(), key=lambda kv: kv[0])
+        modes = [name for _, name in channels]
+
+        projections: dict = {}
+        if original.actual_dimension() > 2:
+            oriented = reorient(original, 'RAI')
+            vol = np.ascontiguousarray(oriented.array)
+            spacing_yx = (float(oriented.spacing[2]), float(oriented.spacing[0]))
+            merged2d, proj = self._fused.predict_volume(vol, spacing_yx, modes)
+            ch_list = []
+            for i, (_, name) in enumerate(channels):
+                arr3 = np.ascontiguousarray(proj[:, None, :, i]).astype(np.float32)
+                pimg = make_projected_image(oriented, arr3, itk_axis=1)
+                projections[name] = pimg
+                ch_list.append(pimg)
+            model_input = MedicalImage.compose(ch_list) if len(ch_list) > 1 \
+                else ch_list[0]
+        else:
+            if len(channels) != original.ncomponents:
+                raise RuntimeError(
+                    f'The number of channels in the input image does not '
+                    f'match the models channel definition '
+                    f'({len(channels)} vs {original.ncomponents}).')
+            projections.update((f'ch{i}', ch) for i, ch in
+                               enumerate(original.split_channels()))
+            model_input = original
+            input2d_tmp = model_input if model_input.dim < 3 \
+                else reduce_dimensions(model_input)
+            arr = input2d_tmp.array
+            if not input2d_tmp.is_vector:
+                arr = arr[..., None]
+            spacing_yx = tuple(reversed(input2d_tmp.spacing))
+            merged2d = self._fused.predict_array(
+                np.ascontiguousarray(arr, np.float32), spacing_yx)
+
+        native_2d = model_input.dim < 3
+        input2d = model_input if native_2d else reduce_dimensions(model_input)
+        per_model_input = input2d if collapse else model_input
+
+        result: dict = {'models': {}}
+        offset = 0
+        merged_names: dict = {}
+        merged_colors: dict = {}
+        for id_, model in models:
+            n = model.spec.arch.out_channels
+            seg_arr = np.ascontiguousarray(merged2d[..., offset:offset + n])
+            seg = input2d.replace(array=seg_arr, is_vector=True, meta={})
+            set_annotation_meta(seg, names=model.labels,
+                                colors=self._model_colors(model))
+            if not (collapse or native_2d):
+                seg = restore_dimension(seg, model_input)
+            result['models'][id_] = {
+                'id': id_,
+                'model': decompose_model_key(id_)[0],
+                'group': decompose_model_key(id_)[1],
+                'revision': model.revision,
+                'input': per_model_input,
+                'segmentation': seg,
+            }
+            colors = self._model_colors(model)
+            for lv, name in sorted(model.labels.items()):
+                offset_label = len(merged_names) + 1
+                merged_names[offset_label] = name
+                if name in colors:
+                    merged_colors[name] = colors[name]
+            offset += n
+
+        if merge:
+            seg_all = input2d.replace(array=merged2d, is_vector=True, meta={})
+            set_annotation_meta(seg_all, names=merged_names,
+                                colors=merged_colors)
+            if not (collapse or native_2d):
+                seg_all = restore_dimension(seg_all, model_input)
+            result['segmentation'] = seg_all
+
+        result['input'] = original
+        if projections:
+            result['projections'] = projections
+        return TS2D.Result(result)
 
     # -- results ------------------------------------------------------------
 

@@ -81,11 +81,18 @@ def ts2d_run(src: str, dest: str, model: Optional[str] = None,
         cases = list(_enumerate_cases(src))
         n = len(cases)
         log(f'Predicting {n} case{"s" if n != 1 else ""}')
-        for i, (name, path) in enumerate(cases):
-            log(f'[{i + 1}/{n}] Processing: {name}')
-            res = tool.predict(path, collapse=collapse)
-            res.save(dest=dest, name=name, models=models, content=content,
-                     targets=['segmentation', 'projection'])
+        save_kwargs = dict(dest=dest, models=models, content=content,
+                           targets=['segmentation', 'projection'])
+        if n > 1:
+            # pipelined mode: IO prefetch + async export overlap device work
+            from .inference.pipeline import ScanPipeline
+            ScanPipeline(tool).run(cases, collapse=collapse,
+                                   save_kwargs=save_kwargs)
+        else:
+            for i, (name, path) in enumerate(cases):
+                log(f'[{i + 1}/{n}] Processing: {name}')
+                res = tool.predict(path, collapse=collapse)
+                res.save(name=name, **save_kwargs)
 
 
 def ts2d_entry_point() -> None:

@@ -6,7 +6,10 @@ from .database import (DataBase, FileDataBase, URLDataBase,
 from .engine import InferenceEngine
 from .ensemble_engine import EnsembleEngine
 from .model import HostedModel
+from .pipeline import ScanPipeline
+from .runner import AsyncRunner
 from .zoo import Zoo
 
 __all__ = ['DataBase', 'FileDataBase', 'URLDataBase', 'decompose_model_key',
-           'InferenceEngine', 'EnsembleEngine', 'HostedModel', 'Zoo']
+           'InferenceEngine', 'EnsembleEngine', 'HostedModel', 'ScanPipeline',
+           'AsyncRunner', 'Zoo']

@@ -33,6 +33,7 @@ from ..models.unet import forward, pad_to_stride
 from ..ops.gaussian import gaussian_map
 from ..ops.normalize import apply_scheme
 from ..ops.resample import apply_separable, axis_weights, bspline_prefilter
+from ..utils.jaxcache import enable_compilation_cache
 from ..utils.logging import log
 from .tiling import pad_amounts, padded_shape, tile_positions
 
@@ -76,6 +77,7 @@ class InferenceEngine:
         self.tile_step_size = float(tile_step_size)
         self.use_mirroring = bool(use_mirroring)
         self.dtype = dtype
+        enable_compilation_cache()
         self.params = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]), *fold_params)
         self._cache: Dict[Tuple, any] = {}
@@ -223,7 +225,8 @@ class InferenceEngine:
         cropped = arr[y0:y1, x0:x1]
 
         fn, _ = self._program(cropped.shape[:2], spacing_yx)
-        seg_c, logits_c = fn(jnp.asarray(cropped, self.dtype))
+        # device_put (raw transfer), cast happens inside the program
+        seg_c, logits_c = fn(jax.device_put(np.ascontiguousarray(cropped)))
         seg_c = np.asarray(jax.device_get(seg_c))
 
         full_shape = arr.shape[:2] + (seg_c.shape[-1:] if seg_c.ndim == 3 else ())

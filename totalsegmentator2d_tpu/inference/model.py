@@ -74,6 +74,7 @@ class HostedModel:
 
         self._configure(config['root'])
         self._engine: Optional[InferenceEngine] = None
+        self._fold_params: Optional[List[dict]] = None
         self._startup_thread: Optional[threading.Thread] = None
         self._startup_error: Optional[BaseException] = None
 
@@ -146,7 +147,11 @@ class HostedModel:
 
     # -- lifecycle ----------------------------------------------------------
 
-    def _load_engine(self) -> InferenceEngine:
+    def load_fold_params(self) -> List[dict]:
+        """Convert all fold checkpoints to host-side params pytrees (cached).
+        Also refines the spec with the checkpoint's mirroring axes."""
+        if self._fold_params is not None:
+            return self._fold_params
         ckpt_file = f'checkpoint_{self.checkpoint_name}.pth'
         fold_params, meta = [], {}
         for f, d in self.fold_dirs:
@@ -159,8 +164,12 @@ class HostedModel:
             self.spec = parse_model_spec(
                 self.plans, self.dataset_json, configuration=self.configuration,
                 checkpoint_meta=meta)
+        self._fold_params = fold_params
+        return fold_params
+
+    def _load_engine(self) -> InferenceEngine:
         return InferenceEngine(
-            self.spec, fold_params,
+            self.spec, self.load_fold_params(),
             tile_step_size=default(self.tile_step_size, 0.5),
             use_mirroring=self.use_mirroring)
 

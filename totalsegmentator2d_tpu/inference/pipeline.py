@@ -1,0 +1,96 @@
+"""ScanPipeline: pipelined multi-case throughput mode.
+
+The reference processes cases strictly sequentially (main.py:79-81) while its
+worker processes idle between tasks. Here host stages overlap with device
+execution: a reader thread prefetches + reorients upcoming cases, the main
+thread drives the (async-dispatch) device engine, and save workers export
+results in the background — so steady-state throughput approaches
+max(device time, IO time) instead of their sum.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, List, Optional, Tuple
+
+from ..io import MedicalImage, read_image
+from ..utils.logging import log, warn
+from ..utils.trace import StageTimer
+from .runner import AsyncRunner
+
+
+class ScanPipeline:
+    """Drive `tool.predict` over many cases with IO prefetch + async save.
+
+    :param tool: a TS2D instance (or anything with .predict(img, collapse=...))
+    :param prefetch: how many cases to read ahead
+    :param save_workers: background export threads
+    """
+
+    def __init__(self, tool, prefetch: int = 2, save_workers: int = 2):
+        self.tool = tool
+        self.prefetch = max(1, int(prefetch))
+        self._saver = AsyncRunner(num_workers=max(1, int(save_workers)),
+                                  name='ts2d-save')
+
+    def run(self, cases: Iterable[Tuple[str, str]], *,
+            collapse: bool = False,
+            on_result: Optional[Callable] = None,
+            save_kwargs: Optional[dict] = None,
+            progress: bool = True) -> List[StageTimer]:
+        """Process (name, path) cases. When ``save_kwargs`` is given, each
+        result is exported asynchronously via Result.save(name=name,
+        **save_kwargs); ``on_result(name, result)`` runs on the main thread.
+        Returns per-case stage timers."""
+        cases = list(cases)
+        q: 'queue.Queue' = queue.Queue(maxsize=self.prefetch)
+        timers: List[StageTimer] = []
+
+        def reader():
+            for name, path in cases:
+                timer = StageTimer(name)
+                try:
+                    img = read_image(path)
+                    timer.mark('read')
+                    q.put((name, img, timer, None))
+                except BaseException as ex:
+                    q.put((name, None, timer, ex))
+            q.put(None)
+
+        t = threading.Thread(target=reader, daemon=True, name='ts2d-reader')
+        t.start()
+        self._saver.start()
+
+        n = len(cases)
+        done = 0
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                name, img, timer, err = item
+                done += 1
+                if err is not None:
+                    warn(f'Failed to read case {name}: {err}')
+                    timers.append(timer)
+                    continue
+                if progress:
+                    log(f'[{done}/{n}] Processing: {name}')
+                res = self.tool.predict(img, collapse=collapse)
+                timer.mark('predict')
+                if save_kwargs is not None:
+                    self._saver.submit(self._save, res, name, dict(save_kwargs),
+                                       timer, task_id=f'save-{name}')
+                if on_result is not None:
+                    on_result(name, res)
+                timers.append(timer)
+            self._saver.wait()
+        finally:
+            self._saver.stop()
+        return timers
+
+    @staticmethod
+    def _save(res, name: str, save_kwargs: dict, timer: StageTimer) -> None:
+        res.save(name=name, **save_kwargs)
+        timer.mark('saved')

@@ -1,0 +1,162 @@
+"""AsyncRunner: host-side task-parallel serving.
+
+TPU-native counterpart of the reference's ParallelPredictor
+(predictor.py:15-229). The reference spawns torch worker *processes* (CUDA
+context isolation) and ships images through temp files; on TPU the device is
+shared and dispatch is async, so the right construct is a host *thread* pool
+feeding the resident engine: threads overlap file IO / preprocessing with
+device execution, and the single XLA stream serializes device work.
+
+Capability parity with the reference:
+ - start/predict/wait/stop lifecycle with non-blocking submission
+ - 'startup' warmup tasks (engine compile) before serving
+ - liveness/failure detection: a dead worker thread fails its queued tasks
+   instead of hanging callers (predictor.py:120-162's liveness check)
+ - graceful stop with poison pills + timeout (predictor.py:164-189)
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import traceback
+from concurrent.futures import Future
+from typing import Callable, Dict, List, Optional
+
+from ..utils.logging import warn
+from ..utils.trace import StageTimer
+
+
+class Task:
+    def __init__(self, task_id: str, fn: Callable, args: tuple, kwargs: dict):
+        self.id = task_id
+        self.fn = fn
+        self.args = args
+        self.kwargs = kwargs
+        self.future: Future = Future()
+        self.timer = StageTimer(task_id)
+
+
+class AsyncRunner:
+    def __init__(self, num_workers: int = 1, name: str = 'ts2d'):
+        self._num_workers = max(1, int(num_workers))
+        self._name = name
+        self._queue: 'queue.Queue[Optional[Task]]' = queue.Queue()
+        self._threads: List[threading.Thread] = []
+        self._tasks: Dict[str, Task] = {}
+        self._lock = threading.Lock()
+        self._stopping = threading.Event()
+        self._counter = 0
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self, warmup: Optional[Callable] = None, wait: bool = False):
+        """Spin up workers; ``warmup`` (e.g. engine compile) runs once per
+        worker before it serves tasks."""
+        if self._threads:
+            return self
+        self._stopping.clear()
+        for i in range(self._num_workers):
+            t = threading.Thread(target=self._worker, args=(i, warmup),
+                                 name=f'{self._name}-worker-{i}', daemon=True)
+            t.start()
+            self._threads.append(t)
+        if wait and warmup is not None:
+            self.submit(lambda: None).result()
+        return self
+
+    def _worker(self, idx: int, warmup: Optional[Callable]):
+        try:
+            if warmup is not None:
+                warmup()
+        except Exception:
+            traceback.print_exc()
+            warn(f'{self._name}-worker-{idx} failed during warmup')
+            # keep serving: per-task errors surface on their futures
+        while not self._stopping.is_set():
+            try:
+                task = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            if task is None:  # poison pill
+                break
+            if task.future.cancelled():
+                continue
+            task.timer.mark('get')
+            try:
+                result = task.fn(*task.args, **task.kwargs)
+                task.timer.mark('done')
+                task.future.set_result(result)
+            except BaseException as ex:
+                task.timer.mark('failed')
+                task.future.set_exception(ex)
+
+    def submit(self, fn: Callable, *args, task_id: Optional[str] = None,
+               **kwargs) -> Future:
+        if not self._threads:
+            self.start()
+        if not self.alive():
+            raise RuntimeError(f'{self._name}: all workers are dead')
+        with self._lock:
+            self._counter += 1
+            tid = task_id or f'task{self._counter}'
+        task = Task(tid, fn, args, kwargs)
+        with self._lock:
+            self._tasks[tid] = task
+        self._queue.put(task)
+        return task.future
+
+    def wait(self, timeout: Optional[float] = None) -> None:
+        """Block until all submitted tasks completed. Raises if workers died
+        with tasks pending (the reference's liveness failure,
+        predictor.py:149-158)."""
+        import time as _time
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        while True:
+            with self._lock:
+                pending = [t for t in self._tasks.values()
+                           if not t.future.done()]
+            if not pending:
+                return
+            if not self.alive():
+                for t in pending:
+                    if not t.future.done():
+                        t.future.set_exception(
+                            RuntimeError('worker died with tasks pending'))
+                raise RuntimeError(
+                    f'{self._name}: all workers died with '
+                    f'{len(pending)} tasks pending')
+            if deadline is not None and _time.monotonic() > deadline:
+                raise TimeoutError(f'{len(pending)} tasks still pending')
+            _time.sleep(0.01)
+
+    def alive(self) -> bool:
+        return any(t.is_alive() for t in self._threads)
+
+    def stop(self, timeout: float = 10.0) -> None:
+        """Graceful stop: poison pills, then abort flag."""
+        for _ in self._threads:
+            self._queue.put(None)
+        for t in self._threads:
+            t.join(timeout / max(len(self._threads), 1))
+        self._stopping.set()
+        still = [t for t in self._threads if t.is_alive()]
+        if still:
+            warn(f'{self._name}: {len(still)} workers did not stop in time')
+        self._threads = []
+        with self._lock:
+            for task in self._tasks.values():
+                if not task.future.done():
+                    task.future.cancel()
+            self._tasks.clear()
+
+    def timestamps(self, task_id: str) -> Optional[Dict[str, float]]:
+        with self._lock:
+            task = self._tasks.get(task_id)
+        return dict(task.timer.marks) if task else None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.stop()

@@ -37,8 +37,13 @@ _DN = ('NHWC', 'HWIO', 'NHWC')
 
 
 def _conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
-          stride: Tuple[int, int], kernel: Tuple[int, int]) -> jnp.ndarray:
+          stride: Tuple[int, int], kernel: Tuple[int, int],
+          compute_dtype=None) -> jnp.ndarray:
     pad = [((k - 1) // 2, (k - 1) // 2) for k in kernel]
+    if compute_dtype is not None:
+        # bf16 operands feed the MXU at full rate; accumulation stays fp32
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=pad, dimension_numbers=_DN,
         preferred_element_type=jnp.float32)
@@ -48,10 +53,13 @@ def _conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
 
 
 def _conv_transpose(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
-                    stride: Tuple[int, int]) -> jnp.ndarray:
+                    stride: Tuple[int, int], compute_dtype=None) -> jnp.ndarray:
     """torch ConvTranspose2d(k=stride, padding=0) equivalent: output spatial
     size = input * stride. Weight layout HWOI + transpose_kernel=True matches
     torch's gradient-of-conv semantics exactly (verified in tests)."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     out = jax.lax.conv_transpose(
         x, w, strides=stride, padding='VALID', dimension_numbers=_DN,
         transpose_kernel=True, preferred_element_type=jnp.float32)
@@ -78,33 +86,40 @@ def _leaky_relu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
 
 
 def _block(x: jnp.ndarray, p: Params, stride: Tuple[int, int],
-           kernel: Tuple[int, int], spec: ArchSpec) -> jnp.ndarray:
+           kernel: Tuple[int, int], spec: ArchSpec,
+           compute_dtype=None) -> jnp.ndarray:
     """ConvDropoutNormReLU: conv -> InstanceNorm -> LeakyReLU."""
-    x = _conv(x, p['conv']['w'], p['conv'].get('b'), stride, kernel)
+    x = _conv(x, p['conv']['w'], p['conv'].get('b'), stride, kernel,
+              compute_dtype)
     norm = p.get('norm')
     if norm is not None:
+        # norm statistics always in fp32 (variance is precision-sensitive)
         x = _instance_norm(x, norm.get('scale'), norm.get('bias'), spec.norm_eps)
     return _leaky_relu(x, spec.nonlin_slope)
 
 
 def _conv_stack(x: jnp.ndarray, blocks: List[Params], first_stride: Tuple[int, int],
-                kernel: Tuple[int, int], spec: ArchSpec) -> jnp.ndarray:
+                kernel: Tuple[int, int], spec: ArchSpec,
+                compute_dtype=None) -> jnp.ndarray:
     for i, p in enumerate(blocks):
-        x = _block(x, p, first_stride if i == 0 else (1, 1), kernel, spec)
+        x = _block(x, p, first_stride if i == 0 else (1, 1), kernel, spec,
+                   compute_dtype)
     return x
 
 
 def forward(params: Params, x: jnp.ndarray, spec: ArchSpec,
-            deep_supervision: bool = False):
+            deep_supervision: bool = False, compute_dtype=None):
     """Run the U-Net. x: (N, H, W, C_in), H/W divisible by the total stride.
     Returns logits (N, H, W, C_out), or a list (highest resolution first)
-    when deep_supervision is set."""
+    when deep_supervision is set. ``compute_dtype=jnp.bfloat16`` runs the
+    matmul/conv operands in bf16 (fp32 accumulation + norms) for ~2x MXU
+    throughput."""
     a = spec
     skips = []
     h = x
     for s in range(a.n_stages):
         h = _conv_stack(h, params['encoder']['stages'][s], a.strides[s],
-                        a.kernel_sizes[s], a)
+                        a.kernel_sizes[s], a, compute_dtype)
         skips.append(h)
 
     seg_outputs = []
@@ -113,13 +128,15 @@ def forward(params: Params, x: jnp.ndarray, spec: ArchSpec,
     for d in range(n_dec):
         enc_stage = n_dec - d  # stage whose stride this transpconv undoes
         t = params['decoder']['transpconvs'][d]
-        h = _conv_transpose(h, t['w'], t.get('b'), a.strides[enc_stage])
-        h = jnp.concatenate([h, skips[enc_stage - 1]], axis=-1)
+        h = _conv_transpose(h, t['w'], t.get('b'), a.strides[enc_stage],
+                            compute_dtype)
+        h = jnp.concatenate([h, skips[enc_stage - 1].astype(h.dtype)], axis=-1)
         h = _conv_stack(h, params['decoder']['stages'][d], (1, 1),
-                        a.kernel_sizes[enc_stage - 1], a)
+                        a.kernel_sizes[enc_stage - 1], a, compute_dtype)
         sl = params['decoder']['seg_layers'][d]
         if deep_supervision or d == n_dec - 1:
-            seg_outputs.append(_conv(h, sl['w'], sl.get('b'), (1, 1), (1, 1)))
+            seg_outputs.append(_conv(h, sl['w'], sl.get('b'), (1, 1), (1, 1),
+                                     compute_dtype))
 
     if deep_supervision:
         return seg_outputs[::-1]

@@ -49,6 +49,9 @@ def project_array(arr: jnp.ndarray, mode: str, axis: int) -> jnp.ndarray:
         return jnp.expand_dims(out, axis)
     if mode in ('first', 'depth'):
         return _project_first(arr, axis)
+    if mode == 'xr':
+        raise NotImplementedError(
+            'Synthetic XR projection from 3D images is not supported.')
     raise ValueError(f'Unsupported projection mode: {mode}')
 
 
@@ -80,6 +83,14 @@ def project(img: MedicalImage, mode: str = 'max',
     np_axis = img.dim - 1 - itk_axis  # channel tail (if any) is after spatial
     out = np.asarray(project_array(jnp.asarray(img.array), mode, np_axis))
     return _projected_image(img, out, itk_axis)
+
+
+def make_projected_image(img: MedicalImage, arr: np.ndarray, itk_axis: int,
+                         is_vector: Optional[bool] = None) -> MedicalImage:
+    """Wrap an already-projected array (size-1 along ``itk_axis``) with the
+    geometry ``project`` would produce — used when the projection itself ran
+    inside a fused device program."""
+    return _projected_image(img, arr, itk_axis, is_vector)
 
 
 def _projected_image(img: MedicalImage, arr: np.ndarray, itk_axis: int,
