@@ -86,3 +86,28 @@ class TestNumpyInit:
         assert np.all(blk['norm']['scale'] == 1.0)
         assert np.all(blk['conv']['b'] == 0.0)
         assert blk['conv']['w'].std() > 0
+
+
+class TestAsyncAndPallas:
+    def test_predict_volume_async_matches_sync(self, groups, rng):
+        import jax
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        vol = (rng.standard_normal((40, 20, 30)) * 100).astype(np.float32)
+        seg_s, proj_s = ens.predict_volume(vol, (1.5, 1.5), ('max', 'mean'))
+        seg_a, proj_a = ens.predict_volume_async(vol, (1.5, 1.5), ('max', 'mean'))
+        np.testing.assert_array_equal(np.asarray(jax.device_get(seg_a)), seg_s)
+        np.testing.assert_array_equal(np.asarray(jax.device_get(proj_a)), proj_s)
+
+    def test_pallas_flag_cpu_fallback(self, groups, rng, monkeypatch):
+        """TS2D_PALLAS=1 on CPU falls back to the jnp path (kernel returns
+        None) and produces identical results."""
+        monkeypatch.setenv('TS2D_PALLAS', '1')
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        arr = (rng.standard_normal((64, 64, 2)) + 2).astype(np.float32)
+        seg = ens.predict_array(arr, (1.5, 1.5))
+        monkeypatch.delenv('TS2D_PALLAS')
+        ens2 = EnsembleEngine(specs, params)
+        ref = ens2.predict_array(arr, (1.5, 1.5))
+        np.testing.assert_array_equal(seg, ref)

@@ -239,6 +239,22 @@ class EnsembleEngine:
 
         return jax.jit(program)
 
+    def predict_volume_async(self, vol: np.ndarray,
+                             spacing_yx: Sequence[float],
+                             modes: Sequence[str]):
+        """Dispatch a fused scan prediction without blocking: returns device
+        arrays (seg, proj). Use for pipelined throughput — queue several
+        scans, then jax.device_get the results."""
+        key = ('vol', vol.shape, tuple(round(float(s), 6) for s in spacing_yx),
+               tuple(modes))
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = self._build_volume(tuple(vol.shape), tuple(spacing_yx),
+                                    tuple(modes))
+            self._cache[key] = fn
+            log(f'compiled fused volume program for shape={vol.shape}')
+        return fn(self.params, jax.device_put(np.ascontiguousarray(vol)))
+
     def predict_volume(self, vol: np.ndarray, spacing_yx: Sequence[float],
                        modes: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Fully fused scan prediction. ``vol``: (Z, Y, X) RAI-oriented
@@ -249,18 +265,7 @@ class EnsembleEngine:
         Hounsfield units are dense (air is -1000, not 0), so the crop is a
         no-op on this modality; use predict_array for inputs where exact
         crop semantics matter."""
-        key = ('vol', vol.shape, tuple(round(float(s), 6) for s in spacing_yx),
-               tuple(modes))
-        fn = self._cache.get(key)
-        if fn is None:
-            fn = self._build_volume(tuple(vol.shape), tuple(spacing_yx),
-                                    tuple(modes))
-            self._cache[key] = fn
-            log(f'compiled fused volume program for shape={vol.shape}')
-        # device_put, not jnp.asarray: asarray dispatches a conversion
-        # program per call (~100 ms through a remote-attached device) while
-        # device_put is a raw transfer; the program casts on device
-        seg, proj = fn(self.params, jax.device_put(np.ascontiguousarray(vol)))
+        seg, proj = self.predict_volume_async(vol, spacing_yx, modes)
         return (np.asarray(jax.device_get(seg)),
                 np.asarray(jax.device_get(proj)))
 
