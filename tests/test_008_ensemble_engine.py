@@ -111,3 +111,26 @@ class TestAsyncAndPallas:
         ens2 = EnsembleEngine(specs, params)
         ref = ens2.predict_array(arr, (1.5, 1.5))
         np.testing.assert_array_equal(seg, ref)
+
+
+class TestCohort:
+    def test_cohort_matches_single(self, groups, rng):
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        vols = (rng.standard_normal((3, 40, 20, 30)) * 100).astype(np.float32)
+        batch = ens.predict_cohort(vols, (1.5, 1.5), ('max', 'mean'))
+        assert batch.shape == (3, 40, 30, 5)
+        for i in range(3):
+            single, _ = ens.predict_volume(vols[i], (1.5, 1.5), ('max', 'mean'))
+            np.testing.assert_array_equal(batch[i], single)
+
+    def test_cohort_data_parallel_mesh(self, groups, rng):
+        from totalsegmentator2d_tpu.parallel import make_mesh
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        mesh = make_mesh({'data': 8})
+        vols = (rng.standard_normal((8, 40, 20, 30)) * 100).astype(np.float32)
+        sharded = ens.predict_cohort(vols, (1.5, 1.5), ('max', 'mean'),
+                                     mesh=mesh)
+        plain = ens.predict_cohort(vols, (1.5, 1.5), ('max', 'mean'))
+        np.testing.assert_array_equal(sharded, plain)

@@ -269,6 +269,69 @@ class EnsembleEngine:
         return (np.asarray(jax.device_get(seg)),
                 np.asarray(jax.device_get(proj)))
 
+    # -- cohort (batched / multi-chip data-parallel) path ---------------------
+
+    def _build_cohort(self, n: int, vol_shape: Tuple[int, int, int],
+                      spacing_yx: Tuple[float, float],
+                      modes: Tuple[str, ...], mesh=None):
+        """Batched fused program: (N, Z, Y, X) volumes -> (N, Z, X, sum L)
+        merged segs. With a mesh, the batch shards over the 'data' axis and
+        XLA replicates the (vmapped) per-scan program across chips."""
+        from ..ops.projection import project_array
+
+        fn2d, _ = self._program(vol_shape[::2], spacing_yx)
+
+        def one(params, vol):
+            work = vol.astype(self.dtype)
+            chans = [jnp.squeeze(project_array(work, m, axis=1), 1)
+                     for m in modes]
+            return fn2d.__wrapped__(params, jnp.stack(chans, axis=-1))
+
+        def program(params, vols):
+            return jax.vmap(lambda v: one(params, v))(vols)
+
+        if mesh is None:
+            return jax.jit(program)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data_axis = 'data' if 'data' in mesh.axis_names else mesh.axis_names[0]
+        vspec = NamedSharding(mesh, P(data_axis, None, None, None))
+        ospec = NamedSharding(mesh, P(data_axis, None, None, None))
+        rep = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), self.params)
+        return jax.jit(program, in_shardings=(rep, vspec),
+                       out_shardings=ospec)
+
+    def predict_cohort(self, vols: np.ndarray, spacing_yx: Sequence[float],
+                       modes: Sequence[str], mesh=None) -> np.ndarray:
+        """Batched scan prediction: ``vols`` (N, Z, Y, X) same-shape RAI
+        volumes. With ``mesh``, data-parallel over its 'data' axis (the
+        multi-chip cohort throughput mode; N must divide by the axis size).
+        Returns merged multilabel segs (N, Z, X, sum L) uint8."""
+        vols = np.ascontiguousarray(vols)
+        key = ('cohort', vols.shape,
+               tuple(round(float(s), 6) for s in spacing_yx), tuple(modes),
+               id(mesh) if mesh is not None else None)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = self._build_cohort(vols.shape[0], tuple(vols.shape[1:]),
+                                    tuple(spacing_yx), tuple(modes), mesh)
+            self._cache[key] = fn
+            log(f'compiled cohort program for batch={vols.shape[0]} '
+                f'shape={vols.shape[1:]}'
+                + (f' over mesh {dict(mesh.shape)}' if mesh is not None else ''))
+        params = self.params
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data_axis = 'data' if 'data' in mesh.axis_names else mesh.axis_names[0]
+            vols_in = jax.device_put(
+                vols, NamedSharding(mesh, P(data_axis, None, None, None)))
+            params = jax.device_put(
+                params, jax.tree_util.tree_map(
+                    lambda _: NamedSharding(mesh, P()), self.params))
+        else:
+            vols_in = jax.device_put(vols)
+        return np.asarray(jax.device_get(fn(params, vols_in)))
+
     # -- host API ------------------------------------------------------------
 
     def predict_array(self, arr: np.ndarray, spacing_yx: Sequence[float]

@@ -75,9 +75,17 @@ def ensemble_train_step(params, opt_state, batch, *, spec: ArchSpec,
 
 
 def build_sharded_train_step(mesh: Mesh, spec: ArchSpec, cfg: TrainConfig,
-                             params, *, ensemble: bool = False):
+                             params, *, ensemble: bool = False,
+                             spatial: bool = False):
     """jit-compile the train step with explicit in/out shardings over the
-    mesh. Returns (step_fn, sharded_params, sharded_opt_state, optimizer)."""
+    mesh. Returns (step_fn, sharded_params, sharded_opt_state, optimizer).
+
+    ``spatial=True`` switches the 'model' mesh axis from tensor parallelism
+    (feature channels) to spatial parallelism: the image *height* axis is
+    sharded and XLA's SPMD partitioner inserts the halo exchanges the convs
+    need at shard borders — the scale-out path for arbitrarily large 2D
+    inputs (the spatial analogue of long-context sequence parallelism,
+    SURVEY.md §5)."""
     optimizer = make_optimizer(cfg)
     ens_axis = 'ensemble' if (ensemble and 'ensemble' in mesh.axis_names) else None
 
@@ -103,16 +111,22 @@ def build_sharded_train_step(mesh: Mesh, spec: ArchSpec, cfg: TrainConfig,
         step = functools.partial(train_step, spec=spec, cfg=cfg,
                                  optimizer=optimizer)
 
-    p_sh = param_shardings(params, mesh, model_axis='model',
+    model_axis = None if spatial else 'model'
+    p_sh = param_shardings(params, mesh, model_axis=model_axis,
                            ensemble_axis=ens_axis, stacked=ensemble)
     params = jax.tree_util.tree_map(jax.device_put, params, p_sh)
     opt_state = optimizer.init(params) if not ensemble else \
         jax.vmap(optimizer.init)(params)
     o_sh = jax.tree_util.tree_map(
-        lambda leaf: _opt_leaf_sharding(leaf, mesh, ensemble), opt_state)
+        lambda leaf: _opt_leaf_sharding(leaf, mesh, ensemble,
+                                        model_axis=model_axis), opt_state)
 
-    x_sh = batch_sharding(mesh, 'data', ndim=4,
-                          ensemble_axis=ens_axis, stacked=ensemble)
+    if spatial and 'model' in mesh.axis_names:
+        lead = (ens_axis,) if ens_axis else ()
+        x_sh = NamedSharding(mesh, P(*(lead + ('data', 'model', None, None))))
+    else:
+        x_sh = batch_sharding(mesh, 'data', ndim=4,
+                              ensemble_axis=ens_axis, stacked=ensemble)
     y_sh = x_sh
     scalar = NamedSharding(mesh, P(*((ens_axis,) if ens_axis else ())))
 
@@ -124,15 +138,15 @@ def build_sharded_train_step(mesh: Mesh, spec: ArchSpec, cfg: TrainConfig,
     return jitted, params, opt_state, optimizer
 
 
-def _opt_leaf_sharding(leaf, mesh: Mesh, ensemble: bool):
+def _opt_leaf_sharding(leaf, mesh: Mesh, ensemble: bool, model_axis='model'):
     """Optimizer state mirrors param sharding where shapes match params
     (momentum buffers); scalars/counters replicate."""
     if not hasattr(leaf, 'ndim') or leaf.ndim == 0:
         return NamedSharding(mesh, P())
     from ..parallel.sharding import param_spec
     ens_axis = 'ensemble' if ensemble else None
-    return NamedSharding(mesh, param_spec(leaf.shape, mesh, 'model', ens_axis,
-                                          stacked=ensemble))
+    return NamedSharding(mesh, param_spec(leaf.shape, mesh, model_axis,
+                                          ens_axis, stacked=ensemble))
 
 
 class Trainer:
@@ -140,7 +154,7 @@ class Trainer:
 
     def __init__(self, spec: ArchSpec, cfg: TrainConfig,
                  mesh: Optional[Mesh] = None, seed: int = 0,
-                 ensemble_size: Optional[int] = None):
+                 ensemble_size: Optional[int] = None, spatial: bool = False):
         self.spec = spec
         self.cfg = cfg
         self.mesh = mesh
@@ -157,7 +171,8 @@ class Trainer:
         if mesh is not None:
             (self._step, self.params, self.opt_state,
              self.optimizer) = build_sharded_train_step(
-                mesh, spec, cfg, params, ensemble=self._ensemble)
+                mesh, spec, cfg, params, ensemble=self._ensemble,
+                spatial=spatial)
         else:
             self.optimizer = make_optimizer(cfg)
             self.params = params
