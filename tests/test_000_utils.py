@@ -118,3 +118,34 @@ class TestTemp:
                 f.write('done')
             assert not dest.exists()
         assert dest.read_text() == 'done'
+
+
+class TestMiscParity:
+    def test_format_array(self):
+        from totalsegmentator2d_tpu.utils.params import format_array
+        assert format_array([1.5, 2.0, 3.25], p=2) == '1.5, 2, 3.25'
+        assert format_array([1, 2]) == '1, 2'
+
+    def test_short_message(self):
+        from totalsegmentator2d_tpu.utils.params import short_message
+        assert short_message('abc', 10) == 'abc'
+        out = short_message('x' * 200, 20)
+        assert len(out) == 20 and out.endswith('...')
+
+    def test_unit_vector(self):
+        import numpy as np
+        from totalsegmentator2d_tpu.utils.params import unit_vector
+        np.testing.assert_allclose(unit_vector([3, 4]), [0.6, 0.8])
+
+    def test_meta_helpers(self):
+        import numpy as np
+        from totalsegmentator2d_tpu.io.image import MedicalImage
+        from totalsegmentator2d_tpu.ops.annotations import (
+            get_image_meta, sanitize_meta, set_image_meta)
+        img = MedicalImage(array=np.zeros((2, 3), np.uint8))
+        set_image_meta(img, {'a': 1, 'long': 'x' * 100}, limit=10)
+        assert img.meta['a'] == '1'
+        assert len(img.meta['long']) == 10
+        meta = get_image_meta(img, add_info=True)
+        assert meta['size'] == (3, 2)
+        assert sanitize_meta({'6000|3000': 'big', 'k': 'v'}) == {'k': 'v'}

@@ -100,7 +100,8 @@ class TS2D:
                 specs, [m.load_fold_params() for m in models],
                 tile_step_size=(ref.tile_step_size
                                 if ref.tile_step_size is not None else 0.5),
-                use_mirroring=ref.use_mirroring)
+                use_mirroring=ref.use_mirroring,
+                compute_dtype=ref.compute_dtype())
             return engine
         except Exception as ex:
             log(f'Fused ensemble unavailable ({ex}); using per-model engines.')
@@ -118,6 +119,17 @@ class TS2D:
         for model in self.models.values():
             model.stop()
         self.models = {}
+        self._fused = None
+
+    def __del__(self):
+        if getattr(self, 'models', None):
+            warn('The TS2D instance is being deleted without calling close() '
+                 '- cleaning up all models. Call close() explicitly before '
+                 'deleting the instance to avoid concurrency issues.')
+            try:
+                self.close()
+            except Exception:
+                traceback.print_exc()
 
     # -- prediction -------------------------------------------------------
 

@@ -69,7 +69,7 @@ class InferenceEngine:
 
     def __init__(self, spec: ModelSpec, fold_params: List[dict],
                  tile_step_size: float = 0.5, use_mirroring: bool = True,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, compute_dtype=None):
         if not fold_params:
             raise ValueError('At least one fold is required')
         self.spec = spec
@@ -77,6 +77,7 @@ class InferenceEngine:
         self.tile_step_size = float(tile_step_size)
         self.use_mirroring = bool(use_mirroring)
         self.dtype = dtype
+        self.compute_dtype = compute_dtype  # bf16 conv operands when set
         enable_compilation_cache()
         self.params = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]), *fold_params)
@@ -127,7 +128,8 @@ class InferenceEngine:
                     for i, m in enumerate(mirrors)]
             return sum(outs) / float(n_mirror)
 
-        unet = functools.partial(forward, spec=spec.arch)
+        unet = functools.partial(forward, spec=spec.arch,
+                                 compute_dtype=self.compute_dtype)
 
         def net_multifold(x):
             """(M, ph, pw, C) -> fold-averaged (M, ph, pw, L)."""

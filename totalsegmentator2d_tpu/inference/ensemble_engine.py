@@ -80,8 +80,12 @@ class EnsembleEngine:
                       for p in folds]
             per_group.append(jax.tree_util.tree_map(
                 lambda *xs: np.stack([np.asarray(x) for x in xs]), *padded))
+        # with a bf16 compute dtype, store the weights in bf16 up front so
+        # the per-block casts inside the tile scan are no-ops (weights would
+        # otherwise be re-cast on every scan step)
+        store_dtype = compute_dtype if compute_dtype is not None else dtype
         self.params = jax.tree_util.tree_map(
-            lambda *xs: jnp.asarray(np.stack(xs), dtype), *per_group)
+            lambda *xs: jnp.asarray(np.stack(xs), store_dtype), *per_group)
         self._cache: Dict[Tuple, object] = {}
 
     @property

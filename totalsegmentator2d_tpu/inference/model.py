@@ -70,6 +70,11 @@ class HostedModel:
                                       default=True, dtype=bool)
         self.tile_step_size = dict_get(param, 'nnu.predict.stepsize',
                                        default=None, dtype=float)
+        # 'exact' = fp32 everywhere; 'fast' = bf16 conv operands with fp32
+        # accumulation/norms (the precision class of the reference's torch
+        # fp16 autocast inference)
+        self.precision = dict_get(param, 'nnu.predict.precision',
+                                  default='exact', dtype=str)
         self.result_colors = dict_get(param, 'nnu.result.colors', default='ts2d')
 
         self._configure(config['root'])
@@ -124,6 +129,31 @@ class HostedModel:
         return self.id
 
     @property
+    def name(self) -> str:
+        return self.model_name
+
+    @staticmethod
+    def verify_setup() -> None:
+        """Check the runtime can actually execute models (the analogue of
+        the reference's torch/nnunetv2 import checks, wrapper.py:85-111)."""
+        try:
+            import jax
+        except ImportError as ex:
+            raise RuntimeError(
+                'JAX is not available in the current python environment!'
+            ) from ex
+        devices = jax.devices()
+        if not devices:
+            raise RuntimeError('No JAX devices are available')
+        if devices[0].platform == 'cpu':
+            warn('No accelerator detected - inference will run on CPU.',
+                 once=True)
+
+    def get_exts(self) -> list:
+        """Supported image file extensions (reference wrapper.py:276-277)."""
+        return ['png', 'bmp', 'nii.gz', 'nrrd', 'mha', 'tif', 'tiff']
+
+    @property
     def multilabel(self) -> bool:
         return self.spec.multilabel
 
@@ -167,11 +197,18 @@ class HostedModel:
         self._fold_params = fold_params
         return fold_params
 
+    def compute_dtype(self):
+        if str(self.precision).lower() in ('fast', 'bf16', 'bfloat16'):
+            import jax.numpy as jnp
+            return jnp.bfloat16
+        return None
+
     def _load_engine(self) -> InferenceEngine:
         return InferenceEngine(
             self.spec, self.load_fold_params(),
             tile_step_size=default(self.tile_step_size, 0.5),
-            use_mirroring=self.use_mirroring)
+            use_mirroring=self.use_mirroring,
+            compute_dtype=self.compute_dtype())
 
     def start(self, wait: bool = True) -> None:
         """Load weights and compile the default-shape program; non-blocking

@@ -95,9 +95,16 @@ class Zoo:
         return info
 
     def load(self, id: str, param: Optional[dict] = None,
-             revision: Optional[int] = None) -> HostedModel:
+             revision: Optional[int] = None,
+             interface: str = 'hosted') -> HostedModel:
         """Access + configure a model: read its model.json, merge caller
-        params, and build a HostedModel around the JAX inference engine."""
+        params, and build a HostedModel around the JAX inference engine.
+
+        ``interface`` is accepted for reference-API compatibility
+        ('process'/'prc' map to the hosted in-process model — there is no
+        CUDA context to isolate on TPU, so no worker processes exist)."""
+        if interface.lower() not in ('hosted', 'process', 'prc', 'svc', 'server'):
+            raise ValueError(f'Invalid model interface: {interface}')
         config = self.access(id=id, revision=revision)
         root = config['root']
         if not root or not os.path.exists(root):

@@ -172,6 +172,32 @@ def native(v: Any) -> Any:
     return v
 
 
+def format_array(arr, p: int = 3, sep: str = ', ') -> str:
+    """Compact human-readable formatting of a sequence (reference
+    util.py format_array)."""
+    def fmt(v):
+        if isinstance(v, float):
+            s = f'{v:.{p}f}'.rstrip('0').rstrip('.')
+            return s if s else '0'
+        return str(v)
+    return sep.join(fmt(v) for v in as_list(arr))
+
+
+def short_message(text: str, limit: int = 120, ellipsis: str = '...') -> str:
+    """Truncate long strings for logs/metadata."""
+    text = str(text)
+    if len(text) <= limit:
+        return text
+    return text[:max(limit - len(ellipsis), 0)] + ellipsis
+
+
+def unit_vector(v) -> 'Any':
+    import numpy as np
+    arr = np.asarray(v, dtype=float)
+    n = np.linalg.norm(arr)
+    return arr / n if n > 0 else arr
+
+
 def parse_int(v: Any, err: Any = None) -> int | None:
     try:
         return int(v)
