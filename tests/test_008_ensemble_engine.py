@@ -91,13 +91,25 @@ class TestNumpyInit:
 class TestAsyncAndPallas:
     def test_predict_volume_async_matches_sync(self, groups, rng):
         import jax
+        from totalsegmentator2d_tpu.inference.ensemble_engine import unpack_bits
         specs, params = groups
         ens = EnsembleEngine(specs, params)
         vol = (rng.standard_normal((40, 20, 30)) * 100).astype(np.float32)
         seg_s, proj_s = ens.predict_volume(vol, (1.5, 1.5), ('max', 'mean'))
         seg_a, proj_a = ens.predict_volume_async(vol, (1.5, 1.5), ('max', 'mean'))
-        np.testing.assert_array_equal(np.asarray(jax.device_get(seg_a)), seg_s)
+        unpacked = unpack_bits(np.asarray(jax.device_get(seg_a)),
+                               ens.total_labels)
+        np.testing.assert_array_equal(unpacked, seg_s)
         np.testing.assert_array_equal(np.asarray(jax.device_get(proj_a)), proj_s)
+
+    def test_pack_unpack_roundtrip(self, rng):
+        import jax.numpy as jnp
+        from totalsegmentator2d_tpu.inference.ensemble_engine import (
+            _pack_bits, unpack_bits)
+        bits = (rng.random((7, 9, 117)) > 0.5).astype(np.uint8)
+        packed = np.asarray(_pack_bits(jnp.asarray(bits)))
+        assert packed.shape == (7, 9, 15)
+        np.testing.assert_array_equal(unpack_bits(packed, 117), bits)
 
     def test_pallas_flag_cpu_fallback(self, groups, rng, monkeypatch):
         """TS2D_PALLAS=1 on CPU falls back to the jnp path (kernel returns
