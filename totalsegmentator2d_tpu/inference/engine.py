@@ -8,13 +8,14 @@ numpy-out is a single jitted XLA program:
     normalize (plans schemes)
     -> resample to plan spacing  (B-spline prefilter + MXU weight matmuls)
     -> pad to tile grid
-    -> lax.scan over tiles: mirror-TTA batch -> vmapped multi-fold U-Net
+    -> lax.scan over tiles: mirror-TTA batch -> multi-fold U-Net (lax.map)
        -> Gaussian-weighted accumulate
     -> inverse-resample logits to the input grid (order 1)
     -> sigmoid>0.5 multilabel one-hot  (or softmax argmax)
 
 Programs are cached per (input shape, dtype); the fold axis is a stacked
-params pytree vmapped inside the program. Mirror TTA materializes all flip
+params pytree iterated with lax.map inside the program (vmap would lower the
+convs to slow grouped convolutions). Mirror TTA materializes all flip
 combinations of each tile as one batch so the U-Net runs with batch
 M = 2^len(mirror_axes), keeping the MXU fed.
 """
@@ -29,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.plans import ModelSpec
-from ..models.unet import forward, pad_to_stride
+from ..models.unet import forward
 from ..ops.gaussian import gaussian_map
 from ..ops.normalize import apply_scheme
 from ..ops.resample import apply_separable, axis_weights, bspline_prefilter

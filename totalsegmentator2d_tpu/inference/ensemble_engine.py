@@ -5,8 +5,9 @@ models (heads padded to the widest label count, parallel/ensemble.py) and
 F folds into one params pytree and compiles ONE XLA program per input shape:
 
     normalize -> resample -> pad
-    -> scan tiles: TTA batch -> vmap(G) x vmap(F) U-Net -> Gaussian blend
-    -> inverse resample -> per-group sigmoid>0.5 -> on-device 117-ch concat
+    -> scan tiles: TTA batch -> lax.map over (G x F) U-Nets -> Gaussian blend
+    -> inverse resample -> per-group sigmoid>0.5 -> on-device 117-ch
+    concat + bit-packing (downloads are the bottleneck on remote devices)
 
 This is the TPU-native replacement for the reference's five resident
 predictor processes run sequentially per case (tool.py:110-112,
@@ -16,7 +17,7 @@ input and the memory traffic of every stage.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ from __future__ import annotations
 import os
 import re
 import threading
-import traceback
 from typing import Dict, List, Optional
 
 import numpy as np

@@ -14,7 +14,7 @@ import queue
 import threading
 from typing import Callable, Iterable, List, Optional, Tuple
 
-from ..io import MedicalImage, read_image
+from ..io import read_image
 from ..utils.logging import log, warn
 from ..utils.trace import StageTimer
 from .runner import AsyncRunner

@@ -14,7 +14,7 @@ from typing import List, Optional, Union
 from ..utils.config import get_model_resolve_map, get_shared_urls
 from ..utils.files import get_local_models_root, read_json
 from ..utils.logging import log
-from ..utils.params import dict_merge, unwrap_singular
+from ..utils.params import dict_merge
 from .database import DataBase, FileDataBase, URLDataBase
 from .model import HostedModel
 

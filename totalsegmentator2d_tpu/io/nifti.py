@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import gzip
 import struct
-from typing import Tuple
-
 import numpy as np
 
 from .image import MedicalImage

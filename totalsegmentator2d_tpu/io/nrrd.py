@@ -15,7 +15,7 @@ import gzip
 import io as _io
 import os
 import zlib
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ checkpoints: ``module.`` (DDP), ``_orig_mod.`` (torch.compile), duplicated
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

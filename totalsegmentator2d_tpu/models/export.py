@@ -11,11 +11,11 @@ readable by the original PyTorch pipeline too.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 from ..utils.files import mkdirs, write_json
 from .convert import params_to_state_dict
-from .plans import ArchSpec, ModelSpec
+from .plans import ModelSpec
 
 
 def build_plans_dict(spec: ModelSpec, plans_name: str = 'nnUNetPlans',

@@ -10,7 +10,7 @@ drive the JAX U-Net builder, the preprocessor, and the inference engine.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 from ..utils.params import parse_int
 

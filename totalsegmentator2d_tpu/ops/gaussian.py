@@ -11,7 +11,7 @@ has zero weight.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -16,7 +16,6 @@ image.py:97-100).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Union
 
 import jax

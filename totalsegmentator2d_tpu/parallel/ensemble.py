@@ -11,13 +11,11 @@ This replaces the reference's five resident worker processes
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-from ..models.plans import ArchSpec
 
 
 def pad_head(params: dict, n_labels: int, max_labels: int) -> dict:

@@ -14,7 +14,7 @@ partitioner inserts the ICI collectives.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import numpy as np

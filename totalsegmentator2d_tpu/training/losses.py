@@ -9,7 +9,7 @@ models were trained with), and deep-supervision weighting.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List
 
 import jax
 import jax.numpy as jnp
