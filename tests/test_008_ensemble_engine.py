@@ -146,3 +146,32 @@ class TestCohort:
                                      mesh=mesh)
         plain = ens.predict_cohort(vols, (1.5, 1.5), ('max', 'mean'))
         np.testing.assert_array_equal(sharded, plain)
+
+
+class TestSpatialTileSharding:
+    def test_tile_sharded_matches_unsharded(self, groups, rng):
+        """Tile grid split over a 4-device mesh axis + psum accumulate must
+        reproduce the single-device result exactly."""
+        from totalsegmentator2d_tpu.parallel import make_mesh
+        specs, params = groups
+        plain = EnsembleEngine(specs, params)
+        mesh = make_mesh({'data': 4})
+        sharded = EnsembleEngine(specs, params, tile_mesh=mesh)
+        # big enough for a multi-tile grid with patch 64
+        arr = (rng.standard_normal((150, 130, 2)) + 2).astype(np.float32)
+        a = plain.predict_array(arr, (1.5, 1.5))
+        b = sharded.predict_array(arr, (1.5, 1.5))
+        assert (a == b).mean() > 0.9999
+
+    def test_tile_count_not_divisible(self, groups, rng):
+        """Padding tiles (valid=0) must not perturb results when T % D != 0."""
+        from totalsegmentator2d_tpu.parallel import make_mesh
+        from totalsegmentator2d_tpu.inference.tiling import tile_positions
+        specs, params = groups
+        mesh = make_mesh({'data': 8})
+        sharded = EnsembleEngine(specs, params, tile_mesh=mesh)
+        plain = EnsembleEngine(specs, params)
+        arr = (rng.standard_normal((100, 90, 2)) + 2).astype(np.float32)
+        a = plain.predict_array(arr, (1.5, 1.5))
+        b = sharded.predict_array(arr, (1.5, 1.5))
+        assert (a == b).mean() > 0.9999

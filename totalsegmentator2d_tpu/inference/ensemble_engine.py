@@ -66,7 +66,8 @@ class EnsembleEngine:
     def __init__(self, specs: Sequence[ModelSpec],
                  group_fold_params: Sequence[Sequence[dict]],
                  tile_step_size: float = 0.5, use_mirroring: bool = True,
-                 dtype=jnp.float32, compute_dtype=None):
+                 dtype=jnp.float32, compute_dtype=None,
+                 tile_mesh=None, tile_axis: str = 'data'):
         if not specs:
             raise ValueError('At least one group is required')
         self.specs = list(specs)
@@ -89,6 +90,11 @@ class EnsembleEngine:
         # compute_dtype=jnp.bfloat16: bf16 conv operands (fp32 accumulation
         # and norms) for ~2x MXU throughput; None = exact fp32
         self.compute_dtype = compute_dtype
+        # tile_mesh: spatial parallelism — the sliding-window tile grid
+        # shards over mesh axis `tile_axis`, partial accumulators psum over
+        # ICI (multi-chip single-scan latency scaling)
+        self.tile_mesh = tile_mesh
+        self.tile_axis = tile_axis
         enable_compilation_cache()
 
         # stack: per group pad heads + stack folds -> (F, ...); then stack
@@ -201,12 +207,14 @@ class EnsembleEngine:
             # Measured on v5e: this beats gathering all tiles into one big
             # batch (T*M), whose large activations push XLA into a ~4x
             # slower conv schedule.
-            def step(carry, pos):
+            def step(carry, inp):
+                pos, valid = inp
                 acc, wacc = carry
                 tile = jax.lax.dynamic_slice(
                     work, (pos[0], pos[1], 0), (patch[0], patch[1], C))
                 logits = net(params, tta_batch(tile))        # (G, M, ph, pw, Lp)
-                merged = jax.vmap(tta_merge)(logits) * gauss  # (G, ph, pw, Lp)
+                g = gauss * valid  # padding tiles (spatial sharding) weigh 0
+                merged = jax.vmap(tta_merge)(logits) * g      # (G, ph, pw, Lp)
                 cur = jax.lax.dynamic_slice(
                     acc, (0, pos[0], pos[1], 0), (G, patch[0], patch[1], Lp))
                 acc = jax.lax.dynamic_update_slice(
@@ -214,10 +222,42 @@ class EnsembleEngine:
                 wcur = jax.lax.dynamic_slice(
                     wacc, (pos[0], pos[1], 0), (patch[0], patch[1], 1))
                 wacc = jax.lax.dynamic_update_slice(
-                    wacc, wcur + gauss, (pos[0], pos[1], 0))
+                    wacc, wcur + g, (pos[0], pos[1], 0))
                 return (acc, wacc), None
 
-            (acc, wacc), _ = jax.lax.scan(step, (acc0, wacc0), tiles_j)
+            def tile_loop(my_tiles, my_valid, init):
+                return jax.lax.scan(step, init, (my_tiles, my_valid))[0]
+
+            if self.tile_mesh is None:
+                acc, wacc = tile_loop(tiles_j,
+                                      jnp.ones((len(tiles), 1), self.dtype),
+                                      (acc0, wacc0))
+            else:
+                # spatial parallelism over the tile grid: each device slice
+                # runs its share of the sliding window, partial Gaussian
+                # accumulators merge with one psum over ICI
+                from jax.sharding import PartitionSpec as P
+                mesh, ax = self.tile_mesh, self.tile_axis
+                D = int(mesh.shape[ax])
+                T = len(tiles)
+                Tpad = -(-T // D) * D
+                tiles_padded = np.zeros((Tpad, 2), np.int32)
+                tiles_padded[:T] = tiles
+                valid = np.zeros((Tpad, 1), np.float32)
+                valid[:T] = 1.0
+
+                def sharded(my_tiles, my_valid):
+                    # the closed-over zero carry must be marked varying over
+                    # the manual axis before it can thread through the scan
+                    init = (jax.lax.pvary(acc0, ax), jax.lax.pvary(wacc0, ax))
+                    acc, wacc = tile_loop(my_tiles, my_valid, init)
+                    return (jax.lax.psum(acc, ax), jax.lax.psum(wacc, ax))
+
+                acc, wacc = jax.shard_map(
+                    sharded, mesh=mesh, in_specs=(P(ax), P(ax)),
+                    out_specs=(P(), P()), axis_names=frozenset({ax}))(
+                        jnp.asarray(tiles_padded),
+                        jnp.asarray(valid, self.dtype))
             logits = acc / jnp.maximum(wacc, 1e-8)[None]
             logits = jax.lax.slice(
                 logits, (0, pads[0][0], pads[1][0], 0),

@@ -34,8 +34,10 @@ def read_image(path: str) -> MedicalImage:
         return nifti.read(path)
     if ext in ('mha', 'mhd'):
         return metaimage.read(path)
-    if ext == 'png':
-        return _read_png(path)
+    if ext in ('png', 'bmp', 'tif', 'tiff'):
+        # plain 2D raster inputs (the nnU-Net v2 2D extension set,
+        # reference wrapper.py:276-277) — unit spacing, identity geometry
+        return _read_raster(path)
     raise ValueError(f'Unsupported image format: {path}')
 
 
@@ -52,7 +54,7 @@ def write_image(img: MedicalImage, path: str, compress: bool = True) -> None:
     raise ValueError(f'Unsupported image format: {path}')
 
 
-def _read_png(path: str) -> MedicalImage:
+def _read_raster(path: str) -> MedicalImage:
     from PIL import Image as PILImage
     arr = np.asarray(PILImage.open(path))
     is_vector = arr.ndim == 3
