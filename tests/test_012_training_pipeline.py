@@ -1,0 +1,109 @@
+"""Training data pipeline: fingerprint, planner, preprocessing, sampler —
+and the full loop: plan -> train -> export -> predict."""
+
+import numpy as np
+import pytest
+
+from totalsegmentator2d_tpu.io import MedicalImage
+from totalsegmentator2d_tpu.models.plans import parse_model_spec
+from totalsegmentator2d_tpu.training import (PatchSampler, TrainConfig,
+                                             Trainer, compute_fingerprint,
+                                             plan_experiment, preprocess_case)
+
+
+def _case(rng, h=90, w=80, spacing=(1.5, 1.2), n_labels=2):
+    img = MedicalImage(
+        array=(rng.standard_normal((h, w, 2)) * 200 + 50).astype(np.float32),
+        spacing=spacing, is_vector=True)
+    tgt = np.zeros((h, w, n_labels), np.uint8)
+    tgt[h // 4:h // 2, w // 4:w // 2, 0] = 1
+    tgt[h // 2:h - 10, w // 2:w - 10, 1] = 1
+    seg = MedicalImage(array=tgt, spacing=spacing, is_vector=True)
+    return img, seg
+
+
+class TestPlanner:
+    def test_fingerprint_and_plan(self, rng):
+        cases = [_case(rng, h=80 + 8 * i, w=70 + 6 * i) for i in range(4)]
+        fp = compute_fingerprint([c[0] for c in cases], [c[1] for c in cases])
+        assert fp.n_channels == 2
+        assert fp.spacings.shape == (4, 2)
+        assert fp.intensity_std[0] > 0
+
+        plans, ds = plan_experiment(
+            fp, channel_names={0: 'max', 1: 'mean'},
+            labels={'heart': 1, 'aorta': 2}, modality='CT')
+        spec = parse_model_spec(plans, ds)
+        assert spec.multilabel
+        assert spec.arch.in_channels == 2
+        assert spec.arch.out_channels == 2
+        # patch is a power of two >= 64, covering the median shape direction
+        assert all(p >= 64 and (p & (p - 1)) == 0
+                   for p in spec.preprocess.patch_size)
+        # spacing is array-order (y, x): ITK (x=1.5, y=1.2) -> (1.2, 1.5)
+        assert spec.preprocess.spacing == pytest.approx((1.2, 1.5))
+        # CT normalization carries the fingerprint statistics
+        assert 'ct' in spec.preprocess.normalization_schemes[0].lower()
+        assert spec.preprocess.intensity_properties[0]['std'] > 0
+
+    def test_preprocess_case_resamples(self, rng):
+        img, seg = _case(rng, spacing=(3.0, 3.0))
+        fp = compute_fingerprint([img], [seg])
+        plans, ds = plan_experiment(fp, {0: 'max', 1: 'mean'},
+                                    {'a': 1, 'b': 2})
+        spec = parse_model_spec(plans, ds)
+        data, tgt = preprocess_case(img, seg, spec)
+        assert data.shape[:2] == tgt.shape[:2]
+        assert data.dtype == np.float32 and tgt.dtype == np.uint8
+        assert set(np.unique(tgt)) <= {0, 1}
+
+
+class TestPatchSampler:
+    def test_batch_shapes_and_oversampling(self, rng):
+        img, seg = _case(rng, h=200, w=180)
+        data = img.array
+        sampler = PatchSampler([(data, seg.array)], patch_size=(64, 64),
+                               oversample_foreground=1.0, seed=0)
+        batch = sampler.sample_batch(6)
+        assert batch['image'].shape == (6, 64, 64, 2)
+        assert batch['target'].shape == (6, 64, 64, 2)
+        # with 100% oversampling every patch must contain foreground
+        assert all(batch['target'][i].any() for i in range(6))
+
+    def test_small_case_padding(self, rng):
+        img, seg = _case(rng, h=40, w=30)
+        sampler = PatchSampler([(img.array, seg.array)], patch_size=(64, 64))
+        batch = sampler.sample_batch(2)
+        assert batch['image'].shape == (2, 64, 64, 2)
+
+
+class TestEndToEndTrainingLoop:
+    def test_plan_train_export_predict(self, rng, tmp_path):
+        """The full circle: fingerprint -> plans -> trainer -> export ->
+        zoo -> predict."""
+        import jax
+        from totalsegmentator2d_tpu.inference import Zoo
+        from totalsegmentator2d_tpu.models.export import export_model_dir
+
+        cases = [_case(rng, h=96, w=96, spacing=(1.5, 1.5)) for _ in range(2)]
+        fp = compute_fingerprint([c[0] for c in cases], [c[1] for c in cases])
+        plans, ds = plan_experiment(fp, {0: 'max', 1: 'mean'},
+                                    {'heart': 1, 'aorta': 2}, modality='CT',
+                                    max_patch=64)
+        spec = parse_model_spec(plans, ds)
+        pre = [preprocess_case(img, seg, spec) for img, seg in cases]
+        sampler = PatchSampler(pre, spec.preprocess.patch_size, seed=0)
+
+        cfg = TrainConfig(lr=1e-2, total_steps=8, multilabel=True)
+        tr = Trainer(spec.arch, cfg, seed=0)
+        fixed = sampler.sample_batch(2)  # fixed batch: deterministic descent
+        losses = [float(tr.step(fixed)) for _ in range(8)]
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+
+        mid = export_model_dir(str(tmp_path), 'ts2d-v9-loop', 'cardiac',
+                               spec, [jax.device_get(tr.params)], epoch=8)
+        model = Zoo(remote=False, local=str(tmp_path)).load(mid)
+        seg = model.apply(cases[0][0])
+        assert seg.ncomponents == 2
+        assert seg.size == cases[0][0].size

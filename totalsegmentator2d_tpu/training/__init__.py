@@ -1,12 +1,16 @@
 """Training: losses, augmentation, sharded train steps, trainer."""
 
 from .augment import augment_batch, augment_pair
+from .data import PatchSampler, preprocess_case
 from .losses import (bce_loss, ce_loss, deep_supervision_loss, dice_and_ce,
                      dice_score, soft_dice_loss)
+from .planner import Fingerprint, compute_fingerprint, plan_experiment
 from .train import (TrainConfig, Trainer, build_sharded_train_step,
                     ensemble_train_step, make_optimizer, train_step)
 
-__all__ = ['augment_batch', 'augment_pair', 'bce_loss', 'ce_loss',
+__all__ = ['PatchSampler', 'preprocess_case', 'Fingerprint',
+           'compute_fingerprint', 'plan_experiment',
+           'augment_batch', 'augment_pair', 'bce_loss', 'ce_loss',
            'deep_supervision_loss', 'dice_and_ce', 'dice_score',
            'soft_dice_loss', 'TrainConfig', 'Trainer',
            'build_sharded_train_step', 'ensemble_train_step',
