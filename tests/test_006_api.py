@@ -172,3 +172,25 @@ class TestCLI:
                  silent=True, local=model_root)
         assert (out / 'case1.seg.nrrd').exists()
         assert (out / 'case2.seg.nrrd').exists()
+
+
+class TestCLIParsing:
+    def test_entry_point_flags(self, model_root, tmp_path, monkeypatch):
+        import sys
+        from totalsegmentator2d_tpu.cli import ts2d_entry_point
+        out = tmp_path / 'out'
+        monkeypatch.setattr(sys, 'argv', [
+            'ts2d', '-i', asset_path('sample_s0332.nrrd'), '-o', str(out),
+            '--model', 'ts2d-v9-test', '--no-remote', '--no-fetch',
+            '--silent', '--local', model_root])
+        ts2d_entry_point()
+        assert (out / 'sample_s0332.seg.nrrd').exists()
+
+    def test_trace_flag_writes_profile(self, model_root, tmp_path):
+        from totalsegmentator2d_tpu.cli import ts2d_run
+        trace_dir = tmp_path / 'trace'
+        ts2d_run(src=asset_path('sample_s0332.nrrd'), dest=str(tmp_path / 'o'),
+                 model='ts2d-v9-test', use_remote=False, fetch_remote=False,
+                 visualize=False, silent=True, local=model_root,
+                 trace=str(trace_dir))
+        assert any(trace_dir.rglob('*'))

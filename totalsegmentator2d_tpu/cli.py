@@ -63,9 +63,12 @@ def ts2d_run(src: str, dest: str, model: Optional[str] = None,
              use_remote: bool = True, fetch_remote: bool = True,
              collapse: bool = False, visualize: bool = True,
              save_all: bool = False, silent: bool = False,
-             local: Optional[str] = None) -> None:
-    """Run TS2D on one image or a directory of images."""
+             local: Optional[str] = None,
+             trace: Optional[str] = None) -> None:
+    """Run TS2D on one image or a directory of images. ``trace`` writes a
+    jax.profiler device trace (TensorBoard/Perfetto) to the given directory."""
     from .api import TS2D
+    from .utils.trace import device_trace
 
     model = get_default_model() if model is None else model
     content = 'all' if visualize else 'file'
@@ -77,7 +80,7 @@ def ts2d_run(src: str, dest: str, model: Optional[str] = None,
     log(f'\n{bar}\n{_CITATION}\n{bar}\n')
 
     with TS2D(key=model, use_remote=use_remote, fetch_remote=fetch_remote,
-              local=local) as tool:
+              local=local) as tool, device_trace(trace):
         cases = list(_enumerate_cases(src))
         n = len(cases)
         log(f'Predicting {n} case{"s" if n != 1 else ""}')
@@ -129,9 +132,13 @@ def ts2d_entry_point() -> None:
     parser.add_argument('--local', type=str, default=None,
                         help='Override the local model database root '
                              '(defaults to ~/.ts2d/models).')
+    parser.add_argument('--trace', type=str, default=None,
+                        help='Write a jax.profiler device trace to this '
+                             'directory (view in TensorBoard/Perfetto).')
 
     args = parser.parse_args()
     ts2d_run(src=args.src, dest=args.dest, model=args.model,
              use_remote=not args.no_remote, fetch_remote=not args.no_fetch,
              collapse=args.collapse, visualize=args.visualize,
-             save_all=args.save_all, silent=args.silent, local=args.local)
+             save_all=args.save_all, silent=args.silent, local=args.local,
+             trace=args.trace)

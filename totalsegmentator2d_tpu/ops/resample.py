@@ -91,8 +91,22 @@ def bspline_prefilter_1d(x: jnp.ndarray, tol: float = 1e-10) -> jnp.ndarray:
     return jnp.flip(out_rev, axis=-1)
 
 
+def _pallas_prefilter_enabled() -> bool:
+    import os
+    return os.environ.get('TS2D_PALLAS', '') == '1'
+
+
 def bspline_prefilter(arr: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
+    pallas_ok = _pallas_prefilter_enabled()
     for ax in axes:
+        if pallas_ok:
+            # single-pass VMEM IIR kernel (ops/pallas/prefilter.py); returns
+            # None when it doesn't apply on this backend/shape
+            from .pallas.prefilter import bspline_prefilter_pallas
+            out = bspline_prefilter_pallas(arr, ax)
+            if out is not None:
+                arr = out
+                continue
         arr = jnp.moveaxis(bspline_prefilter_1d(jnp.moveaxis(arr, ax, -1)), -1, ax)
     return arr
 
