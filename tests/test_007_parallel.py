@@ -179,3 +179,22 @@ class TestTraining:
         tgt = jnp.asarray(np.array([[[1, 0], [1, 1]]], np.uint8))[..., None]
         d = np.asarray(dice_score(pred, tgt))
         np.testing.assert_allclose(d, [2 * 2 / (2 + 3)], rtol=1e-4)
+
+    def test_sharded_checkpoint_roundtrip(self, rng, tmp_path):
+        """Checkpoint/restore with params sharded over a dp x tp mesh."""
+        mesh = make_mesh({'data': 2, 'model': 2})
+        spec = small_spec()
+        cfg = TrainConfig(lr=1e-3, total_steps=10, multilabel=True)
+        tr = Trainer(spec, cfg, mesh=mesh, seed=0)
+        tr.step(self._batch(rng))
+        path = str(tmp_path / 'sharded-ckpt')
+        tr.save_checkpoint(path)
+        tr2 = Trainer(spec, cfg, mesh=mesh, seed=123)
+        tr2.restore_checkpoint(path)
+        a = jax.tree_util.tree_leaves(tr.params)
+        b = jax.tree_util.tree_leaves(tr2.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # restored state still trains
+        loss = float(tr2.step(self._batch(rng)))
+        assert np.isfinite(loss)

@@ -249,7 +249,8 @@ class EnsembleEngine:
                 def sharded(my_tiles, my_valid):
                     # the closed-over zero carry must be marked varying over
                     # the manual axis before it can thread through the scan
-                    init = (jax.lax.pvary(acc0, ax), jax.lax.pvary(wacc0, ax))
+                    init = (jax.lax.pcast(acc0, ax, to='varying'),
+                            jax.lax.pcast(wacc0, ax, to='varying'))
                     acc, wacc = tile_loop(my_tiles, my_valid, init)
                     return (jax.lax.psum(acc, ax), jax.lax.psum(wacc, ax))
 
