@@ -240,3 +240,26 @@ class TestHostedModel:
 
     def test_mirror_axes_from_checkpoint(self, model):
         assert model.spec.allowed_mirroring_axes == (0, 1)
+
+
+class TestNonMultilabel:
+    def test_softmax_labelmap_model(self, tmp_path, rng):
+        """Classic (non-multilabel) nnU-Net models produce labelmaps through
+        the same hosted path; TS2D warns but proceeds (reference
+        tool.py:49-50)."""
+        from tests.model_fixtures import build_model_dir
+        root = str(tmp_path)
+        build_model_dir(root, model='ts2d-v9-cls', group='organs',
+                        labels=('liver', 'spleen'), multilabel=False,
+                        patch=(64, 64))
+        zoo = Zoo(remote=False, local=root)
+        model = zoo.load('ts2d-v9-cls_organs')
+        assert not model.multilabel
+        assert model.spec.arch.out_channels == 3  # background + 2
+        img = MedicalImage(
+            array=(rng.standard_normal((70, 60, 2)) + 2).astype(np.float32),
+            spacing=(1.5, 1.5), is_vector=True)
+        seg = model.apply(img)
+        assert seg.ncomponents == 1
+        assert set(np.unique(seg.array)) <= {0, 1, 2}
+        assert seg.meta.get('Segment0_LabelValue') is not None

@@ -198,3 +198,15 @@ class TestTraining:
         # restored state still trains
         loss = float(tr2.step(self._batch(rng)))
         assert np.isfinite(loss)
+
+    def test_remat_training_matches(self, rng):
+        """jax.checkpoint rematerialization must not change the numerics."""
+        spec = small_spec()
+        batch = self._batch(rng)
+        t1 = Trainer(spec, TrainConfig(lr=1e-2, total_steps=5,
+                                       multilabel=True), seed=7)
+        t2 = Trainer(spec, TrainConfig(lr=1e-2, total_steps=5,
+                                       multilabel=True, remat=True), seed=7)
+        l1 = float(t1.step(batch))
+        l2 = float(t2.step(batch))
+        assert abs(l1 - l2) < 1e-5

@@ -34,6 +34,9 @@ class TrainConfig:
     poly_power: float = 0.9
     deep_supervision: bool = True
     multilabel: bool = True
+    # rematerialize the forward in the backward pass: trades FLOPs for HBM,
+    # enabling large patches / batches that would not otherwise fit
+    remat: bool = False
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -48,10 +51,13 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def loss_fn(params, batch, spec: ArchSpec, cfg: TrainConfig):
     x, y = batch['image'], batch['target']
+    fwd = forward
+    if cfg.remat:
+        fwd = jax.checkpoint(forward, static_argnums=(2, 3))
     if cfg.deep_supervision:
-        outs = forward(params, x, spec, deep_supervision=True)
+        outs = fwd(params, x, spec, True)
         return deep_supervision_loss(outs, y, cfg.multilabel)
-    logits = forward(params, x, spec)
+    logits = fwd(params, x, spec, False)
     return dice_and_ce(logits, y, cfg.multilabel)
 
 
