@@ -308,3 +308,31 @@ class TestRealAssets:
         assert mip.array.max() == img.array.max()
         assert float(np.squeeze(aip.array).mean()) == pytest.approx(
             float(img.array.mean()), rel=1e-4)
+
+
+class TestAllOrientations:
+    def test_all_48_orientations_roundtrip(self, rng):
+        """Every axis permutation x flip combination must reorient to RAI
+        with voxel values preserved at their physical positions."""
+        import itertools
+        arr = rng.random((3, 4, 5)).astype(np.float32)
+        base = MedicalImage(array=arr, spacing=(1.0, 2.0, 3.0),
+                            origin=(1.0, -2.0, 3.0))
+        count = 0
+        for perm in itertools.permutations(range(3)):
+            for signs in itertools.product((1, -1), repeat=3):
+                D = np.zeros((3, 3))
+                for j, (p, s) in enumerate(zip(perm, signs)):
+                    D[p, j] = s
+                img = base.replace(direction=D)
+                out = reorient(img, 'RAI')
+                assert np.allclose(out.direction, np.eye(3)), (perm, signs)
+                # spot-check: voxel at output index (1,2,0) must carry the
+                # value of the input voxel at the same physical point
+                p_out = out.index_to_physical([1, 2, 0])
+                idx_in = np.rint(img.physical_to_index(p_out)).astype(int)
+                v_out = out.array[0, 2, 1]
+                v_in = img.array[idx_in[2], idx_in[1], idx_in[0]]
+                assert v_out == v_in, (perm, signs)
+                count += 1
+        assert count == 48

@@ -1,0 +1,80 @@
+"""Remote model download path, exercised fully offline: a localhost HTTP
+server serves a real model zip, URLDataBase downloads + extracts it, and the
+zoo/TS2D stack predicts with it (the reference covers this against live
+Zenodo in test_010_database; here the network is local)."""
+
+import http.server
+import os
+import shutil
+import socket
+import threading
+import zipfile
+
+import numpy as np
+import pytest
+
+from tests.conftest import asset_path
+from tests.model_fixtures import build_model_dir
+from totalsegmentator2d_tpu.inference import URLDataBase, Zoo
+from totalsegmentator2d_tpu.inference.database import parse_revision
+
+
+@pytest.fixture(scope='module')
+def served_registry(tmp_path_factory):
+    """Build a model dir, zip it, serve it over localhost."""
+    src = tmp_path_factory.mktemp('src')
+    webroot = tmp_path_factory.mktemp('web')
+    mid = build_model_dir(str(src), model='ts2d-v9-dl', group='cardiac',
+                          labels=('heart',), patch=(64, 64))
+    zip_path = webroot / f'{mid}.zip'
+    with zipfile.ZipFile(zip_path, 'w') as zf:
+        for root, _, files in os.walk(src):
+            for fn in files:
+                fp = os.path.join(root, fn)
+                zf.write(fp, os.path.relpath(fp, src))
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(webroot), **kw)
+    httpd = http.server.ThreadingHTTPServer(('127.0.0.1', 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    urls = {'ts2d-v9-dl': {'r001': {
+        'cardiac': f'http://127.0.0.1:{port}/{mid}.zip'}}}
+    yield urls, mid
+    httpd.shutdown()
+
+
+class TestRemoteDownload:
+    def test_urldatabase_copy_downloads_and_extracts(self, served_registry,
+                                                     tmp_path):
+        urls, mid = served_registry
+        remote = URLDataBase(urls)
+        assert remote.has(key=mid)
+        assert remote.latest(key=mid) == 1
+        remote.copy(str(tmp_path), key=mid)
+        assert (tmp_path / mid / 'r001' / 'model.json').exists()
+
+    def test_zoo_download_on_miss_and_predict(self, served_registry, tmp_path):
+        from totalsegmentator2d_tpu.io import MedicalImage
+        urls, mid = served_registry
+        zoo = Zoo(remote=URLDataBase(urls), local=str(tmp_path / 'local'))
+        assert not zoo.local.has(key=mid)
+        model = zoo.load(mid)          # triggers download-on-miss
+        assert zoo.local.has(key=mid)  # cached locally now
+        rng = np.random.default_rng(0)
+        img = MedicalImage(
+            array=(rng.standard_normal((70, 60, 2)) + 2).astype(np.float32),
+            spacing=(1.5, 1.5), is_vector=True)
+        seg = model.apply(img)
+        assert seg.meta['Segment0_Name'] == 'heart'
+        # second load is served from the local cache (no remote dependency)
+        zoo2 = Zoo(remote=False, local=str(tmp_path / 'local'))
+        assert zoo2.load(mid).labels == {1: 'heart'}
+
+    def test_download_failure_raises(self, tmp_path):
+        urls = {'ts2d-v9-bad': {'r001': {
+            'cardiac': 'http://127.0.0.1:1/nope.zip'}}}
+        zoo = Zoo(remote=URLDataBase(urls), local=str(tmp_path))
+        with pytest.raises(Exception):
+            zoo.access('ts2d-v9-bad_cardiac')

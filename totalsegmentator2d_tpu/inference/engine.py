@@ -143,13 +143,23 @@ class InferenceEngine:
             # arr: (H, W, C) float32, already cropped on host; fold-stacked
             # weights are closed over (they live on device across calls)
             work = arr.astype(self.dtype)
-            # 1. normalize per channel (plans schemes)
-            chans = [apply_scheme(work[..., c], pre.normalization_schemes[c]
-                                  if c < len(pre.normalization_schemes)
-                                  else 'zscore',
-                                  pre.intensity_properties[c]
-                                  if c < len(pre.intensity_properties) else None)
-                     for c in range(C)]
+            # 1. normalize per channel (plans schemes); use_mask_for_norm
+            #    computes z-score statistics over nonzero voxels only
+            nz_mask = (jnp.any(work != 0, axis=-1)
+                       if any(pre.use_mask_for_norm) else None)
+            chans = []
+            for c in range(C):
+                scheme = (pre.normalization_schemes[c]
+                          if c < len(pre.normalization_schemes) else 'zscore')
+                props = (pre.intensity_properties[c]
+                         if c < len(pre.intensity_properties) else None)
+                use_mask = (c < len(pre.use_mask_for_norm)
+                            and pre.use_mask_for_norm[c])
+                if use_mask and 'zscore' in scheme.lower():
+                    from ..ops.normalize import zscore_normalize
+                    chans.append(zscore_normalize(work[..., c], mask=nz_mask))
+                else:
+                    chans.append(apply_scheme(work[..., c], scheme, props))
             work = jnp.stack(chans, axis=-1)
             # 2. resample to plan spacing (cubic)
             if any(w is not None for w in w_down):

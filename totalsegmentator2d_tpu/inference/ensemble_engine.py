@@ -187,12 +187,23 @@ class EnsembleEngine:
 
         def program(params, arr):
             work = arr.astype(self.dtype)
-            chans = [apply_scheme(work[..., c], pre.normalization_schemes[c]
-                                  if c < len(pre.normalization_schemes)
-                                  else 'zscore',
-                                  pre.intensity_properties[c]
-                                  if c < len(pre.intensity_properties) else None)
-                     for c in range(C)]
+            # use_mask_for_norm: z-score statistics over nonzero voxels only
+            # (nnU-Net computes them over the crop mask)
+            nz_mask = (jnp.any(work != 0, axis=-1)
+                       if any(pre.use_mask_for_norm) else None)
+            chans = []
+            for c in range(C):
+                scheme = (pre.normalization_schemes[c]
+                          if c < len(pre.normalization_schemes) else 'zscore')
+                props = (pre.intensity_properties[c]
+                         if c < len(pre.intensity_properties) else None)
+                use_mask = (c < len(pre.use_mask_for_norm)
+                            and pre.use_mask_for_norm[c])
+                if use_mask and 'zscore' in scheme.lower():
+                    from ..ops.normalize import zscore_normalize
+                    chans.append(zscore_normalize(work[..., c], mask=nz_mask))
+                else:
+                    chans.append(apply_scheme(work[..., c], scheme, props))
             work = jnp.stack(chans, axis=-1)
             if any(w is not None for w in w_down):
                 pref = bspline_prefilter(work, [k for k in range(2)
