@@ -336,3 +336,44 @@ class TestAllOrientations:
                 assert v_out == v_in, (perm, signs)
                 count += 1
         assert count == 48
+
+
+class TestMaskedNorm:
+    def test_masked_zscore_leaves_background(self, rng):
+        import jax.numpy as jnp
+        x = np.zeros((20, 20), np.float32)
+        x[5:15, 5:15] = rng.standard_normal((10, 10)).astype(np.float32) + 10
+        mask = x != 0
+        out = np.asarray(norm.zscore_normalize(jnp.asarray(x),
+                                               jnp.asarray(mask)))
+        # nnU-Net semantics: out-of-mask voxels keep their original value
+        np.testing.assert_array_equal(out[~mask], x[~mask])
+        inner = out[mask]
+        assert abs(inner.mean()) < 1e-4 and abs(inner.std() - 1.0) < 1e-3
+
+    def test_nonzero_norm_mask_fills_holes(self):
+        from totalsegmentator2d_tpu.ops.normalize import nonzero_norm_mask
+        arr = np.zeros((10, 10, 1), np.float32)
+        arr[2:8, 2:8] = 1.0
+        arr[4:6, 4:6] = 0.0  # interior hole
+        mask = nonzero_norm_mask(arr)
+        assert mask[5, 5]            # hole filled (create_nonzero_mask)
+        assert not mask[0, 0]
+
+    def test_normalize_channels_mixed_schemes(self, rng):
+        import jax.numpy as jnp
+        from totalsegmentator2d_tpu.models.plans import PreprocessSpec
+        from totalsegmentator2d_tpu.ops.normalize import normalize_channels
+        pre = PreprocessSpec(
+            spacing=(1.0, 1.0), patch_size=(8, 8),
+            normalization_schemes=('CTNormalization', 'ZScoreNormalization'),
+            use_mask_for_norm=(False, True),
+            intensity_properties=({'mean': 0.0, 'std': 1.0,
+                                   'percentile_00_5': -10.0,
+                                   'percentile_99_5': 10.0}, None))
+        x = rng.standard_normal((12, 12, 2)).astype(np.float32)
+        mask = jnp.asarray(np.ones((12, 12), bool))
+        out = np.asarray(normalize_channels(jnp.asarray(x), pre, mask))
+        assert out.shape == x.shape
+        # channel 0: CT clip to [-10, 10]
+        assert out[..., 0].max() <= 10.0 and out[..., 0].min() >= -10.0

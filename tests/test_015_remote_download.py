@@ -5,18 +5,14 @@ Zenodo in test_010_database; here the network is local)."""
 
 import http.server
 import os
-import shutil
-import socket
 import threading
 import zipfile
 
 import numpy as np
 import pytest
 
-from tests.conftest import asset_path
 from tests.model_fixtures import build_model_dir
 from totalsegmentator2d_tpu.inference import URLDataBase, Zoo
-from totalsegmentator2d_tpu.inference.database import parse_revision
 
 
 @pytest.fixture(scope='module')

@@ -32,7 +32,7 @@ import numpy as np
 from ..models.plans import ModelSpec
 from ..models.unet import forward
 from ..ops.gaussian import gaussian_map
-from ..ops.normalize import apply_scheme
+from ..ops.normalize import nonzero_norm_mask, normalize_channels
 from ..ops.resample import apply_separable, axis_weights, bspline_prefilter
 from ..utils.jaxcache import enable_compilation_cache
 from ..utils.logging import log
@@ -139,28 +139,16 @@ class InferenceEngine:
             outs = jax.lax.map(lambda p: unet(p, x), self.params)
             return jnp.mean(outs, axis=0)
 
-        def program(arr):
+        needs_mask = any(pre.use_mask_for_norm)
+
+        def program(arr, nz_mask=None):
             # arr: (H, W, C) float32, already cropped on host; fold-stacked
-            # weights are closed over (they live on device across calls)
+            # weights are closed over (they live on device across calls).
+            # nz_mask: host-computed create_nonzero_mask (holes filled) for
+            # plans with use_mask_for_norm
             work = arr.astype(self.dtype)
-            # 1. normalize per channel (plans schemes); use_mask_for_norm
-            #    computes z-score statistics over nonzero voxels only
-            nz_mask = (jnp.any(work != 0, axis=-1)
-                       if any(pre.use_mask_for_norm) else None)
-            chans = []
-            for c in range(C):
-                scheme = (pre.normalization_schemes[c]
-                          if c < len(pre.normalization_schemes) else 'zscore')
-                props = (pre.intensity_properties[c]
-                         if c < len(pre.intensity_properties) else None)
-                use_mask = (c < len(pre.use_mask_for_norm)
-                            and pre.use_mask_for_norm[c])
-                if use_mask and 'zscore' in scheme.lower():
-                    from ..ops.normalize import zscore_normalize
-                    chans.append(zscore_normalize(work[..., c], mask=nz_mask))
-                else:
-                    chans.append(apply_scheme(work[..., c], scheme, props))
-            work = jnp.stack(chans, axis=-1)
+            # 1. normalize per channel (plans schemes)
+            work = normalize_channels(work, pre, nz_mask)
             # 2. resample to plan spacing (cubic)
             if any(w is not None for w in w_down):
                 pref = bspline_prefilter(work, [k for k in range(2)
@@ -208,7 +196,8 @@ class InferenceEngine:
 
         jitted = jax.jit(program)
         meta = {'rs_shape': rs_shape, 'pad_shape': pad_shape,
-                'n_tiles': len(tiles), 'n_mirror': n_mirror}
+                'n_tiles': len(tiles), 'n_mirror': n_mirror,
+                'needs_mask': needs_mask}
         return jitted, meta
 
     def _program(self, in_shape, in_spacing):
@@ -239,9 +228,12 @@ class InferenceEngine:
         (y0, y1), (x0, x1) = bbox
         cropped = arr[y0:y1, x0:x1]
 
-        fn, _ = self._program(cropped.shape[:2], spacing_yx)
+        fn, meta = self._program(cropped.shape[:2], spacing_yx)
         # device_put (raw transfer), cast happens inside the program
-        seg_c, logits_c = fn(jax.device_put(np.ascontiguousarray(cropped)))
+        args = (jax.device_put(np.ascontiguousarray(cropped)),)
+        if meta['needs_mask']:
+            args += (jax.device_put(nonzero_norm_mask(cropped)),)
+        seg_c, logits_c = fn(*args)
         seg_c = np.asarray(jax.device_get(seg_c))
 
         full_shape = arr.shape[:2] + (seg_c.shape[-1:] if seg_c.ndim == 3 else ())

@@ -26,7 +26,7 @@ import numpy as np
 from ..models.plans import ModelSpec
 from ..models.unet import forward
 from ..ops.gaussian import gaussian_map
-from ..ops.normalize import apply_scheme
+from ..ops.normalize import nonzero_norm_mask, normalize_channels
 from ..ops.resample import apply_separable, axis_weights, bspline_prefilter
 from ..parallel.ensemble import pad_head
 from ..utils.jaxcache import enable_compilation_cache
@@ -185,26 +185,11 @@ class EnsembleEngine:
             outs = outs.reshape((G_, F_) + outs.shape[1:])
             return jnp.mean(outs, axis=1)  # fold average
 
-        def program(params, arr):
+        needs_mask = any(pre.use_mask_for_norm)
+
+        def program(params, arr, nz_mask=None):
             work = arr.astype(self.dtype)
-            # use_mask_for_norm: z-score statistics over nonzero voxels only
-            # (nnU-Net computes them over the crop mask)
-            nz_mask = (jnp.any(work != 0, axis=-1)
-                       if any(pre.use_mask_for_norm) else None)
-            chans = []
-            for c in range(C):
-                scheme = (pre.normalization_schemes[c]
-                          if c < len(pre.normalization_schemes) else 'zscore')
-                props = (pre.intensity_properties[c]
-                         if c < len(pre.intensity_properties) else None)
-                use_mask = (c < len(pre.use_mask_for_norm)
-                            and pre.use_mask_for_norm[c])
-                if use_mask and 'zscore' in scheme.lower():
-                    from ..ops.normalize import zscore_normalize
-                    chans.append(zscore_normalize(work[..., c], mask=nz_mask))
-                else:
-                    chans.append(apply_scheme(work[..., c], scheme, props))
-            work = jnp.stack(chans, axis=-1)
+            work = normalize_channels(work, pre, nz_mask)
             if any(w is not None for w in w_down):
                 pref = bspline_prefilter(work, [k for k in range(2)
                                                 if w_down[k] is not None])
@@ -294,7 +279,7 @@ class EnsembleEngine:
 
         jitted = jax.jit(program)
         meta = {'rs_shape': rs_shape, 'n_tiles': len(tiles),
-                'n_mirror': n_mirror}
+                'n_mirror': n_mirror, 'needs_mask': needs_mask}
         return jitted, meta
 
     def _program(self, in_shape, in_spacing):
@@ -318,13 +303,18 @@ class EnsembleEngine:
         the per-projection device round trips of the unfused path."""
         from ..ops.projection import project_array
 
-        fn2d, _ = self._program(vol_shape[::2], spacing_yx)
+        fn2d, meta2d = self._program(vol_shape[::2], spacing_yx)
 
         def program(params, vol):
             work = vol.astype(self.dtype)
             chans = [jnp.squeeze(project_array(work, m, axis=1), 1)
                      for m in modes]
             x2d = jnp.stack(chans, axis=-1)          # (Z, X, C)
+            if meta2d['needs_mask']:
+                # device-side mask (no hole fill): CT projections are dense,
+                # so this only affects hypothetical masked-norm volume plans
+                return fn2d.__wrapped__(params, x2d,
+                                        jnp.any(x2d != 0, axis=-1)), x2d
             return fn2d.__wrapped__(params, x2d), x2d
 
         return jax.jit(program)
@@ -370,13 +360,17 @@ class EnsembleEngine:
         XLA replicates the (vmapped) per-scan program across chips."""
         from ..ops.projection import project_array
 
-        fn2d, _ = self._program(vol_shape[::2], spacing_yx)
+        fn2d, meta2d = self._program(vol_shape[::2], spacing_yx)
 
         def one(params, vol):
             work = vol.astype(self.dtype)
             chans = [jnp.squeeze(project_array(work, m, axis=1), 1)
                      for m in modes]
-            return fn2d.__wrapped__(params, jnp.stack(chans, axis=-1))
+            x2d = jnp.stack(chans, axis=-1)
+            if meta2d['needs_mask']:
+                return fn2d.__wrapped__(params, x2d,
+                                        jnp.any(x2d != 0, axis=-1))
+            return fn2d.__wrapped__(params, x2d)
 
         def program(params, vols):
             return jax.vmap(lambda v: one(params, v))(vols)
@@ -438,10 +432,12 @@ class EnsembleEngine:
                 f'{self.spec.arch.in_channels}')
         (y0, y1), (x0, x1) = _nonzero_bbox(arr)
         cropped = arr[y0:y1, x0:x1]
-        fn, _ = self._program(cropped.shape[:2], spacing_yx)
-        seg_c = unpack_bits(np.asarray(jax.device_get(
-            fn(self.params, jax.device_put(np.ascontiguousarray(cropped))))),
-            self.total_labels)
+        fn, meta = self._program(cropped.shape[:2], spacing_yx)
+        args = (self.params, jax.device_put(np.ascontiguousarray(cropped)))
+        if meta['needs_mask']:
+            args += (jax.device_put(nonzero_norm_mask(cropped)),)
+        seg_c = unpack_bits(np.asarray(jax.device_get(fn(*args))),
+                            self.total_labels)
         if seg_c.shape[:2] != arr.shape[:2]:
             seg = np.zeros(arr.shape[:2] + (seg_c.shape[-1],), np.uint8)
             seg[y0:y1, x0:x1] = seg_c

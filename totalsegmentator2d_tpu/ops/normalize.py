@@ -25,19 +25,53 @@ def ct_normalize(x: jnp.ndarray, mean: float, std: float,
 
 
 def zscore_normalize(x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """nnU-Net ZScoreNormalization: per-image mean/std (optionally over a
-    nonzero mask when the image was cropped)."""
+    """nnU-Net ZScoreNormalization. With a mask (use_mask_for_norm), the
+    statistics come from masked voxels and ONLY those voxels are normalized
+    — out-of-mask voxels keep their original value (zeros after the crop),
+    exactly like nnU-Net's ``image[mask] = (image[mask] - mean) / std``."""
     x = x.astype(jnp.float32)
     if mask is None:
         mean = jnp.mean(x)
         std = jnp.std(x)
-    else:
-        m = mask.astype(jnp.float32)
-        denom = jnp.maximum(jnp.sum(m), 1.0)
-        mean = jnp.sum(x * m) / denom
-        var = jnp.sum(jnp.square(x - mean) * m) / denom
-        std = jnp.sqrt(var)
-    return (x - mean) / jnp.maximum(std, 1e-8)
+        return (x - mean) / jnp.maximum(std, 1e-8)
+    m = mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(x * m) / denom
+    var = jnp.sum(jnp.square(x - mean) * m) / denom
+    std = jnp.sqrt(var)
+    return jnp.where(mask, (x - mean) / jnp.maximum(std, 1e-8), x)
+
+
+def normalize_channels(work: jnp.ndarray, pre,
+                       nz_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-channel plans-driven normalization of an (..., C) image.
+    ``nz_mask``: the nonzero-crop mask used when a channel's
+    use_mask_for_norm is set (callers compute it host-side with
+    binary_fill_holes to match nnU-Net's create_nonzero_mask)."""
+    C = work.shape[-1]
+    chans = []
+    for c in range(C):
+        scheme = (pre.normalization_schemes[c]
+                  if c < len(pre.normalization_schemes) else 'zscore')
+        props = (pre.intensity_properties[c]
+                 if c < len(pre.intensity_properties) else None)
+        use_mask = (c < len(pre.use_mask_for_norm)
+                    and pre.use_mask_for_norm[c])
+        if use_mask and 'zscore' in scheme.lower() and nz_mask is not None:
+            chans.append(zscore_normalize(work[..., c], mask=nz_mask))
+        else:
+            chans.append(apply_scheme(work[..., c], scheme, props))
+    return jnp.stack(chans, axis=-1)
+
+
+def nonzero_norm_mask(arr) -> 'jnp.ndarray':
+    """Host-side nnU-Net create_nonzero_mask: any-channel nonzero, holes
+    filled (scipy binary_fill_holes)."""
+    import numpy as np
+    from scipy.ndimage import binary_fill_holes
+    a = np.asarray(arr)
+    mask = np.any(a != 0, axis=-1) if a.ndim == 3 else (a != 0)
+    return binary_fill_holes(mask)
 
 
 def rescale_01_normalize(x: jnp.ndarray) -> jnp.ndarray:
