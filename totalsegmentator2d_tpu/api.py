@@ -290,7 +290,7 @@ class TS2D:
         merged_names: dict = {}
         merged_colors: dict = {}
         for id_, model in models:
-            n = model.spec.arch.out_channels
+            n = model.spec.arch.out_channels - (0 if model.multilabel else 1)
             seg_arr = np.ascontiguousarray(merged2d[..., offset:offset + n])
             seg = input2d.replace(array=seg_arr, is_vector=True, meta={})
             set_annotation_meta(seg, names=model.labels,

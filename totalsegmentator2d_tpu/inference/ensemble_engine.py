@@ -79,6 +79,9 @@ class EnsembleEngine:
             if s.arch.in_channels != self.spec.arch.in_channels:
                 raise ValueError('All groups must share the input channels')
         self.label_counts = [s.arch.out_channels for s in specs]
+        # packed output channels per group: softmax groups drop background
+        self.output_label_counts = [
+            s.arch.out_channels - (0 if s.multilabel else 1) for s in specs]
         self.max_labels = max(self.label_counts)
         self.n_groups = len(specs)
         self.n_folds = len(group_fold_params[0])
@@ -115,7 +118,9 @@ class EnsembleEngine:
 
     @property
     def total_labels(self) -> int:
-        return sum(self.label_counts)
+        """Total packed output channels (softmax groups contribute
+        out_channels - 1: background is dropped on device)."""
+        return sum(self.output_label_counts)
 
     def labels(self) -> Dict[int, str]:
         """Merged label map: 1-based values in group order (the order the

@@ -64,6 +64,7 @@ class ScanPipeline:
 
         n = len(cases)
         done = 0
+        save_futures = []
         try:
             while True:
                 item = q.get()
@@ -77,15 +78,28 @@ class ScanPipeline:
                     continue
                 if progress:
                     log(f'[{done}/{n}] Processing: {name}')
-                res = self.tool.predict(img, collapse=collapse)
+                try:
+                    res = self.tool.predict(img, collapse=collapse)
+                except Exception as ex:
+                    # one bad case must not kill the batch (read failures
+                    # are already survivable; predict failures match)
+                    warn(f'Failed to predict case {name}: {ex}')
+                    timers.append(timer)
+                    continue
                 timer.mark('predict')
                 if save_kwargs is not None:
-                    self._saver.submit(self._save, res, name, dict(save_kwargs),
-                                       timer, task_id=f'save-{name}')
+                    save_futures.append(
+                        (name, self._saver.submit(
+                            self._save, res, name, dict(save_kwargs),
+                            timer, task_id=f'save-{name}')))
                 if on_result is not None:
                     on_result(name, res)
                 timers.append(timer)
             self._saver.wait()
+            for name, fut in save_futures:
+                exc = fut.exception() if fut.done() else None
+                if exc is not None:
+                    warn(f'Failed to save case {name}: {exc}')
         finally:
             self._saver.stop()
         return timers

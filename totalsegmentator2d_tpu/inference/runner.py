@@ -17,6 +17,7 @@ Capability parity with the reference:
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import traceback
@@ -44,7 +45,13 @@ class AsyncRunner:
         self._queue: 'queue.Queue[Optional[Task]]' = queue.Queue()
         self._threads: List[threading.Thread] = []
         self._tasks: Dict[str, Task] = {}
-        self._lock = threading.Lock()
+        # completed tasks drop their payloads immediately (a long batch run
+        # must not retain every result); only recent timers are kept
+        self._recent_timers: 'collections.OrderedDict[str, dict]' = \
+            collections.OrderedDict()
+        # RLock: Future.cancel() in stop() runs the done-callback
+        # synchronously while the lock is already held
+        self._lock = threading.RLock()
         self._stopping = threading.Event()
         self._counter = 0
 
@@ -103,6 +110,15 @@ class AsyncRunner:
         task = Task(tid, fn, args, kwargs)
         with self._lock:
             self._tasks[tid] = task
+
+        def _on_done(_fut, tid=tid, timer=task.timer):
+            with self._lock:
+                self._tasks.pop(tid, None)
+                self._recent_timers[tid] = dict(timer.marks)
+                while len(self._recent_timers) > 256:
+                    self._recent_timers.popitem(last=False)
+
+        task.future.add_done_callback(_on_done)
         self._queue.put(task)
         return task.future
 
@@ -153,7 +169,10 @@ class AsyncRunner:
     def timestamps(self, task_id: str) -> Optional[Dict[str, float]]:
         with self._lock:
             task = self._tasks.get(task_id)
-        return dict(task.timer.marks) if task else None
+            if task is not None:
+                return dict(task.timer.marks)
+            return (dict(self._recent_timers[task_id])
+                    if task_id in self._recent_timers else None)
 
     def __enter__(self):
         return self.start()

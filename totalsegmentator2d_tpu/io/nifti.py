@@ -102,8 +102,11 @@ def read(path: str) -> MedicalImage:
         flat = flat.astype(dtype.newbyteorder('<'))
 
     slope, inter = hdr['scl_slope'], hdr['scl_inter']
-    if slope not in (0.0, 1.0) or inter != 0.0:
-        flat = flat.astype(np.float32) * (slope if slope != 0 else 1.0) + inter
+    # NaN means 'unset' (nibabel/ITK convention)
+    slope = 1.0 if (np.isnan(slope) or slope == 0.0) else slope
+    inter = 0.0 if np.isnan(inter) else inter
+    if slope != 1.0 or inter != 0.0:
+        flat = flat.astype(np.float32) * slope + inter
 
     # x fastest on disk; component dim is slowest (dim 5) -> move last
     arr = flat.reshape(([ncomp] if ncomp > 1 else []) + spatial[::-1])

@@ -80,7 +80,8 @@ def project(img: MedicalImage, mode: str = 'max',
                                    axis=itk_axis)
 
     np_axis = img.dim - 1 - itk_axis  # channel tail (if any) is after spatial
-    out = np.asarray(project_array(jnp.asarray(img.array), mode, np_axis))
+    dev = jax.device_put(np.ascontiguousarray(img.array))
+    out = np.asarray(project_array(dev, mode, np_axis))
     return _projected_image(img, out, itk_axis)
 
 
@@ -139,13 +140,14 @@ def _project_multiclass(img: MedicalImage, num: Optional[int], axis: int) -> Med
         if num is None:
             raise ValueError('multiclass projection needs a channel count, '
                              "use mode 'multiclass:<num>'")
-        arr = jnp.asarray(img.array)
+        arr = jax.device_put(np.ascontiguousarray(img.array))
         labels = jnp.arange(1, num + 1)
         onehot = (arr[..., None] == labels).any(axis=np_axis, keepdims=True)
         out = np.asarray(onehot.astype(jnp.uint8))
         return _projected_image(img, out, axis, is_vector=True)
     # already multichannel: max-project each channel
-    out = np.asarray(jnp.max(jnp.asarray(img.array), axis=np_axis, keepdims=True))
+    dev = jax.device_put(np.ascontiguousarray(img.array))
+    out = np.asarray(jnp.max(dev, axis=np_axis, keepdims=True))
     return _projected_image(img, out, axis)
 
 
@@ -155,7 +157,7 @@ def flatten_vector_max(img: MedicalImage, index: bool = False) -> MedicalImage:
     component, 0 where all components are zero (reference image.py:266-290)."""
     if img.ncomponents <= 1:
         return img
-    arr = jnp.asarray(img.array)
+    arr = jax.device_put(np.ascontiguousarray(img.array))
     if index:
         nz = arr != 0
         # last non-zero component, 1-based; 0 when none

@@ -218,8 +218,10 @@ def resize_to_shape(arr: np.ndarray, shape: Sequence[int], order: int = 3,
     semantics: ``resize(..., order=3, mode='edge', anti_aliasing=False)``)."""
     if axes is None:
         axes = tuple(range(len(shape)))
-    out = _resize_jit(jnp.asarray(arr), tuple(int(s) for s in shape),
-                      int(order), outside, tuple(axes))
+    # device_put (raw transfer), never jnp.asarray: see CLAUDE.md conventions
+    out = _resize_jit(jax.device_put(np.ascontiguousarray(arr)),
+                      tuple(int(s) for s in shape), int(order), outside,
+                      tuple(axes))
     return np.asarray(out)
 
 
@@ -314,7 +316,7 @@ def _resample_axes(array: np.ndarray, is_vector: bool, d: int,
             axes.append(d - 1 - j)
         return apply_separable(work, weights, axes)
 
-    return np.asarray(run(jnp.asarray(array)))
+    return np.asarray(run(jax.device_put(np.ascontiguousarray(array))))
 
 
 def resample_uniform(img: MedicalImage, **kwargs) -> MedicalImage:

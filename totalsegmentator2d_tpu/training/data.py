@@ -48,8 +48,10 @@ def preprocess_case(img: MedicalImage, seg: Optional[MedicalImage],
     if seg is not None:
         s = seg.array if seg.is_vector else seg.array[..., None]
         if new_shape != s.shape[:2]:
-            s = (resize_to_shape(s.astype(np.float32), new_shape, order=0,
-                                 axes=(0, 1)) > 0.5)
+            s = resize_to_shape(s.astype(np.float32), new_shape, order=0,
+                                axes=(0, 1))
+            # one-hot channels binarize; labelmaps keep their integer values
+            s = (s > 0.5) if spec.multilabel else np.rint(s)
         target = s.astype(np.uint8)
     return data, target
 

@@ -34,8 +34,10 @@ def remove_log_sink(fn) -> None:
 
 
 def _fingerprint() -> tuple:
-    # identify the call site two frames up (log/warn caller)
-    frame = traceback.extract_stack(limit=4)[0]
+    # identify the log()/warn() call site: the stack ends
+    # [..., caller, log_or_warn, _fingerprint], so the caller is third
+    # from the end
+    frame = traceback.extract_stack(limit=3)[0]
     return (frame.filename, frame.lineno)
 
 
