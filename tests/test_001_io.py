@@ -137,3 +137,56 @@ class TestGeometry:
         write_image(img, p)
         back = read_image(p)
         np.testing.assert_array_equal(back.array, arr)
+
+
+class TestNrrdEdgeCases:
+    def _header(self, **over):
+        base = {
+            'type': 'short', 'dimension': '2', 'space dimension': '2',
+            'sizes': '4 3', 'space directions': '(1,0) (0,1)',
+            'kinds': 'domain domain', 'encoding': 'raw',
+            'space origin': '(0,0)',
+        }
+        base.update(over)
+        return 'NRRD0004\n' + ''.join(f'{k}: {v}\n' for k, v in base.items()) + '\n'
+
+    def test_ascii_encoding(self, tmp_path):
+        arr = np.arange(12, dtype=np.int16).reshape(3, 4)
+        p = tmp_path / 'a.nrrd'
+        p.write_text(self._header(encoding='ascii')
+                     + ' '.join(str(v) for v in arr.ravel()))
+        img = read_image(str(p))
+        np.testing.assert_array_equal(img.array, arr)
+
+    def test_big_endian(self, tmp_path):
+        arr = np.arange(12, dtype=np.int16).reshape(3, 4)
+        p = tmp_path / 'b.nrrd'
+        p.write_bytes(self._header(endian='big').encode()
+                      + arr.astype('>i2').tobytes())
+        img = read_image(str(p))
+        np.testing.assert_array_equal(img.array, arr)
+
+    def test_detached_header(self, tmp_path):
+        arr = np.arange(12, dtype=np.int16).reshape(3, 4)
+        (tmp_path / 'c.raw').write_bytes(arr.astype('<i2').tobytes())
+        p = tmp_path / 'c.nhdr'
+        p.write_text(self._header(**{'endian': 'little',
+                                     'data file': 'c.raw'}))
+        img = read_image(str(p))
+        np.testing.assert_array_equal(img.array, arr)
+
+    def test_nifti_nan_slope_ignored(self, tmp_path, rng):
+        """scl_slope=NaN means 'unset' — the volume must come back intact."""
+        import struct
+        from totalsegmentator2d_tpu.io import nifti, MedicalImage, write_image
+        img = MedicalImage(array=rng.integers(-100, 100, (4, 5, 6)).astype(np.int16),
+                           spacing=(1.0, 1.0, 1.0))
+        p = str(tmp_path / 'x.nii')
+        write_image(img, p)
+        raw = bytearray(open(p, 'rb').read())
+        struct.pack_into('<f', raw, 112, float('nan'))  # scl_slope = NaN
+        struct.pack_into('<f', raw, 116, float('nan'))  # scl_inter = NaN
+        open(p, 'wb').write(bytes(raw))
+        back = read_image(p)
+        np.testing.assert_array_equal(back.array, img.array)
+        assert not np.isnan(back.array.astype(np.float64)).any()
