@@ -1,0 +1,86 @@
+"""HTTP serving endpoint."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from tests.conftest import asset_path
+from tests.model_fixtures import build_group_set
+from totalsegmentator2d_tpu.api import TS2D
+from totalsegmentator2d_tpu.serve import TS2DServer
+
+
+@pytest.fixture(scope='module')
+def server(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('zoo'))
+    build_group_set(root, model='ts2d-v9-test', groups=('cardiac', 'ribs'))
+    with TS2D(key='ts2d-v9-test', use_remote=False, local=root) as tool:
+        with TS2DServer(tool, port=0) as srv:
+            yield srv
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f'http://127.0.0.1:{srv.port}{path}') as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+class TestServer:
+    def test_health(self, server):
+        status, body, _ = _get(server, '/health')
+        data = json.loads(body)
+        assert status == 200
+        assert data['status'] == 'ok'
+        assert len(data['models']) == 2
+
+    def test_labels(self, server):
+        status, body, _ = _get(server, '/labels')
+        data = json.loads(body)
+        assert 'ts2d-v9-test_cardiac' in data
+        assert data['ts2d-v9-test_cardiac']['1'] == 'heart'
+
+    def test_predict_roundtrip(self, server, tmp_path):
+        payload = open(asset_path('sample_s0332.nrrd'), 'rb').read()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{server.port}/predict?format=nrrd',
+            data=payload, method='POST')
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            labels = json.loads(r.headers['X-TS2D-Labels'])
+            body = r.read()
+        assert 'heart' in labels and 'rib-left-1' in labels
+        out = tmp_path / 'seg.nrrd'
+        out.write_bytes(body)
+        from totalsegmentator2d_tpu.io import read_image
+        seg = read_image(str(out))
+        assert seg.ncomponents == 5
+
+    def test_predict_bad_payload(self, server):
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{server.port}/predict',
+            data=b'not an image', method='POST')
+        try:
+            urllib.request.urlopen(req)
+            assert False, 'expected HTTPError'
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert 'error' in json.loads(e.read())
+
+    def test_unknown_route(self, server):
+        try:
+            _get(server, '/nope')
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+    def test_bad_output_format(self, server):
+        payload = open(asset_path('sample_s0332.nrrd'), 'rb').read()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{server.port}/predict?format=exe',
+            data=payload, method='POST')
+        try:
+            urllib.request.urlopen(req)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400

@@ -1,0 +1,184 @@
+"""REST serving endpoint.
+
+The reference's zoo API names a server interface ('svc'/'server',
+zoo.py:137-141) but never implements one; this provides it for production
+deployment: a lightweight HTTP server wrapping a resident TS2D tool. The
+device programs stay compiled and warm across requests; request handling
+runs on threads and the async XLA dispatch queue serializes device work.
+
+Endpoints
+---------
+GET  /health            -> {"status": "ok", "models": [...]}
+GET  /labels            -> {"<model id>": {"1": "heart", ...}, ...}
+POST /predict           body: a medical image file (nrrd/nii/nii.gz/mha)
+     query params:      collapse=0|1, format=nrrd|nii.gz
+     response:          merged multilabel segmentation in the requested
+                        format; label metadata rides in X-TS2D-Labels (JSON)
+
+Start:  python -m totalsegmentator2d_tpu.serve --model ts2d --port 8008
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .utils.logging import log, warn
+
+
+class TS2DServer:
+    def __init__(self, tool, host: str = '127.0.0.1', port: int = 8008):
+        self.tool = tool
+        self.host = host
+        self.port = port
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()  # predict serialization (host side)
+
+    # -- request handling --------------------------------------------------
+
+    def _handle_health(self):
+        return 200, 'application/json', json.dumps({
+            'status': 'ok',
+            'models': sorted(self.tool.models),
+        }).encode()
+
+    def _handle_labels(self):
+        return 200, 'application/json', json.dumps({
+            mid: {str(v): n for v, n in model.labels.items()}
+            for mid, model in self.tool.models.items()
+        }).encode()
+
+    def _handle_predict(self, body: bytes, query: dict):
+        from .io import read_image, write_image
+        from .ops.annotations import get_annotation_labels
+
+        ext = query.get('input_format', ['nrrd'])[0]
+        out_fmt = query.get('format', ['nrrd'])[0]
+        collapse = query.get('collapse', ['0'])[0] in ('1', 'true')
+        if out_fmt not in ('nrrd', 'nii', 'nii.gz', 'mha'):
+            return 400, 'application/json', json.dumps(
+                {'error': f'unsupported output format {out_fmt}'}).encode()
+
+        with tempfile.TemporaryDirectory(prefix='ts2d-serve-') as tmp:
+            in_path = os.path.join(tmp, f'input.{ext}')
+            with open(in_path, 'wb') as f:
+                f.write(body)
+            try:
+                img = read_image(in_path)
+            except Exception as ex:
+                return 400, 'application/json', json.dumps(
+                    {'error': f'failed to parse input image: {ex}'}).encode()
+
+            with self._lock:
+                res = self.tool.predict(img, collapse=collapse)
+            seg = res.get_segmentation()
+            out_path = os.path.join(tmp, f'seg.{out_fmt}')
+            write_image(seg, out_path)
+            payload = open(out_path, 'rb').read()
+            labels = {name: info['value'] for name, info in
+                      get_annotation_labels(seg).items()}
+        return 200, 'application/octet-stream', payload, {
+            'X-TS2D-Labels': json.dumps(labels),
+            'Content-Disposition': f'attachment; filename="seg.{out_fmt}"',
+        }
+
+    # -- http plumbing ------------------------------------------------------
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                log(f'[serve] {fmt % args}')
+
+            def _send(self, status, ctype, payload, headers=None):
+                self.send_response(status)
+                self.send_header('Content-Type', ctype)
+                self.send_header('Content-Length', str(len(payload)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def do_GET(self):
+                path = self.path.split('?')[0]
+                if path == '/health':
+                    self._send(*server._handle_health())
+                elif path == '/labels':
+                    self._send(*server._handle_labels())
+                else:
+                    self._send(404, 'application/json',
+                               json.dumps({'error': 'not found'}).encode())
+
+            def do_POST(self):
+                from urllib.parse import parse_qs, urlparse
+                parsed = urlparse(self.path)
+                if parsed.path != '/predict':
+                    self._send(404, 'application/json',
+                               json.dumps({'error': 'not found'}).encode())
+                    return
+                length = int(self.headers.get('Content-Length', 0))
+                body = self.rfile.read(length)
+                try:
+                    result = server._handle_predict(body, parse_qs(parsed.query))
+                except Exception as ex:
+                    warn(f'[serve] predict failed: {ex}')
+                    result = (500, 'application/json',
+                              json.dumps({'error': str(ex)}).encode())
+                self._send(*result)
+
+        return Handler
+
+    def start(self) -> 'TS2DServer':
+        self._httpd = ThreadingHTTPServer((self.host, self.port),
+                                          self._make_handler())
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True, name='ts2d-server')
+        self._thread.start()
+        log(f'TS2D serving on http://{self.host}:{self.port}')
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.stop()
+
+
+def main() -> None:
+    import argparse
+    from .api import TS2D
+
+    parser = argparse.ArgumentParser(description='Serve TS2D over HTTP.')
+    parser.add_argument('--model', type=str, default=None)
+    parser.add_argument('--host', type=str, default='127.0.0.1')
+    parser.add_argument('--port', type=int, default=8008)
+    parser.add_argument('--no-remote', action='store_true')
+    parser.add_argument('--no-fetch', action='store_true')
+    parser.add_argument('--local', type=str, default=None)
+    args = parser.parse_args()
+
+    from .utils.config import get_default_model
+    key = args.model or get_default_model()
+    with TS2D(key=key, use_remote=not args.no_remote,
+              fetch_remote=not args.no_fetch, local=args.local) as tool:
+        server = TS2DServer(tool, host=args.host, port=args.port).start()
+        try:
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            server.stop()
+
+
+if __name__ == '__main__':
+    main()
