@@ -109,6 +109,8 @@ def pipelined_rate(engine, vol, spacing, n=6, rounds=3):
 
 
 def main():
+    from totalsegmentator2d_tpu.utils.logging import log_silent
+    log_silent(True)  # exactly one JSON line on stdout
     engine = build_engine()
 
     # primary: the bundled real TotalSegmentator CT (the reference's own

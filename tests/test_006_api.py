@@ -194,3 +194,17 @@ class TestCLIParsing:
                  visualize=False, silent=True, local=model_root,
                  trace=str(trace_dir))
         assert any(trace_dir.rglob('*'))
+
+
+class TestStatistics:
+    def test_get_statistics(self, tool):
+        res = tool.predict(asset_path('sample_s0332.nrrd'))
+        stats = res.get_statistics()
+        assert len(stats) == 5
+        seg = res.get_segmentation()
+        voxel_mm = float(np.prod(seg.spacing))  # 3D seg: 1.5 * 403.5 * 1.5
+        for name, info in stats.items():
+            assert set(info) >= {'value', 'count', 'mm', 'color', 'exists'}
+            assert info['mm'] == pytest.approx(info['count'] * voxel_mm)
+        per_model = res.get_statistics(res.models[0])
+        assert len(per_model) == 2

@@ -352,6 +352,17 @@ class TS2D:
                 return projections.get(channel)
             return projections
 
+        def get_statistics(self, model: Optional[str] = None) -> dict:
+            """Per-label statistics of a segmentation: {name: {value,
+            exists, count, mm, color}} — voxel counts and physical area
+            (mm^2 for 2D) like the reference's annotation labels with
+            counts=True (meta.py:299-344)."""
+            from .ops.annotations import get_annotation_labels
+            seg = self.get_segmentation(model)
+            if seg is None:
+                return {}
+            return get_annotation_labels(seg, counts=True)
+
         def save(self, dest: str, name: str = 'result', ext: str = 'nrrd',
                  models: Union[str, List[str]] = 'final',
                  targets: Union[str, List[str]] = 'all',
