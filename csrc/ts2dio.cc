@@ -85,6 +85,13 @@ long long ts2dio_inflate(const char* src, size_t src_len,
     }
   }
   total = static_cast<long long>(dst_cap - zs.avail_out);
+  // unconsumed input after the final stream end means the destination was
+  // too small for a multi-member stream (e.g. an ISIZE-based bound that only
+  // covered the last member) — fail so the caller can fall back
+  if (zs.avail_in != 0) {
+    inflateEnd(&zs);
+    return -1;
+  }
   inflateEnd(&zs);
   return total;
 }

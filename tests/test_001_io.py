@@ -190,3 +190,39 @@ class TestNrrdEdgeCases:
         back = read_image(p)
         np.testing.assert_array_equal(back.array, img.array)
         assert not np.isnan(back.array.astype(np.float64)).any()
+
+
+class TestGzipAndSkips:
+    def test_multimember_gzip(self, tmp_path, rng):
+        """Concatenated gzip members (pigz/bgzip style) must decode fully."""
+        import gzip as pygzip
+        from totalsegmentator2d_tpu.io import native
+        a = rng.integers(0, 255, 50_000).astype('uint8').tobytes()
+        b = rng.integers(0, 255, 30_000).astype('uint8').tobytes()
+        multi = pygzip.compress(a) + pygzip.compress(b)
+        assert native.gzip_decompress(multi) == a + b
+
+    def test_nrrd_byte_skip(self, tmp_path):
+        arr = np.arange(12, dtype=np.int16).reshape(3, 4)
+        hdr = ('NRRD0004\ntype: short\ndimension: 2\nspace dimension: 2\n'
+               'sizes: 4 3\nspace directions: (1,0) (0,1)\n'
+               'kinds: domain domain\nendian: little\nencoding: raw\n'
+               'space origin: (0,0)\nbyte skip: 7\n\n')
+        p = tmp_path / 's.nrrd'
+        p.write_bytes(hdr.encode() + b'JUNK!!!' + arr.astype('<i2').tobytes())
+        img = read_image(str(p))
+        np.testing.assert_array_equal(img.array, arr)
+
+    def test_unannotated_label_visual_not_blank(self, rng):
+        """Label images without color metadata must render visible colors."""
+        from totalsegmentator2d_tpu.ops import create_visual
+        arr = np.zeros((20, 20), np.uint8)
+        arr[2:10, 2:10] = 1
+        arr[12:18, 12:18] = 2
+        vis = create_visual(MedicalImage(array=arr, spacing=(1.0, 1.0)))
+        assert vis.ncomponents == 3
+        # the two labels must not both be white
+        px1 = vis.array[5, 5]
+        px2 = vis.array[15, 15]
+        assert not np.array_equal(px1, [255, 255, 255])
+        assert not np.array_equal(px1, px2)

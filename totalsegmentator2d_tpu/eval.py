@@ -44,6 +44,7 @@ def dice_per_label(pred: MedicalImage, gt: MedicalImage,
     0.0 unless empty on both (1.0)."""
     pm = _label_masks(pred)
     gm = _label_masks(gt)
+    import jax
     import jax.numpy as jnp
 
     result: Dict[str, float] = {}
@@ -57,7 +58,8 @@ def dice_per_label(pred: MedicalImage, gt: MedicalImage,
             continue
         if p.shape != g.shape:
             raise ValueError(f'Shape mismatch for {name}: {p.shape} vs {g.shape}')
-        inter = float(jnp.sum(jnp.logical_and(jnp.asarray(p), jnp.asarray(g))))
+        inter = float(jnp.sum(jnp.logical_and(jax.device_put(p),
+                                              jax.device_put(g))))
         denom = float(p.sum()) + float(g.sum())
         if denom == 0:
             result[name] = 1.0

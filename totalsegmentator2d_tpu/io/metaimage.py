@@ -88,11 +88,11 @@ def write(img: MedicalImage, path: str, compress: bool = True) -> None:
     arr = np.ascontiguousarray(img.array)
     if arr.dtype == np.bool_:
         arr = arr.astype(np.uint8)
+    if arr.dtype.byteorder == '>':
+        arr = arr.astype(arr.dtype.newbyteorder('<'))
     dtype = arr.dtype
     if dtype not in _MET_INV:
         raise ValueError(f'Unsupported dtype for MetaImage export: {dtype}')
-    if dtype.byteorder == '>':
-        arr = arr.astype(dtype.newbyteorder('<'))
 
     payload = arr.tobytes()
     if compress:

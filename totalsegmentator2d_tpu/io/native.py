@@ -65,8 +65,13 @@ def gzip_decompress(data: bytes) -> bytes:
             got = lib.ts2dio_inflate(data, len(data), out, size)
             if got >= 0:
                 return out.raw[:got]
-    # wbits=47: auto-detect zlib or gzip framing
-    return zlib.decompress(data, wbits=47)
+    if data[:2] == b'\x1f\x8b':
+        # gzip framing: gzip.decompress handles multi-member streams
+        # (pigz/bgzip/concatenated writers), which zlib wbits=47 would
+        # silently truncate to the first member
+        import gzip
+        return gzip.decompress(data)
+    return zlib.decompress(data)
 
 
 def gzip_compress(data: bytes, level: int = 1) -> bytes:

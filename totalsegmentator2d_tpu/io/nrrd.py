@@ -104,8 +104,20 @@ def read_header(f) -> Tuple[dict, dict]:
     return fields, keyvalues
 
 
-def _decode_payload(f, encoding: str, dtype: np.dtype, count: int) -> np.ndarray:
+def _decode_payload(f, encoding: str, dtype: np.dtype, count: int,
+                    byte_skip: int = 0, line_skip: int = 0) -> np.ndarray:
     encoding = encoding.lower()
+    for _ in range(line_skip):
+        f.readline()
+    if byte_skip == -1:
+        # teem convention: -1 = data is the LAST count*itemsize bytes
+        if encoding != 'raw':
+            raise ValueError('byte skip: -1 requires raw encoding')
+        buf = f.read()
+        return np.frombuffer(buf[-count * dtype.itemsize:], dtype=dtype,
+                             count=count)
+    if byte_skip:
+        f.read(byte_skip)
     if encoding == 'raw':
         buf = f.read(count * dtype.itemsize)
         if len(buf) < count * dtype.itemsize:
@@ -129,15 +141,19 @@ def read(path: str) -> MedicalImage:
             raise ValueError('NRRD sizes do not match dimension')
         dtype = np.dtype(_NRRD_TYPES[fields['type'].strip().lower()])
 
+        byte_skip = int(fields.get('byte skip', fields.get('byteskip', 0)))
+        line_skip = int(fields.get('line skip', fields.get('lineskip', 0)))
         if 'data file' in fields or 'datafile' in fields:
             rel = fields.get('data file', fields.get('datafile'))
             dpath = os.path.join(os.path.dirname(path), rel)
             with open(dpath, 'rb') as df:
                 flat = _decode_payload(df, fields.get('encoding', 'raw'),
-                                       dtype, int(np.prod(sizes)))
+                                       dtype, int(np.prod(sizes)),
+                                       byte_skip, line_skip)
         else:
             flat = _decode_payload(f, fields.get('encoding', 'raw'),
-                                   dtype, int(np.prod(sizes)))
+                                   dtype, int(np.prod(sizes)),
+                                   byte_skip, line_skip)
 
     endian = fields.get('endian', 'little').lower()
     if dtype.itemsize > 1 and endian == 'big':
@@ -213,11 +229,11 @@ def _tokenize_vectors(text: str) -> List[str]:
 def write(img: MedicalImage, path: str, compress: bool = True,
           compression_level: int = 1) -> None:
     arr = np.ascontiguousarray(img.array)
+    if arr.dtype.byteorder == '>':
+        arr = arr.astype(arr.dtype.newbyteorder('<'))
     dtype = arr.dtype
     if dtype not in _DTYPE_TO_NRRD:
         raise ValueError(f'Unsupported dtype for NRRD export: {dtype}')
-    if dtype.byteorder == '>':
-        arr = arr.astype(dtype.newbyteorder('<'))
 
     sdim = img.dim
     ndim = arr.ndim

@@ -298,25 +298,32 @@ def resample(img: MedicalImage,
                        origin=tuple(float(v) for v in origin_new))
 
 
+@functools.partial(jax.jit, static_argnames=('pre_axes', 'axes'))
+def _resample_exec(arr, weights, pre_axes, axes):
+    """Module-level jitted executor so repeated resamples of the same
+    shapes hit jax.jit's cache (a per-call closure would re-trace and
+    re-compile every invocation)."""
+    work = arr.astype(jnp.float32)
+    if pre_axes:
+        work = bspline_prefilter(work, list(pre_axes))
+    return apply_separable(work, list(weights), list(axes))
+
+
 def _resample_axes(array: np.ndarray, is_vector: bool, d: int,
                    size_old, size_new, spacing_old, spacing_new,
                    delta, order: int) -> np.ndarray:
-    @functools.partial(jax.jit, static_argnames=())
-    def run(arr):
-        work = arr.astype(jnp.float32)
-        if order == 3:
-            pre = [d - 1 - j for j in range(d) if size_old[j] > 1]
-            work = bspline_prefilter(work, pre)
-        weights, axes = [], []
-        for j in range(d):
-            coords = (delta[j] + spacing_new[j] * np.arange(size_new[j])) / spacing_old[j]
-            W = axis_weights(size_old[j], coords, order if size_old[j] > 1 else 0,
-                             outside='zero')
-            weights.append(jnp.asarray(W, dtype=jnp.float32))
-            axes.append(d - 1 - j)
-        return apply_separable(work, weights, axes)
-
-    return np.asarray(run(jax.device_put(np.ascontiguousarray(array))))
+    weights, axes = [], []
+    for j in range(d):
+        coords = (delta[j] + spacing_new[j] * np.arange(size_new[j])) / spacing_old[j]
+        W = axis_weights(size_old[j], coords, order if size_old[j] > 1 else 0,
+                         outside='zero')
+        weights.append(jax.device_put(np.asarray(W, dtype=np.float32)))
+        axes.append(d - 1 - j)
+    pre_axes = tuple(d - 1 - j for j in range(d)
+                     if order == 3 and size_old[j] > 1)
+    out = _resample_exec(jax.device_put(np.ascontiguousarray(array)),
+                         tuple(weights), pre_axes, tuple(axes))
+    return np.asarray(out)
 
 
 def resample_uniform(img: MedicalImage, **kwargs) -> MedicalImage:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,11 +26,16 @@ from .resample import resample_uniform
 
 def label_to_rgb(arr: np.ndarray, palette: list) -> np.ndarray:
     """Map integer labels to RGB via a dense palette (index 0 = background).
-    Labels beyond the palette wrap around (ITK LabelToRGB recycles colors)."""
+    Labels beyond the palette wrap around (ITK LabelToRGB recycles colors);
+    with no palette at all, the deterministic default palette is used (the
+    reference's sitk.LabelToRGB falls back to ITK's built-in colormap)."""
     pal = np.asarray(palette, dtype=np.uint8)
-    if len(pal) == 0:
-        pal = np.array([[255, 255, 255]], np.uint8)
-    labels = jnp.asarray(arr).astype(jnp.int32)
+    if len(pal) <= 1:
+        from ..utils.colors import default_palette
+        max_label = int(np.max(arr)) if arr.size else 0
+        pal = np.asarray([[255, 255, 255]] + default_palette(max(max_label, 1)),
+                         dtype=np.uint8)
+    labels = jax.device_put(np.ascontiguousarray(arr)).astype(jnp.int32)
     ncol = pal.shape[0] - 1
     idx = jnp.where(labels <= 0, 0,
                     (labels - 1) % jnp.maximum(ncol, 1) + 1 if ncol > 0 else 0)
@@ -88,5 +94,6 @@ def create_visual(img: MedicalImage, mode: str = 'max',
     arr = img.array
     if img.ncomponents > 1:
         arr = np.linalg.norm(arr.astype(np.float32), axis=-1)  # VectorMagnitude
-    out = np.asarray(intensity_window(jnp.asarray(arr), lower, upper)).astype(np.uint8)
+    out = np.asarray(intensity_window(
+        jax.device_put(np.ascontiguousarray(arr)), lower, upper)).astype(np.uint8)
     return img.replace(array=out, is_vector=False, meta={})

@@ -23,7 +23,7 @@ def preprocess_case(img: MedicalImage, seg: Optional[MedicalImage],
                     spec: ModelSpec) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Normalize + resample one 2D training case to the plan spacing.
     Returns (image (H, W, C) float32, seg (H, W, L) uint8 or None)."""
-    import jax.numpy as jnp
+    import jax
 
     arr = img.array if img.is_vector else img.array[..., None]
     pre = spec.preprocess
@@ -33,8 +33,8 @@ def preprocess_case(img: MedicalImage, seg: Optional[MedicalImage],
                   if c < len(pre.normalization_schemes) else 'zscore')
         props = (pre.intensity_properties[c]
                  if c < len(pre.intensity_properties) else None)
-        chans.append(np.asarray(apply_scheme(jnp.asarray(arr[..., c]),
-                                             scheme, props)))
+        chans.append(np.asarray(apply_scheme(
+            jax.device_put(np.ascontiguousarray(arr[..., c])), scheme, props)))
     data = np.stack(chans, axis=-1).astype(np.float32)
 
     spacing_yx = tuple(reversed(img.spacing))
