@@ -208,3 +208,41 @@ class TestStatistics:
             assert info['mm'] == pytest.approx(info['count'] * voxel_mm)
         per_model = res.get_statistics(res.models[0])
         assert len(per_model) == 2
+
+
+class TestFusedUnfusedConsistency:
+    def test_paths_agree(self, model_root):
+        """The fused ensemble path and the per-model fallback path must
+        produce identical masks, metadata, and projections."""
+        with TS2D(key='ts2d-v9-test', use_remote=False, local=model_root) as t:
+            assert t._fused is not None
+            res_f = t.predict(asset_path('sample_s0521.nrrd'))
+            # force the unfused (reference-shaped) path
+            t._fused = None
+            for m in t.models.values():
+                m.start(wait=False)
+            for m in t.models.values():
+                m.await_startup()
+            res_u = t.predict(asset_path('sample_s0521.nrrd'))
+
+        seg_f = res_f.get_segmentation()
+        seg_u = res_u.get_segmentation()
+        assert seg_f.size == seg_u.size
+        assert seg_f.ncomponents == seg_u.ncomponents
+        agree = (seg_f.array == seg_u.array).mean()
+        assert agree > 0.9999, f'mask agreement {agree}'
+        from totalsegmentator2d_tpu.ops.annotations import get_annotation_labels
+        lf = get_annotation_labels(seg_f)
+        lu = get_annotation_labels(seg_u)
+        assert set(lf) == set(lu)
+        assert all(lf[n]['value'] == lu[n]['value'] for n in lf)
+        # projections match too
+        pf = res_f.get_projection('max')
+        pu = res_u.get_projection('max')
+        np.testing.assert_allclose(pf.array, pu.array, rtol=1e-5, atol=1e-5)
+        assert pf.spacing == pu.spacing
+        # per-model segs agree
+        for mid in res_f.models:
+            a = res_f.get_segmentation(mid)
+            b = res_u.get_segmentation(mid)
+            assert (a.array == b.array).mean() > 0.9999
