@@ -66,3 +66,27 @@ class TestFullEnsemble:
                     np.squeeze(merged.array[..., offset:offset + n]))
                 offset += n
             assert offset == 117
+
+
+class TestAllBundledSamples:
+    def test_key_switching_and_all_assets(self, full_zoo, tmp_path):
+        """BASELINE config #4: switch model keys in one process and predict
+        every bundled sample (3 CT-type through the projection models, the
+        X-ray through a tsxr-style model)."""
+        from tests.model_fixtures import build_model_dir
+        build_model_dir(full_zoo, model='tsxr-v9-full', group='ribs',
+                        labels=('rib-left-1', 'rib-right-1'),
+                        channels=('xr',), task_id=450)
+
+        ct_assets = ['sample_s0521.nrrd', 'sample_s0332.nrrd',
+                     'sample_s0616.nrrd']
+        with TS2D(key='ts2d-v9-full', use_remote=False, local=full_zoo) as t:
+            for name in ct_assets:
+                res = t.predict(asset_path(name))
+                seg = res.get_segmentation()
+                assert seg.ncomponents == 117, name
+
+        # key switch: a fresh tool on the X-ray model family
+        with TS2D(key='tsxr-v9-full', use_remote=False, local=full_zoo) as t:
+            res = t.predict(asset_path('sample_chexpert.nrrd'))
+            assert res.get_segmentation().ncomponents == 2
