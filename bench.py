@@ -121,16 +121,22 @@ def main():
     lat_s = blocking_latency(engine, vol_s, sp_s)
     pipe_s = pipelined_rate(engine, vol_s, sp_s)
 
-    vol_r = make_realistic_volume()
-    sp_r = (1.5, 1.5)
-    engine.predict_volume(vol_r, sp_r, ('max', 'mean'))  # compile
-    pipe_r = pipelined_rate(engine, vol_r, sp_r)
+    # secondary (best effort — its compile takes minutes through a
+    # remote-attached device, and the primary line must survive a timeout
+    # of this stage)
+    try:
+        vol_r = make_realistic_volume()
+        sp_r = (1.5, 1.5)
+        engine.predict_volume(vol_r, sp_r, ('max', 'mean'))  # compile
+        realistic = f'{round(pipelined_rate(engine, vol_r, sp_r), 4)}s/scan'
+    except Exception as ex:  # pragma: no cover
+        realistic = f'unavailable ({type(ex).__name__})'
 
     print(json.dumps({
         'metric': ('sec/scan, full 5-model/117-label ts2d-v2-style ensemble '
                    'on the bundled real CT (sample_s0521), fused+pipelined '
                    f'(blocking latency {round(lat_s, 4)}s; torso-sized '
-                   f'350x250x280 synthetic CT {round(pipe_r, 4)}s/scan)'),
+                   f'350x250x280 synthetic CT {realistic})'),
         'value': round(pipe_s, 5),
         'unit': 's',
         'vs_baseline': round(0.7 / pipe_s, 3),
