@@ -1,28 +1,32 @@
 """End-to-end benchmark: ts2d-v2-style 5-model ensemble per CT scan.
 
 Pipeline measured host-to-host (SURVEY.md §3.3's hot path): volume in ->
-RAI reorientation -> ONE fused XLA program (coronal MIP/AIP projection,
-nnU-Net preprocessing, five anatomical-group 2D multilabel U-Nets at
-realistic scale — 117 labels total — with sliding-window tiling, 4-way
-mirror TTA, Gaussian blending, and the on-device 117-channel merge) ->
+RAI orientation -> host coronal MIP/AIP projection (one memory-bound numpy
+pass; uploading the 49 MB volume to the remote-attached TPU costs ~10x the
+projection) -> nonzero crop -> ONE fused XLA program (nnU-Net preprocessing,
+five anatomical-group 2D multilabel U-Nets at realistic scale — 117 labels
+total — with tile×TTA-batched sliding-window forwards, 4-way mirror TTA,
+Gaussian blending, and the on-device 117-channel merge, bit-packed) ->
 uint8 masks back on host.
 
-Two workloads:
- - realistic: a synthetic torso-sized CT (350x250x280 @1.5mm -> 350x280
+Workloads:
+ - PRIMARY: a synthetic torso-sized CT (350x250x280 @1.5mm -> 350x280
    coronal projection, 4 sliding-window tiles/model) — the honest comparison
    against the reference's 0.5-0.9 s/scan on real TotalSegmentator CTs.
- - sample: the bundled real CT (133x120x53, 1 tile) as a secondary number.
+ - secondary: the bundled real CT (133x120x53, 1 tile), reported in the
+   metric string.
 
-Compute runs in 'fast' precision (bf16 conv operands, fp32 accumulation and
-norms) — the same precision class as the reference's torch fp16-autocast
-inference. Weights are randomly initialized at the published architecture
-scale (real checkpoints need network access); timing does not depend on
-weight values.
+Compute runs in 'fast' precision (bf16 conv operands and activations, fp32
+accumulation/norm statistics/logits) — the same precision class as the
+reference's torch fp16-autocast inference. Weights are randomly initialized
+at the published architecture scale (real checkpoints need network access);
+timing does not depend on weight values.
 
-Prints ONE JSON line; value = pipelined sec/scan on the realistic workload
-(async dispatch, host IO overlapped — the production serving rate), with
-blocking latency and the small-sample rate in the metric string.
-vs_baseline = 0.7 s (reference RTX 4090 midpoint) / value; >1 means faster.
+Prints ONE JSON line; value = pipelined sec/scan on the torso-sized
+workload (async dispatch, host projection overlapped — the production
+serving rate), with blocking latency and the small-sample rate in the
+metric string. vs_baseline = 0.7 s (reference RTX 4090 midpoint) / value;
+>1 means faster.
 """
 
 import json
@@ -79,11 +83,23 @@ def read_sample():
             (float(img.spacing[2]), float(img.spacing[0])))
 
 
+def host_project(vol):
+    """Coronal MIP + AIP, the ts2d-v2 two-channel input. (Z, Y, X) -> (Z, X, 2)."""
+    from totalsegmentator2d_tpu.ops.projection import project_array_np
+    mx = project_array_np(vol, 'max', 1)[:, 0].astype(np.float32)
+    mn = project_array_np(vol, 'mean', 1)[:, 0]
+    return np.stack([mx, mn], axis=-1)
+
+
+def predict_scan(engine, vol, spacing):
+    return engine.predict_array(host_project(vol), spacing)
+
+
 def blocking_latency(engine, vol, spacing, n=5):
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
-        seg, _ = engine.predict_volume(vol, spacing, ('max', 'mean'))
+        seg = predict_scan(engine, vol, spacing)
         times.append(time.perf_counter() - t0)
     assert seg.shape[-1] == sum(GROUP_LABELS.values())
     return float(np.min(times))
@@ -91,18 +107,16 @@ def blocking_latency(engine, vol, spacing, n=5):
 
 def pipelined_rate(engine, vol, spacing, n=6, rounds=3):
     """Async dispatch of n scans per round, drain once — the production
-    serving rate. Best round is reported: the TPU here is reached through a
-    shared tunnel whose throughput varies several-fold between moments, and
-    min is the contention-robust estimator of machine capability."""
-    import jax
-    from totalsegmentator2d_tpu.inference.ensemble_engine import unpack_bits
+    serving rate (host projection of scan i+1 overlaps device time of scan
+    i). Best round is reported: the TPU here is reached through a shared
+    tunnel whose throughput varies several-fold between moments, and min is
+    the contention-robust estimator of machine capability."""
     rates = []
     for _ in range(rounds):
         t0 = time.perf_counter()
-        pending = [engine.predict_volume_async(vol, spacing, ('max', 'mean'))[0]
+        handles = [engine.predict_array_async(host_project(vol), spacing)
                    for _ in range(n)]
-        outs = [unpack_bits(np.asarray(jax.device_get(seg)),
-                            engine.total_labels) for seg in pending]
+        outs = [engine.finish_array(h) for h in handles]
         rates.append((time.perf_counter() - t0) / n)
         assert all(o.shape[-1] == sum(GROUP_LABELS.values()) for o in outs)
     return float(np.min(rates))
@@ -113,33 +127,31 @@ def main():
     log_silent(True)  # exactly one JSON line on stdout
     engine = build_engine()
 
-    # primary: the bundled real TotalSegmentator CT (the reference's own
-    # test asset) — stable run-to-run, unlike the big synthetic workload
-    # whose timing swings several-fold with tunnel contention
-    vol_s, sp_s = read_sample()
-    engine.predict_volume(vol_s, sp_s, ('max', 'mean'))  # compile
-    lat_s = blocking_latency(engine, vol_s, sp_s)
-    pipe_s = pipelined_rate(engine, vol_s, sp_s)
+    # PRIMARY: torso-sized realistic workload (honest vs the reference's
+    # 0.5-0.9 s/scan on full-size CTs)
+    vol_r = make_realistic_volume()
+    sp_r = (1.5, 1.5)
+    predict_scan(engine, vol_r, sp_r)  # compile
+    lat_r = blocking_latency(engine, vol_r, sp_r)
+    pipe_r = pipelined_rate(engine, vol_r, sp_r)
 
-    # secondary (best effort — its compile takes minutes through a
-    # remote-attached device, and the primary line must survive a timeout
-    # of this stage)
+    # secondary (best effort): the bundled real TotalSegmentator CT
     try:
-        vol_r = make_realistic_volume()
-        sp_r = (1.5, 1.5)
-        engine.predict_volume(vol_r, sp_r, ('max', 'mean'))  # compile
-        realistic = f'{round(pipelined_rate(engine, vol_r, sp_r), 4)}s/scan'
+        vol_s, sp_s = read_sample()
+        predict_scan(engine, vol_s, sp_s)  # compile
+        sample = f'{round(pipelined_rate(engine, vol_s, sp_s), 4)}s/scan'
     except Exception as ex:  # pragma: no cover
-        realistic = f'unavailable ({type(ex).__name__})'
+        sample = f'unavailable ({type(ex).__name__})'
 
     print(json.dumps({
         'metric': ('sec/scan, full 5-model/117-label ts2d-v2-style ensemble '
-                   'on the bundled real CT (sample_s0521), fused+pipelined '
-                   f'(blocking latency {round(lat_s, 4)}s; torso-sized '
-                   f'350x250x280 synthetic CT {realistic})'),
-        'value': round(pipe_s, 5),
+                   'on a torso-sized 350x250x280 CT (4 tiles/model), '
+                   'host-projection + fused device program, pipelined '
+                   f'(blocking latency {round(lat_r, 4)}s; bundled small CT '
+                   f'sample_s0521 {sample})'),
+        'value': round(pipe_r, 5),
         'unit': 's',
-        'vs_baseline': round(0.7 / pipe_s, 3),
+        'vs_baseline': round(0.7 / pipe_r, 3),
     }))
 
 

@@ -7,6 +7,11 @@ platform instead.
 
 import os
 
+# never share the persistent compilation cache with TPU/bench runs: AOT
+# CPU entries written through the tunnel target a different host's CPU
+# features and load with SIGILL-risk warnings
+os.environ.setdefault('TS2D_COMPILE_CACHE', '0')
+
 if not os.environ.get('TS2D_TEST_TPU'):
     os.environ['JAX_PLATFORMS'] = 'cpu'
     flags = os.environ.get('XLA_FLAGS', '')

@@ -44,7 +44,64 @@ class TestParams:
         assert params.as_list('a') == ['a']
         assert params.as_list(None) == []
         assert params.unwrap_singular(['x']) == 'x'
-        assert params.unwrap_singular([1, 2]) == [1, 2]
+
+    def test_unwrap_singular_strict(self):
+        """Reference types.py:160-177: >1 element raises by default."""
+        import pytest
+        with pytest.raises(ValueError):
+            params.unwrap_singular([1, 2])
+        assert params.unwrap_singular([1, 2], fail=False) == [1, 2]
+        assert params.unwrap_singular({'k': 'v'}) == 'v'
+        assert params.unwrap_singular(5) == 5
+        assert params.unwrap_singular('ab') == 'ab'  # strings pass through
+
+    def test_nest_sequences(self):
+        """Reference types.py:110-127,203-227: [i] segments become lists."""
+        flat = {'a.b[1]': 'y', 'a.b[0]': 'x', 'a.b[2].c': 3}
+        nested = params.nest_dict(flat)
+        assert nested == {'a': {'b': ['x', 'y', {'c': 3}]}}
+        assert params.dict_get(flat, 'a.b') == ['x', 'y', {'c': 3}]
+        import pytest
+        with pytest.raises(ValueError):
+            params.nest_dict({'a.[0]': 1})  # empty sequence name
+        with pytest.raises(ValueError):
+            params.nest_dict({'a.b[x]': 1})  # non-integer index
+        with pytest.raises(ValueError):
+            params.nest_dict({'a[0]': 1, 'a.b': 2})  # seq vs dict clash
+        with pytest.raises(ValueError):
+            params.nest_dict({'a[0]': 1, 'a[2]': 2}, check_sequence=True)
+
+    def test_leaf_markers(self):
+        """Reference types.py:60-107: a node may hold both a leaf ('~')
+        and a subgroup; plain access returns the leaf, 'a.~' addresses it
+        explicitly, a trailing dot addresses the subgroup."""
+        flat = {'a': 1, 'a.b': 2}
+        nested = params.nest_dict(flat)
+        assert nested == {'a': {'~': 1, 'b': 2}}
+        assert params.dict_get(flat, 'a') == 1      # literal key wins
+        assert params.dict_get(nested, 'a') == 1    # leaf preferred
+        assert params.dict_get(nested, 'a.~') == 1
+        assert params.dict_get(nested, 'a.b') == 2
+        assert params.dict_get(nested, 'a.') == {'~': 1, 'b': 2}
+        # leaf arriving after the subgroup attaches to the node ('~'),
+        # per the reference docstring (its code drops it on the parent)
+        assert params.nest_dict({'a.b': 2, 'a': 1}) == {'a': {'~': 1, 'b': 2}}
+        # '~' on a plain value is the value itself
+        assert params.dict_get({'a': {'b': 5}}, 'a.b.~') == 5
+
+    def test_nest_normalizes_keys(self):
+        assert params.nest_dict({' A .B': 1}) == {'a': {'b': 1}}
+        import pytest
+        with pytest.raises(ValueError):
+            params.nest_dict({'a..b': 1})
+
+    def test_required_and_dict_dtype(self):
+        import pytest
+        from typing import Dict
+        with pytest.raises(RuntimeError):
+            params.dict_get({}, 'missing.key', required=True)
+        d = {'m': {'1': '2', '3': '4'}}
+        assert params.dict_get(d, 'm', dtype=Dict[int, int]) == {1: 2, 3: 4}
 
 
 class TestColors:

@@ -197,6 +197,25 @@ class TestConverter:
         with pytest.raises(ValueError):
             state_dict_to_params(sd, bad_spec)
 
+    def test_pickle_checkpoint_rejected_without_optin(self, tmp_path,
+                                                      monkeypatch):
+        """Checkpoints needing the permissive (code-executing) unpickler are
+        rejected unless explicitly trusted — they arrive from the network."""
+        from argparse import Namespace
+
+        from totalsegmentator2d_tpu.models.convert import load_torch_checkpoint
+
+        p = tmp_path / 'checkpoint_final.pth'
+        # a picklable payload the weights-only unpickler rejects
+        torch.save({'network_weights': {}, 'extra': Namespace(a=1)}, p)
+        monkeypatch.delenv('TS2D_TRUST_CHECKPOINTS', raising=False)
+        with pytest.raises(RuntimeError, match='weights-only'):
+            load_torch_checkpoint(str(p))
+        ckpt = load_torch_checkpoint(str(p), allow_pickle=True)
+        assert 'network_weights' in ckpt
+        monkeypatch.setenv('TS2D_TRUST_CHECKPOINTS', '1')
+        assert 'network_weights' in load_torch_checkpoint(str(p))
+
 
 class TestInit:
     def test_init_shapes_match_converter_layout(self, torch_model_and_params):

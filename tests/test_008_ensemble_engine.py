@@ -54,6 +54,16 @@ class TestEnsembleEngine:
                           5: 'rib-3'}
         assert ens.total_labels == 5
 
+    def test_noncontiguous_labels_rejected(self, groups):
+        """The fused merge maps channel i <-> value i+1; a dataset.json with
+        gaps in the label values must fail loudly, not mislabel channels."""
+        import dataclasses
+        specs, params = groups
+        bad = dataclasses.replace(specs[0],
+                                  labels={1: 'heart', 3: 'aorta'})
+        with pytest.raises(ValueError, match='contiguous'):
+            EnsembleEngine([bad, specs[1]], params)
+
     def test_mismatched_preprocess_rejected(self, groups):
         specs, params = groups
         import dataclasses
@@ -90,17 +100,45 @@ class TestNumpyInit:
 
 class TestAsyncAndPallas:
     def test_predict_volume_async_matches_sync(self, groups, rng):
-        import jax
-        from totalsegmentator2d_tpu.inference.ensemble_engine import unpack_bits
         specs, params = groups
         ens = EnsembleEngine(specs, params)
         vol = (rng.standard_normal((40, 20, 30)) * 100).astype(np.float32)
         seg_s, proj_s = ens.predict_volume(vol, (1.5, 1.5), ('max', 'mean'))
-        seg_a, proj_a = ens.predict_volume_async(vol, (1.5, 1.5), ('max', 'mean'))
-        unpacked = unpack_bits(np.asarray(jax.device_get(seg_a)),
-                               ens.total_labels)
-        np.testing.assert_array_equal(unpacked, seg_s)
-        np.testing.assert_array_equal(np.asarray(jax.device_get(proj_a)), proj_s)
+        handle = ens.predict_volume_async(vol, (1.5, 1.5), ('max', 'mean'))
+        seg_a, proj_a = ens.finish_volume(handle)
+        np.testing.assert_array_equal(seg_a, seg_s)
+        np.testing.assert_array_equal(proj_a, proj_s)
+
+    def test_predict_array_async_matches_sync(self, groups, rng):
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        arr = np.zeros((90, 80, 2), np.float32)
+        arr[10:70, 5:60] = (rng.standard_normal((60, 55, 2)) + 2)
+        sync = ens.predict_array(arr, (1.5, 1.5))
+        handles = [ens.predict_array_async(arr, (1.5, 1.5)) for _ in range(3)]
+        for h in handles:
+            np.testing.assert_array_equal(ens.finish_array(h), sync)
+
+    def test_volume_crop_matches_host_projection(self, groups, rng):
+        """Zero-background volume: the fused volume path (host bbox crop)
+        equals the host-projection 2D path (exact nnU-Net crop)."""
+        from totalsegmentator2d_tpu.ops.projection import project_array_np
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        vol = np.zeros((60, 30, 50), np.float32)
+        vol[10:50, 5:25, 8:40] = \
+            rng.standard_normal((40, 20, 32)) * 100 + 50
+        seg_vol, proj_vol = ens.predict_volume(vol, (1.5, 1.5),
+                                               ('max', 'mean'))
+        proj = np.concatenate([project_array_np(vol, 'max', 1),
+                               project_array_np(vol, 'mean', 1)],
+                              axis=1).transpose(0, 2, 1)
+        seg_2d = ens.predict_array(np.ascontiguousarray(proj, np.float32),
+                                   (1.5, 1.5))
+        assert seg_vol.shape == seg_2d.shape
+        assert (seg_vol == seg_2d).mean() > 0.9999
+        np.testing.assert_allclose(proj_vol, proj.astype(np.float32),
+                                   rtol=1e-5, atol=1e-4)
 
     def test_pack_unpack_roundtrip(self, rng):
         import jax.numpy as jnp
@@ -135,6 +173,38 @@ class TestCohort:
         for i in range(3):
             single, _ = ens.predict_volume(vols[i], (1.5, 1.5), ('max', 'mean'))
             np.testing.assert_array_equal(batch[i], single)
+
+    def test_cohort_mixed_shapes(self, groups, rng):
+        """Heterogeneous cohort: 3 distinct volume shapes bucket + pad onto
+        the 8-device mesh and reproduce the homogeneous-batch results."""
+        from totalsegmentator2d_tpu.parallel import make_mesh
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        mesh = make_mesh({'data': 8})
+        shapes = [(40, 20, 30), (32, 16, 24), (36, 18, 28),
+                  (40, 20, 30), (32, 16, 24)]
+        vols = [(rng.standard_normal(s) * 100 + 40).astype(np.float32)
+                for s in shapes]
+        mixed = ens.predict_cohort_mixed(vols, (1.5, 1.5), ('max', 'mean'),
+                                         mesh=mesh)
+        assert len(mixed) == len(vols)
+        for v, m in zip(vols, mixed):
+            solo = ens.predict_cohort(v[None], (1.5, 1.5), ('max', 'mean'))[0]
+            assert m.shape == solo.shape
+            assert (m == solo).mean() > 0.9999
+
+    def test_cohort_batch_padding(self, groups, rng):
+        """N not divisible by the mesh data axis pads internally."""
+        from totalsegmentator2d_tpu.parallel import make_mesh
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        mesh = make_mesh({'data': 4})
+        vols = (rng.standard_normal((3, 40, 20, 30)) * 100).astype(np.float32)
+        sharded = ens.predict_cohort(vols, (1.5, 1.5), ('max', 'mean'),
+                                     mesh=mesh)
+        plain = ens.predict_cohort(vols, (1.5, 1.5), ('max', 'mean'))
+        assert sharded.shape == plain.shape
+        np.testing.assert_array_equal(sharded, plain)
 
     def test_cohort_data_parallel_mesh(self, groups, rng):
         from totalsegmentator2d_tpu.parallel import make_mesh

@@ -74,3 +74,74 @@ class TestRemoteDownload:
         zoo = Zoo(remote=URLDataBase(urls), local=str(tmp_path))
         with pytest.raises(Exception):
             zoo.access('ts2d-v9-bad_cardiac')
+
+
+class TestDownloadHardening:
+    def test_retries_transient_failures(self, tmp_path, monkeypatch):
+        """The first two attempts fail, the third succeeds."""
+        from totalsegmentator2d_tpu.inference import database as db
+        monkeypatch.setattr('time.sleep', lambda s: None)
+        calls = {'n': 0}
+        payload = b'hello-model-zip'
+
+        class FakeResponse:
+            headers = {'Content-Length': str(len(payload))}
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def raise_for_status(self):
+                pass
+
+            def iter_content(self, chunk_size):
+                calls['n'] += 1
+                if calls['n'] < 3:
+                    yield payload[:4]  # truncated -> size check fails
+                else:
+                    yield payload
+
+        import requests
+        monkeypatch.setattr(requests, 'get',
+                            lambda *a, **kw: FakeResponse())
+        dest = tmp_path / 'model.zip'
+        db._download('http://example/model.zip', str(dest))
+        assert calls['n'] == 3
+        assert dest.read_bytes() == payload
+
+    def test_gives_up_after_attempts(self, tmp_path, monkeypatch):
+        from totalsegmentator2d_tpu.inference import database as db
+        monkeypatch.setattr('time.sleep', lambda s: None)
+        import requests
+
+        def boom(*a, **kw):
+            raise IOError('connection reset')
+
+        monkeypatch.setattr(requests, 'get', boom)
+        with pytest.raises(RuntimeError, match='after 3 attempts'):
+            db._download('http://example/model.zip', str(tmp_path / 'x.zip'))
+
+    def test_zip_traversal_rejected(self, tmp_path):
+        """A zip member with '..' must not extract outside the destination."""
+        from totalsegmentator2d_tpu.inference.database import _extract_zip
+        zp = tmp_path / 'evil.zip'
+        with zipfile.ZipFile(zp, 'w') as zf:
+            zf.writestr('../pwned.txt', 'outside')
+        dest = tmp_path / 'dest'
+        dest.mkdir()
+        with pytest.raises(RuntimeError, match='escapes'):
+            _extract_zip(str(zp), str(dest))
+        assert not (tmp_path / 'pwned.txt').exists()
+
+    def test_corrupt_zip_rejected(self, tmp_path):
+        from totalsegmentator2d_tpu.inference.database import _extract_zip
+        zp = tmp_path / 'corrupt.zip'
+        with zipfile.ZipFile(zp, 'w', zipfile.ZIP_DEFLATED) as zf:
+            zf.writestr('model.json', '{"a": 1}' * 100)
+        raw = bytearray(zp.read_bytes())
+        raw[40] ^= 0xFF  # flip a payload byte, keep the directory intact
+        zp.write_bytes(raw)
+        with pytest.raises(Exception):
+            _extract_zip(str(zp), str(tmp_path / 'dest2'))

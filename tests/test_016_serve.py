@@ -84,3 +84,39 @@ class TestServer:
             assert False
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+    def test_input_format_traversal_rejected(self, server, tmp_path):
+        """input_format is interpolated into a filesystem path; traversal
+        values must be rejected, not written to disk."""
+        import urllib.parse
+        target = tmp_path / 'pwned.txt'
+        evil = urllib.parse.quote(f'/../../../..{target}', safe='')
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{server.port}/predict?input_format={evil}',
+            data=b'owned', method='POST')
+        try:
+            urllib.request.urlopen(req)
+            assert False, 'expected HTTPError'
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert not target.exists()
+
+    def test_concurrent_predicts(self, server):
+        """No host-side serialization: concurrent requests must all succeed
+        and return the same segmentation as a lone request."""
+        import concurrent.futures as cf
+
+        payload = open(asset_path('sample_s0332.nrrd'), 'rb').read()
+
+        def post():
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{server.port}/predict?format=nrrd',
+                data=payload, method='POST')
+            with urllib.request.urlopen(req) as r:
+                return r.status, r.read()
+
+        solo = post()[1]
+        with cf.ThreadPoolExecutor(max_workers=4) as pool:
+            results = list(pool.map(lambda _: post(), range(4)))
+        assert all(status == 200 for status, _ in results)
+        assert all(body == solo for _, body in results)

@@ -1,0 +1,284 @@
+"""Real-checkpoint parity harness (VERDICT round-1, item 3).
+
+Quantifies mask parity between this framework and the reference
+(risc-mi/totalsegmentator2D + nnunetv2, reference prediction_worker.py:204-221,
+nnu.py:149-166) on the four bundled assets.
+
+This sandbox has no network, so the published Zenodo checkpoints cannot be
+fetched here; the harness is built to run the moment a model database (or
+reference-produced goldens) is supplied, and in the meantime runs an offline
+mode that pins down the semantics the real comparison depends on.
+
+Modes
+-----
+real
+    ``python tools/parity.py --models <root> [--key ts2d] [--golden <dir>]``
+    Loads the real checkpoints from a local model database (copy the
+    extracted Zenodo zips into <root>), predicts every bundled asset, writes
+    our segmentations to --out, and — when --golden holds the reference's
+    outputs (files named <asset>.seg.nrrd, produced by running the reference
+    CLI elsewhere) — reports per-label Dice + voxel agreement per asset.
+
+offline (default, no --models)
+    Semantic sub-checks that must hold for reference parity, each
+    root-causeable on its own:
+      * gaussian-window: our importance map vs the nnU-Net construction
+        (scipy gaussian_filter of a center delta, sigma = patch/8,
+        clipped to its positive minimum)
+      * crop-roundtrip: predict_array == manual crop -> predict -> re-embed
+        on a sparse (zero-background) input
+      * volume-crop: the fused volume path equals the projected-2D path on
+        a zero-background volume (crop semantics restored in round 2)
+      * resample-order: segmentation == threshold(order-1-upsampled logits)
+        — nnU-Net resamples LOGITS, then thresholds
+      * fused-vs-permodel: the fused ensemble equals per-model engines on
+        a synthetic zoo across the bundled assets
+
+Output: one JSON report (--out parity_report.json) with a per-check verdict.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ASSETS = ('sample_s0521', 'sample_s0332', 'sample_s0616', 'sample_chexpert')
+ASSET_DIR = '/root/reference/assets'
+
+
+def _asset_path(name):
+    return os.path.join(ASSET_DIR, f'{name}.nrrd')
+
+
+# ---------------------------------------------------------------------------
+# real mode
+# ---------------------------------------------------------------------------
+
+def run_real(models_root: str, key: str, golden_dir, out_dir: str) -> dict:
+    from totalsegmentator2d_tpu.api import TS2D
+    from totalsegmentator2d_tpu.eval import dice_per_label
+    from totalsegmentator2d_tpu.io import read_image
+
+    os.makedirs(out_dir, exist_ok=True)
+    report = {'mode': 'real', 'key': key, 'assets': {}}
+    with TS2D(key=key, use_remote=False, fetch_remote=False,
+              local=models_root) as tool:
+        for name in ASSETS:
+            path = _asset_path(name)
+            if not os.path.exists(path):
+                continue
+            entry = {}
+            try:
+                res = tool.predict(path)
+                res.save(out_dir, name=name, models='final',
+                         targets='segmentation', content='file')
+                entry['predicted'] = True
+                golden_path = (os.path.join(golden_dir, f'{name}.seg.nrrd')
+                               if golden_dir else None)
+                if golden_path and os.path.exists(golden_path):
+                    pred = res.get_segmentation()
+                    gold = read_image(golden_path)
+                    scores = dice_per_label(pred, gold)
+                    agree = _voxel_agreement(pred, gold)
+                    entry['per_label_dice'] = scores
+                    entry['mean_dice'] = float(np.mean(list(scores.values())))
+                    entry['voxel_agreement'] = agree
+                    entry['diverging_labels'] = sorted(
+                        n for n, s in scores.items() if s < 0.999)
+            except Exception as ex:  # keep going; report per asset
+                entry['error'] = f'{type(ex).__name__}: {ex}'
+            report['assets'][name] = entry
+    return report
+
+
+def _voxel_agreement(pred, gold) -> float:
+    a, b = pred.array, gold.array
+    if a.shape != b.shape:
+        return 0.0
+    return float((a == b).mean())
+
+
+# ---------------------------------------------------------------------------
+# offline sub-checks
+# ---------------------------------------------------------------------------
+
+def check_gaussian_window() -> dict:
+    """Our Gaussian importance map vs nnU-Net's construction."""
+    import scipy.ndimage as ndi
+    from totalsegmentator2d_tpu.ops.gaussian import gaussian_map
+
+    patch = (256, 256)
+    ours = np.asarray(gaussian_map(patch))
+    delta = np.zeros(patch, np.float32)
+    delta[tuple(p // 2 for p in patch)] = 1.0
+    ref = ndi.gaussian_filter(delta, sigma=[p / 8 for p in patch], mode='constant')
+    ref /= ref.max()
+    ref[ref == 0] = ref[ref != 0].min()
+    err = float(np.abs(ours - ref).max())
+    return {'ok': err < 1e-5, 'max_abs_err': err}
+
+
+def _synthetic_tool(tmp):
+    from tests.model_fixtures import build_group_set
+    from totalsegmentator2d_tpu.api import TS2D
+    root = os.path.join(tmp, 'models')
+    build_group_set(root, model='ts2d-v9-test', groups=('cardiac', 'ribs'))
+    return TS2D(key='ts2d-v9-test', use_remote=False, local=root)
+
+
+def check_crop_roundtrip() -> dict:
+    """Sparse 2D input: engine crop == manual crop + re-embed (nnU-Net
+    crop_to_nonzero, reference prediction_worker.py:194-200)."""
+    from tests.model_fixtures import make_dataset_json, make_plans
+    from totalsegmentator2d_tpu.inference import InferenceEngine
+    from totalsegmentator2d_tpu.models.plans import parse_model_spec
+    from totalsegmentator2d_tpu.models.unet import init_params_np
+
+    spec = parse_model_spec(make_plans(patch=(64, 64)),
+                            make_dataset_json(('heart', 'aorta')))
+    eng = InferenceEngine(spec, [init_params_np(0, spec.arch)])
+    rng = np.random.default_rng(0)
+    arr = np.zeros((120, 100, 2), np.float32)
+    arr[20:90, 15:80] = rng.standard_normal((70, 65, 2)) + 2
+    full = eng.predict_array(arr, (1.5, 1.5))
+    inner = eng.predict_array(arr[20:90, 15:80], (1.5, 1.5))
+    embedded = np.zeros_like(full)
+    embedded[20:90, 15:80] = inner
+    agree = float((full == embedded).mean())
+    outside_clean = not full[:20].any() and not full[:, :15].any()
+    return {'ok': agree > 0.9999 and outside_clean,
+            'agreement': agree, 'outside_clean': bool(outside_clean)}
+
+
+def check_volume_crop() -> dict:
+    """Zero-background volume: fused volume path == host-projection 2D path."""
+    from tests.model_fixtures import make_dataset_json, make_plans
+    from totalsegmentator2d_tpu.inference import EnsembleEngine
+    from totalsegmentator2d_tpu.models.plans import parse_model_spec
+    from totalsegmentator2d_tpu.models.unet import init_params_np
+    from totalsegmentator2d_tpu.ops.projection import project_array_np
+
+    specs, params = [], []
+    for i, labels in enumerate((('heart', 'aorta'), ('r1', 'r2', 'r3'))):
+        spec = parse_model_spec(make_plans(patch=(64, 64)),
+                                make_dataset_json(labels))
+        specs.append(spec)
+        params.append([init_params_np(i, spec.arch)])
+    ens = EnsembleEngine(specs, params)
+    rng = np.random.default_rng(1)
+    vol = np.zeros((60, 30, 50), np.float32)
+    vol[10:50, 5:25, 8:40] = rng.standard_normal((40, 20, 32)) * 100 + 50
+    seg_vol, _ = ens.predict_volume(vol, (1.5, 1.5), ('max', 'mean'))
+    proj = np.concatenate([
+        project_array_np(vol, 'max', 1),
+        project_array_np(vol, 'mean', 1)], axis=1).transpose(0, 2, 1)
+    seg_2d = ens.predict_array(np.ascontiguousarray(proj, np.float32),
+                               (1.5, 1.5))
+    agree = float((seg_vol == seg_2d).mean())
+    return {'ok': agree > 0.9999, 'agreement': agree}
+
+
+def check_resample_order() -> dict:
+    """nnU-Net thresholds AFTER resampling logits to the input grid."""
+    import jax
+    import jax.numpy as jnp
+    from tests.model_fixtures import make_dataset_json, make_plans
+    from totalsegmentator2d_tpu.inference import InferenceEngine
+    from totalsegmentator2d_tpu.models.plans import parse_model_spec
+    from totalsegmentator2d_tpu.models.unet import init_params_np
+
+    spec = parse_model_spec(make_plans(patch=(64, 64), spacing=(1.5, 1.5)),
+                            make_dataset_json(('heart', 'aorta')))
+    eng = InferenceEngine(spec, [init_params_np(0, spec.arch)])
+    rng = np.random.default_rng(2)
+    arr = (rng.standard_normal((80, 70, 2)) + 2).astype(np.float32)
+    # spacing 3.0 -> engine resamples 2x internally
+    seg, logits, bbox = eng.predict_array(arr, (3.0, 3.0), return_logits=True)
+    expect = np.asarray(jax.device_get(
+        (jax.nn.sigmoid(jnp.asarray(logits)) > 0.5).astype(jnp.uint8)))
+    (y0, y1), (x0, x1) = bbox
+    agree = float((seg[y0:y1, x0:x1] == expect).mean())
+    full_res = logits.shape[:2] == (y1 - y0, x1 - x0)
+    return {'ok': agree == 1.0 and full_res,
+            'agreement': agree, 'logits_at_input_grid': bool(full_res)}
+
+
+def check_fused_vs_permodel() -> dict:
+    """Fused ensemble == per-model engines across the bundled assets."""
+    from totalsegmentator2d_tpu.io import read_image
+
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        tool = _synthetic_tool(tmp)
+        try:
+            fused_ok = tool._fused is not None
+            for name in ('sample_s0332', 'sample_s0616'):
+                path = _asset_path(name)
+                if not os.path.exists(path):
+                    continue
+                res = tool.predict(read_image(path))
+                fused = res.get_segmentation()
+                tool._fused, saved = None, tool._fused
+                for m in tool.models.values():
+                    m.start(wait=True)
+                res2 = tool.predict(read_image(path))
+                tool._fused = saved
+                permodel = res2.get_segmentation()
+                results[name] = float(
+                    (fused.array == permodel.array).mean())
+        finally:
+            tool.close()
+    ok = bool(results) and all(v > 0.9999 for v in results.values())
+    return {'ok': ok and fused_ok, 'fused_path_active': fused_ok,
+            'agreement': results}
+
+
+def run_offline() -> dict:
+    checks = {
+        'gaussian-window': check_gaussian_window,
+        'crop-roundtrip': check_crop_roundtrip,
+        'volume-crop': check_volume_crop,
+        'resample-order': check_resample_order,
+        'fused-vs-permodel': check_fused_vs_permodel,
+    }
+    report = {'mode': 'offline', 'checks': {}}
+    for name, fn in checks.items():
+        try:
+            report['checks'][name] = fn()
+        except Exception as ex:
+            report['checks'][name] = {'ok': False,
+                                      'error': f'{type(ex).__name__}: {ex}'}
+        print(f'{name}: {report["checks"][name]}', file=sys.stderr)
+    report['ok'] = all(c.get('ok') for c in report['checks'].values())
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split('\n')[0])
+    ap.add_argument('--models', default=None,
+                    help='local model database root with real checkpoints')
+    ap.add_argument('--key', default='ts2d')
+    ap.add_argument('--golden', default=None,
+                    help='directory of reference-produced <asset>.seg.nrrd')
+    ap.add_argument('--out', default='parity_report.json')
+    ap.add_argument('--outdir', default='parity_out',
+                    help='where to write our segmentations (real mode)')
+    args = ap.parse_args()
+
+    if args.models:
+        report = run_real(args.models, args.key, args.golden, args.outdir)
+    else:
+        report = run_offline()
+    with open(args.out, 'w') as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps({'ok': report.get('ok', True), 'report': args.out}))
+    return 0 if report.get('ok', True) else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

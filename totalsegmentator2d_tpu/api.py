@@ -96,6 +96,19 @@ class TS2D:
                 return None
             if any(m.channels != ref.channels for m in models):
                 return None
+            # the fused engine compiles ONE program from the first model's
+            # settings — require the whole ensemble to agree on them, else
+            # per-model nnu.predict.* overrides / checkpoint mirror axes of
+            # the other groups would be silently ignored
+            for m in models[1:]:
+                if (m.tile_step_size != ref.tile_step_size
+                        or m.use_mirroring != ref.use_mirroring
+                        or m.compute_dtype() != ref.compute_dtype()
+                        or m.spec.allowed_mirroring_axes
+                        != ref.spec.allowed_mirroring_axes):
+                    log('Fused ensemble unavailable (models disagree on '
+                        'predict settings); using per-model engines.')
+                    return None
             engine = EnsembleEngine(
                 specs, [m.load_fold_params() for m in models],
                 tile_step_size=(ref.tile_step_size
@@ -239,11 +252,13 @@ class TS2D:
 
     def _predict_fused(self, original: MedicalImage, collapse: bool,
                        merge: bool) -> 'TS2D.Result':
-        """One device program for the whole case: projection (3D inputs) +
-        preprocessing + all group models + the multilabel merge run fused;
-        per-model results are channel slices of the merged output."""
-        from .ops.projection import make_projected_image
-
+        """Fused-ensemble case path: host-side projection (3D inputs; one
+        memory-bound numpy pass — far cheaper than uploading the volume to a
+        remote-attached device), then ONE device program running all group
+        models + the multilabel merge on the cropped 2D image. Per-model
+        results are channel slices of the merged output. This is the exact
+        reference dataflow (project on host -> 2D nnU-Net with
+        crop_to_nonzero, tool.py:151-172)."""
         models = list(self.models.items())
         ref = models[0][1]
         channels = sorted(ref.channels.items(), key=lambda kv: kv[0])
@@ -252,17 +267,20 @@ class TS2D:
         projections: dict = {}
         if original.actual_dimension() > 2:
             oriented = reorient(original, 'RAI')
-            vol = np.ascontiguousarray(oriented.array)
-            spacing_yx = (float(oriented.spacing[2]), float(oriented.spacing[0]))
-            merged2d, proj = self._fused.predict_volume(vol, spacing_yx, modes)
             ch_list = []
-            for i, (_, name) in enumerate(channels):
-                arr3 = np.ascontiguousarray(proj[:, None, :, i]).astype(np.float32)
-                pimg = make_projected_image(oriented, arr3, itk_axis=1)
+            for _, name in channels:
+                pimg = self._project(oriented, mode=name)
                 projections[name] = pimg
                 ch_list.append(pimg)
             model_input = MedicalImage.compose(ch_list) if len(ch_list) > 1 \
                 else ch_list[0]
+            input2d_tmp = reduce_dimensions(model_input)
+            arr = input2d_tmp.array
+            if not input2d_tmp.is_vector:
+                arr = arr[..., None]
+            spacing_yx = tuple(reversed(input2d_tmp.spacing))
+            merged2d = self._fused.predict_array(
+                np.ascontiguousarray(arr, np.float32), spacing_yx)
         else:
             if len(channels) != original.ncomponents:
                 raise RuntimeError(

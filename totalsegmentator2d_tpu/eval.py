@@ -41,13 +41,16 @@ def _label_masks(seg: MedicalImage) -> Dict[str, np.ndarray]:
 def dice_per_label(pred: MedicalImage, gt: MedicalImage,
                    smooth: float = 0.0) -> Dict[str, float]:
     """Per-label Dice, matched by name. Labels missing on either side score
-    0.0 unless empty on both (1.0)."""
+    0.0 unless empty on both (1.0). All matched labels are stacked and
+    reduced in ONE device dispatch (a 117-label evaluation is one program,
+    not 117 round trips)."""
     pm = _label_masks(pred)
     gm = _label_masks(gt)
     import jax
     import jax.numpy as jnp
 
     result: Dict[str, float] = {}
+    both = []
     for name in sorted(set(pm) | set(gm)):
         p = pm.get(name)
         g = gm.get(name)
@@ -58,13 +61,29 @@ def dice_per_label(pred: MedicalImage, gt: MedicalImage,
             continue
         if p.shape != g.shape:
             raise ValueError(f'Shape mismatch for {name}: {p.shape} vs {g.shape}')
-        inter = float(jnp.sum(jnp.logical_and(jax.device_put(p),
-                                              jax.device_put(g))))
-        denom = float(p.sum()) + float(g.sum())
-        if denom == 0:
+        both.append(name)
+    if not both:
+        return result
+
+    p_all = np.stack([pm[n] for n in both]).astype(np.uint8)
+    g_all = np.stack([gm[n] for n in both]).astype(np.uint8)
+    axes = tuple(range(1, p_all.ndim))
+
+    @jax.jit
+    def _sums(p, g):
+        p = p.astype(jnp.float32)
+        g = g.astype(jnp.float32)
+        return (jnp.sum(p * g, axis=axes), jnp.sum(p, axis=axes),
+                jnp.sum(g, axis=axes))
+
+    inter, ps, gs = (np.asarray(x) for x in
+                     _sums(jax.device_put(p_all), jax.device_put(g_all)))
+    for i, name in enumerate(both):
+        denom = float(ps[i]) + float(gs[i])
+        if denom + smooth == 0:
             result[name] = 1.0
         else:
-            result[name] = (2.0 * inter + smooth) / (denom + smooth)
+            result[name] = (2.0 * float(inter[i]) + smooth) / (denom + smooth)
     return result
 
 

@@ -195,15 +195,62 @@ class URLDataBase(DataBase):
             with SafeTemporaryDirectory(prefix='ts2d-dl-') as temp:
                 zip_path = os.path.join(temp, f'{name}.zip')
                 _download(url, zip_path)
-                with zipfile.ZipFile(zip_path) as zf:
-                    zf.extractall(dest_root)
+                _extract_zip(zip_path, dest_root)
 
 
-def _download(url: str, dest: str, chunk: int = 1 << 20) -> None:
+def _extract_zip(zip_path: str, dest_root: str) -> None:
+    """Verify + extract a model zip: CRC check of every member first, and
+    member paths must stay inside the destination (no absolute paths or
+    '..' traversal — the registry is remote content)."""
+    with zipfile.ZipFile(zip_path) as zf:
+        bad = zf.testzip()
+        if bad is not None:
+            raise RuntimeError(f'Corrupt download (bad CRC): {bad}')
+        dest = os.path.realpath(dest_root)
+        for info in zf.infolist():
+            target = os.path.realpath(os.path.join(dest, info.filename))
+            if not (target + os.sep).startswith(dest + os.sep):
+                raise RuntimeError(
+                    f'Zip member escapes the destination: {info.filename}')
+        zf.extractall(dest_root)
+
+
+def _download(url: str, dest: str, chunk: int = 1 << 20,
+              attempts: int = 3) -> None:
+    """HTTPS download with retries/backoff, progress logging, and a size
+    check against Content-Length (the reference gets equivalent robustness
+    from gdown, reference database.py:213)."""
+    import time
+
     import requests
-    log(f'Downloading {url}')
-    with requests.get(url, stream=True, timeout=60, allow_redirects=True) as r:
-        r.raise_for_status()
-        with open(dest, 'wb') as f:
-            for block in r.iter_content(chunk_size=chunk):
-                f.write(block)
+    last_err: Optional[Exception] = None
+    for attempt in range(attempts):
+        if attempt:
+            delay = 2.0 ** attempt
+            log(f'Retrying download in {delay:.0f}s '
+                f'(attempt {attempt + 1}/{attempts}): {url}')
+            time.sleep(delay)
+        try:
+            log(f'Downloading {url}')
+            with requests.get(url, stream=True, timeout=60,
+                              allow_redirects=True) as r:
+                r.raise_for_status()
+                expected = int(r.headers.get('Content-Length') or 0)
+                got = 0
+                next_mark = 0.25
+                with open(dest, 'wb') as f:
+                    for block in r.iter_content(chunk_size=chunk):
+                        f.write(block)
+                        got += len(block)
+                        if expected and got / expected >= next_mark:
+                            log(f'  ... {got / expected:4.0%} of '
+                                f'{expected / 1e6:.1f} MB')
+                            next_mark += 0.25
+                if expected and got != expected:
+                    raise IOError(
+                        f'Truncated download: {got} of {expected} bytes')
+            return
+        except Exception as ex:  # noqa: BLE001 — retry any transport error
+            last_err = ex
+    raise RuntimeError(
+        f'Download failed after {attempts} attempts: {url}') from last_err

@@ -8,16 +8,17 @@ numpy-out is a single jitted XLA program:
     normalize (plans schemes)
     -> resample to plan spacing  (B-spline prefilter + MXU weight matmuls)
     -> pad to tile grid
-    -> lax.scan over tiles: mirror-TTA batch -> multi-fold U-Net (lax.map)
-       -> Gaussian-weighted accumulate
+    -> tile×TTA-batched multi-fold U-Net forwards (chunked lax.scan)
+       -> Gaussian-weighted overlap-add
     -> inverse-resample logits to the input grid (order 1)
     -> sigmoid>0.5 multilabel one-hot  (or softmax argmax)
 
 Programs are cached per (input shape, dtype); the fold axis is a stacked
 params pytree iterated with lax.map inside the program (vmap would lower the
-convs to slow grouped convolutions). Mirror TTA materializes all flip
-combinations of each tile as one batch so the U-Net runs with batch
-M = 2^len(mirror_axes), keeping the MXU fed.
+convs to slow grouped convolutions). Mirror TTA and the sliding-window tiles
+are batched together into each forward (batch = Tc * 2^len(mirror_axes),
+see tiling.accumulate_tiles) — per-forward fixed cost dominates at small
+batches on TPU.
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ from ..ops.normalize import nonzero_norm_mask, normalize_channels
 from ..ops.resample import apply_separable, axis_weights, bspline_prefilter
 from ..utils.jaxcache import enable_compilation_cache
 from ..utils.logging import log
-from .tiling import pad_amounts, padded_shape, tile_positions
+from .tiling import accumulate_tiles, pad_amounts, padded_shape, tile_positions
 
 
 def _mirror_combos(axes: Sequence[int]) -> List[Tuple[int, ...]]:
@@ -70,7 +71,8 @@ class InferenceEngine:
 
     def __init__(self, spec: ModelSpec, fold_params: List[dict],
                  tile_step_size: float = 0.5, use_mirroring: bool = True,
-                 dtype=jnp.float32, compute_dtype=None):
+                 dtype=jnp.float32, compute_dtype=None,
+                 forward_batch_cap: int = 64):
         if not fold_params:
             raise ValueError('At least one fold is required')
         self.spec = spec
@@ -79,6 +81,7 @@ class InferenceEngine:
         self.use_mirroring = bool(use_mirroring)
         self.dtype = dtype
         self.compute_dtype = compute_dtype  # bf16 conv operands when set
+        self.forward_batch_cap = int(forward_batch_cap)
         enable_compilation_cache()
         self.params = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]), *fold_params)
@@ -117,23 +120,11 @@ class InferenceEngine:
 
         n_mirror = len(mirrors)
 
-        def tta_batch(patch_img):
-            """(ph, pw, C) -> (M, ph, pw, C) with all flip combinations."""
-            outs = [patch_img if not m else jnp.flip(patch_img, axis=m)
-                    for m in mirrors]
-            return jnp.stack(outs, axis=0)
-
-        def tta_merge(logits):
-            """(M, ph, pw, L) -> (ph, pw, L): unflip then average."""
-            outs = [logits[i] if not m else jnp.flip(logits[i], axis=m)
-                    for i, m in enumerate(mirrors)]
-            return sum(outs) / float(n_mirror)
-
         unet = functools.partial(forward, spec=spec.arch,
                                  compute_dtype=self.compute_dtype)
 
         def net_multifold(x):
-            """(M, ph, pw, C) -> fold-averaged (M, ph, pw, L). lax.map over
+            """(B, ph, pw, C) -> fold-averaged (B, ph, pw, L). lax.map over
             folds, not vmap: vmapped convs over stacked weights lower to
             grouped convolutions that run at a few percent of MXU peak."""
             outs = jax.lax.map(lambda p: unet(p, x), self.params)
@@ -156,28 +147,14 @@ class InferenceEngine:
                 work = apply_separable(pref, w_down, axes=(0, 1))
             # 3. pad to tile grid
             work = jnp.pad(work, pads + [(0, 0)])
-            # 4. sliding window + TTA + fold ensemble + gaussian accumulate
+            # 4. sliding window + TTA + fold ensemble + gaussian accumulate,
+            #    with all tiles' TTA mirrors batched into large forwards
             acc0 = jnp.zeros(pad_shape + (L,), self.dtype)
             wacc0 = jnp.zeros(pad_shape + (1,), self.dtype)
-
-            def step(carry, pos):
-                acc, wacc = carry
-                tile = jax.lax.dynamic_slice(
-                    work, (pos[0], pos[1], 0), (patch[0], patch[1], C))
-                batch = tta_batch(tile)
-                logits = net_multifold(batch)
-                merged = tta_merge(logits) * gauss
-                acc = jax.lax.dynamic_update_slice(
-                    acc, jax.lax.dynamic_slice(
-                        acc, (pos[0], pos[1], 0), (patch[0], patch[1], L)) + merged,
-                    (pos[0], pos[1], 0))
-                wacc = jax.lax.dynamic_update_slice(
-                    wacc, jax.lax.dynamic_slice(
-                        wacc, (pos[0], pos[1], 0), (patch[0], patch[1], 1)) + gauss,
-                    (pos[0], pos[1], 0))
-                return (acc, wacc), None
-
-            (acc, wacc), _ = jax.lax.scan(step, (acc0, wacc0), tiles_j)
+            acc, wacc = accumulate_tiles(
+                work, tiles_j, jnp.ones((len(tiles), 1), self.dtype),
+                net_multifold, acc0, wacc0, patch=patch, mirrors=mirrors,
+                gauss=gauss, chunk_cap=self.forward_batch_cap)
             logits = acc / jnp.maximum(wacc, 1e-8)
             # 5. unpad to resampled shape
             logits = jax.lax.slice(

@@ -5,7 +5,8 @@ models (heads padded to the widest label count, parallel/ensemble.py) and
 F folds into one params pytree and compiles ONE XLA program per input shape:
 
     normalize -> resample -> pad
-    -> scan tiles: TTA batch -> lax.map over (G x F) U-Nets -> Gaussian blend
+    -> tile×TTA-batched forwards (lax.map over the G x F U-Nets, chunked
+       lax.scan over tile batches) -> Gaussian overlap-add
     -> inverse resample -> per-group sigmoid>0.5 -> on-device 117-ch
     concat + bit-packing (downloads are the bottleneck on remote devices)
 
@@ -30,9 +31,9 @@ from ..ops.normalize import nonzero_norm_mask, normalize_channels
 from ..ops.resample import apply_separable, axis_weights, bspline_prefilter
 from ..parallel.ensemble import pad_head
 from ..utils.jaxcache import enable_compilation_cache
-from ..utils.logging import log
+from ..utils.logging import log, warn
 from .engine import _mirror_combos, _nonzero_bbox, compute_new_shape
-from .tiling import pad_amounts, padded_shape, tile_positions
+from .tiling import accumulate_tiles, pad_amounts, padded_shape, tile_positions
 
 
 def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
@@ -67,7 +68,8 @@ class EnsembleEngine:
                  group_fold_params: Sequence[Sequence[dict]],
                  tile_step_size: float = 0.5, use_mirroring: bool = True,
                  dtype=jnp.float32, compute_dtype=None,
-                 tile_mesh=None, tile_axis: str = 'data'):
+                 tile_mesh=None, tile_axis: str = 'data',
+                 forward_batch_cap: int = 64):
         if not specs:
             raise ValueError('At least one group is required')
         self.specs = list(specs)
@@ -78,6 +80,14 @@ class EnsembleEngine:
                                  'configuration')
             if s.arch.in_channels != self.spec.arch.in_channels:
                 raise ValueError('All groups must share the input channels')
+        for s in specs:
+            # the fused merge maps channel i <-> label value i+1 (multilabel)
+            # and one_hot[..., 1:] <-> sorted values (softmax): both require
+            # contiguous 1-based label values or channels get mislabeled
+            if s.labels and sorted(s.labels) != list(range(1, len(s.labels) + 1)):
+                raise ValueError(
+                    f'Label values must be contiguous starting at 1 for the '
+                    f'fused ensemble; got {sorted(s.labels)}')
         self.label_counts = [s.arch.out_channels for s in specs]
         # packed output channels per group: softmax groups drop background
         self.output_label_counts = [
@@ -98,6 +108,8 @@ class EnsembleEngine:
         # ICI (multi-chip single-scan latency scaling)
         self.tile_mesh = tile_mesh
         self.tile_axis = tile_axis
+        # bound on the tile×TTA forward batch (activation memory)
+        self.forward_batch_cap = int(forward_batch_cap)
         enable_compilation_cache()
 
         # stack: per group pad heads + stack folds -> (F, ...); then stack
@@ -115,6 +127,12 @@ class EnsembleEngine:
         self.params = jax.tree_util.tree_map(
             lambda *xs: jnp.asarray(np.stack(xs), store_dtype), *per_group)
         self._cache: Dict[Tuple, object] = {}
+        # serving calls predict concurrently from request threads: guard the
+        # program cache so one shape compiles once (JAX dispatch itself is
+        # thread-safe; everything else here is pure per call). RLock: the
+        # volume program builds the 2D program while holding the lock.
+        import threading
+        self._cache_lock = threading.RLock()
 
     @property
     def total_labels(self) -> int:
@@ -164,24 +182,16 @@ class EnsembleEngine:
         tiles_j = jnp.asarray(tiles)
         label_counts = list(self.label_counts)
 
-        def tta_batch(tile):
-            return jnp.stack([tile if not m else jnp.flip(tile, axis=m)
-                              for m in mirrors], axis=0)
-
-        def tta_merge(logits):
-            outs = [logits[i] if not m else jnp.flip(logits[i], axis=m)
-                    for i, m in enumerate(mirrors)]
-            return sum(outs) / float(n_mirror)
-
         compute_dtype = self.compute_dtype
         G_, F_ = self.n_groups, self.n_folds
 
         def net(params, x):
-            # (G, F, ...) params; x (M, ph, pw, C) -> (G, M, ph, pw, Lp).
+            # (G, F, ...) params; x (B, ph, pw, C) -> (G, B, ph, pw, Lp).
             # lax.map (scan), NOT vmap: vmapping convs over stacked weights
             # lowers to grouped convolutions, which the TPU executes at a
-            # few percent of MXU peak — sequential standard convs are ~10x
-            # faster here and the (G*F) trip count is tiny.
+            # few percent of MXU peak — sequential standard convs with a
+            # large tile×TTA batch are far faster and the (G*F) trip count
+            # is tiny.
             flat = jax.tree_util.tree_map(
                 lambda a: a.reshape((G_ * F_,) + a.shape[2:]), params)
             outs = jax.lax.map(
@@ -204,30 +214,15 @@ class EnsembleEngine:
             acc0 = jnp.zeros((G,) + pad_shape + (Lp,), self.dtype)
             wacc0 = jnp.zeros(pad_shape + (1,), self.dtype)
 
-            # per-tile scan with the TTA mirrors as the forward batch (M=4).
-            # Measured on v5e: this beats gathering all tiles into one big
-            # batch (T*M), whose large activations push XLA into a ~4x
-            # slower conv schedule.
-            def step(carry, inp):
-                pos, valid = inp
-                acc, wacc = carry
-                tile = jax.lax.dynamic_slice(
-                    work, (pos[0], pos[1], 0), (patch[0], patch[1], C))
-                logits = net(params, tta_batch(tile))        # (G, M, ph, pw, Lp)
-                g = gauss * valid  # padding tiles (spatial sharding) weigh 0
-                merged = jax.vmap(tta_merge)(logits) * g      # (G, ph, pw, Lp)
-                cur = jax.lax.dynamic_slice(
-                    acc, (0, pos[0], pos[1], 0), (G, patch[0], patch[1], Lp))
-                acc = jax.lax.dynamic_update_slice(
-                    acc, cur + merged, (0, pos[0], pos[1], 0))
-                wcur = jax.lax.dynamic_slice(
-                    wacc, (pos[0], pos[1], 0), (patch[0], patch[1], 1))
-                wacc = jax.lax.dynamic_update_slice(
-                    wacc, wcur + g, (pos[0], pos[1], 0))
-                return (acc, wacc), None
-
             def tile_loop(my_tiles, my_valid, init):
-                return jax.lax.scan(step, init, (my_tiles, my_valid))[0]
+                # tile×TTA-batched forwards (measured ~3x faster on v5e
+                # than a per-tile scan with batch M: each forward carries
+                # ~10 ms of fixed cost, see tiling.accumulate_tiles)
+                return accumulate_tiles(
+                    work, my_tiles, my_valid,
+                    lambda b: net(params, b), init[0], init[1],
+                    patch=patch, mirrors=mirrors, gauss=gauss,
+                    chunk_cap=self.forward_batch_cap)
 
             if self.tile_mesh is None:
                 acc, wacc = tile_loop(tiles_j,
@@ -289,13 +284,14 @@ class EnsembleEngine:
 
     def _program(self, in_shape, in_spacing):
         key = (tuple(in_shape), tuple(round(float(s), 6) for s in in_spacing))
-        hit = self._cache.get(key)
-        if hit is None:
-            hit = self._build(tuple(in_shape), tuple(in_spacing))
-            self._cache[key] = hit
-            log(f'compiled ensemble program for shape={key[0]} '
-                f'({self.n_groups} groups, {hit[1]["n_tiles"]} tiles, '
-                f'{hit[1]["n_mirror"]} mirrors, {self.n_folds} folds)')
+        with self._cache_lock:
+            hit = self._cache.get(key)
+            if hit is None:
+                hit = self._build(tuple(in_shape), tuple(in_spacing))
+                self._cache[key] = hit
+                log(f'compiled ensemble program for shape={key[0]} '
+                    f'({self.n_groups} groups, {hit[1]["n_tiles"]} tiles, '
+                    f'{hit[1]["n_mirror"]} mirrors, {self.n_folds} folds)')
         return hit
 
     # -- fused volume path ---------------------------------------------------
@@ -327,33 +323,72 @@ class EnsembleEngine:
     def predict_volume_async(self, vol: np.ndarray,
                              spacing_yx: Sequence[float],
                              modes: Sequence[str]):
-        """Dispatch a fused scan prediction without blocking: returns device
-        arrays (packed_seg, proj) — the seg is bit-packed (see unpack_bits).
-        Use for pipelined throughput: queue several scans, jax.device_get,
-        then unpack_bits(seg, engine.total_labels) on the host."""
-        key = ('vol', vol.shape, tuple(round(float(s), 6) for s in spacing_yx),
-               tuple(modes))
-        fn = self._cache.get(key)
-        if fn is None:
-            fn = self._build_volume(tuple(vol.shape), tuple(spacing_yx),
-                                    tuple(modes))
-            self._cache[key] = fn
-            log(f'compiled fused volume program for shape={vol.shape}')
-        return fn(self.params, jax.device_put(np.ascontiguousarray(vol)))
+        """Dispatch a fused scan prediction without blocking: returns a
+        handle for :meth:`finish_volume`. The volume is cropped on the host
+        to its nonzero (z, x) bounding box before upload — for the standard
+        channel modes this equals nnU-Net's crop_to_nonzero of the projected
+        2D image (an all-zero (z,·,x) column projects to 0 in every mode),
+        restoring the reference crop semantics AND shrinking the transfer.
+
+        For plans with use_mask_for_norm the masked normalization needs the
+        hole-filled host mask; that path projects on the host and runs the
+        2D program (predict_array semantics) instead."""
+        if any(self.spec.preprocess.use_mask_for_norm):
+            from ..ops.projection import project_array_np
+            proj = np.concatenate(
+                [project_array_np(vol, m, 1) for m in modes],
+                axis=1).transpose(0, 2, 1).astype(np.float32)  # (Z, X, C)
+            return ('hostproj',
+                    self.predict_array_async(proj, spacing_yx), proj)
+
+        mask_zx = np.any(vol != 0, axis=1)
+        zs, xs = np.nonzero(mask_zx)
+        full_zx = (vol.shape[0], vol.shape[2])
+        if zs.size == 0:
+            bbox = ((0, vol.shape[0]), (0, vol.shape[2]))
+        else:
+            bbox = ((int(zs.min()), int(zs.max()) + 1),
+                    (int(xs.min()), int(xs.max()) + 1))
+        (z0, z1), (x0, x1) = bbox
+        cropped = vol[z0:z1, :, x0:x1]
+
+        key = ('vol', cropped.shape,
+               tuple(round(float(s), 6) for s in spacing_yx), tuple(modes))
+        with self._cache_lock:
+            fn = self._cache.get(key)
+            if fn is None:
+                fn = self._build_volume(tuple(cropped.shape),
+                                        tuple(spacing_yx), tuple(modes))
+                self._cache[key] = fn
+                log(f'compiled fused volume program for shape={cropped.shape}')
+        out = fn(self.params, jax.device_put(np.ascontiguousarray(cropped)))
+        return ('device', out, bbox, full_zx)
+
+    def finish_volume(self, handle) -> Tuple[np.ndarray, np.ndarray]:
+        """Block on a predict_volume_async handle; returns (seg, proj)."""
+        if handle[0] == 'hostproj':
+            _, inner, proj = handle
+            return self.finish_array(inner), proj
+        _, (seg_d, proj_d), bbox, full_zx = handle
+        seg_c = unpack_bits(np.asarray(jax.device_get(seg_d)),
+                            self.total_labels)
+        proj_c = np.asarray(jax.device_get(proj_d))
+        (z0, z1), (x0, x1) = bbox
+        if seg_c.shape[:2] != full_zx:
+            seg = np.zeros(full_zx + (seg_c.shape[-1],), np.uint8)
+            seg[z0:z1, x0:x1] = seg_c
+            proj = np.zeros(full_zx + (proj_c.shape[-1],), proj_c.dtype)
+            proj[z0:z1, x0:x1] = proj_c
+            return seg, proj
+        return seg_c, proj_c
 
     def predict_volume(self, vol: np.ndarray, spacing_yx: Sequence[float],
                        modes: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """Fully fused scan prediction. ``vol``: (Z, Y, X) RAI-oriented
         array; projections are taken along the coronal (Y) axis. Returns
-        (merged multilabel seg (Z, X, sum L), projections (Z, X, C)).
-
-        Skips the nnU-Net nonzero-crop: coronal MIP/AIP of CT volumes in
-        Hounsfield units are dense (air is -1000, not 0), so the crop is a
-        no-op on this modality; use predict_array for inputs where exact
-        crop semantics matter."""
-        seg, proj = self.predict_volume_async(vol, spacing_yx, modes)
-        return (unpack_bits(np.asarray(jax.device_get(seg)), self.total_labels),
-                np.asarray(jax.device_get(proj)))
+        (merged multilabel seg (Z, X, sum L), projections (Z, X, C))."""
+        return self.finish_volume(
+            self.predict_volume_async(vol, spacing_yx, modes))
 
     # -- cohort (batched / multi-chip data-parallel) path ---------------------
 
@@ -395,20 +430,41 @@ class EnsembleEngine:
                        modes: Sequence[str], mesh=None) -> np.ndarray:
         """Batched scan prediction: ``vols`` (N, Z, Y, X) same-shape RAI
         volumes. With ``mesh``, data-parallel over its 'data' axis (the
-        multi-chip cohort throughput mode; N must divide by the axis size).
-        Returns merged multilabel segs (N, Z, X, sum L) uint8."""
+        multi-chip cohort throughput mode); when N does not divide by the
+        axis size the batch is padded by repeating the last volume and the
+        padding results are dropped. Returns merged multilabel segs
+        (N, Z, X, sum L) uint8. For mixed-shape cohorts use
+        :meth:`predict_cohort_mixed`."""
+        if any(self.spec.preprocess.use_mask_for_norm):
+            warn('predict_cohort approximates use_mask_for_norm with a '
+                 'device-side nonzero mask (no hole filling); use '
+                 'predict_volume/predict_array for exact masked '
+                 'normalization', once=True)
         vols = np.ascontiguousarray(vols)
+        if mesh is not None:
+            data_axis = ('data' if 'data' in mesh.axis_names
+                         else mesh.axis_names[0])
+            D = int(mesh.shape[data_axis])
+            n = vols.shape[0]
+            npad = -(-n // D) * D
+            if npad != n:
+                vols = np.concatenate(
+                    [vols, np.repeat(vols[-1:], npad - n, axis=0)])
+                return self.predict_cohort(vols, spacing_yx, modes,
+                                           mesh=mesh)[:n]
         key = ('cohort', vols.shape,
                tuple(round(float(s), 6) for s in spacing_yx), tuple(modes),
                id(mesh) if mesh is not None else None)
-        fn = self._cache.get(key)
-        if fn is None:
-            fn = self._build_cohort(vols.shape[0], tuple(vols.shape[1:]),
-                                    tuple(spacing_yx), tuple(modes), mesh)
-            self._cache[key] = fn
-            log(f'compiled cohort program for batch={vols.shape[0]} '
-                f'shape={vols.shape[1:]}'
-                + (f' over mesh {dict(mesh.shape)}' if mesh is not None else ''))
+        with self._cache_lock:
+            fn = self._cache.get(key)
+            if fn is None:
+                fn = self._build_cohort(vols.shape[0], tuple(vols.shape[1:]),
+                                        tuple(spacing_yx), tuple(modes), mesh)
+                self._cache[key] = fn
+                log(f'compiled cohort program for batch={vols.shape[0]} '
+                    f'shape={vols.shape[1:]}'
+                    + (f' over mesh {dict(mesh.shape)}'
+                       if mesh is not None else ''))
         params = self.params
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -423,12 +479,47 @@ class EnsembleEngine:
         return unpack_bits(np.asarray(jax.device_get(fn(params, vols_in))),
                            self.total_labels)
 
+    def predict_cohort_mixed(self, vols: Sequence[np.ndarray],
+                             spacing_yx, modes: Sequence[str],
+                             mesh=None) -> list:
+        """Heterogeneous cohort: volumes of DIFFERENT shapes/spacings run
+        data-parallel without caller-side padding. Scans are bucketed by
+        exact (shape, spacing) — nnU-Net preprocessing is per-image
+        (crop/resample/normalize over the actual extent), so zero-padding
+        mixed shapes into one batch would change the normalization
+        statistics and resample grids; exact-shape buckets keep per-scan
+        results identical to solo runs, and each bucket's batch is padded
+        to the mesh's data-axis size internally (padding results dropped).
+
+        :param spacing_yx: one (y, x) spacing for all scans, or a sequence
+            of per-scan spacings
+        :returns: list of per-scan merged segs, input order preserved
+        """
+        vols = list(vols)
+        n = len(vols)
+        sps = (list(spacing_yx) if not np.isscalar(spacing_yx[0])
+               else [tuple(spacing_yx)] * n)
+        if len(sps) != n:
+            raise ValueError('spacing_yx must be one spacing or one per scan')
+        buckets: Dict[Tuple, list] = {}
+        for i, (v, sp) in enumerate(zip(vols, sps)):
+            key = (tuple(v.shape), tuple(round(float(s), 6) for s in sp))
+            buckets.setdefault(key, []).append(i)
+        out: list = [None] * n
+        for (shape, sp), idxs in sorted(buckets.items()):
+            batch = np.stack([vols[i] for i in idxs])
+            segs = self.predict_cohort(batch, sp, modes, mesh=mesh)
+            for i, s in zip(idxs, segs):
+                out[i] = s
+        return out
+
     # -- host API ------------------------------------------------------------
 
-    def predict_array(self, arr: np.ndarray, spacing_yx: Sequence[float]
-                      ) -> np.ndarray:
-        """(H, W, C) float array -> (H, W, sum(labels)) merged multilabel
-        one-hot uint8."""
+    def predict_array_async(self, arr: np.ndarray, spacing_yx: Sequence[float]):
+        """Crop (nnU-Net crop_to_nonzero) + dispatch the fused 2D program
+        without blocking; returns a handle for :meth:`finish_array`. This is
+        the pipelined serving primitive: host-side projection/IO of the next
+        scans overlaps with device time of the queued ones."""
         if arr.ndim == 2:
             arr = arr[..., None]
         if arr.shape[-1] != self.spec.arch.in_channels:
@@ -441,13 +532,25 @@ class EnsembleEngine:
         args = (self.params, jax.device_put(np.ascontiguousarray(cropped)))
         if meta['needs_mask']:
             args += (jax.device_put(nonzero_norm_mask(cropped)),)
-        seg_c = unpack_bits(np.asarray(jax.device_get(fn(*args))),
+        return (fn(*args), ((y0, y1), (x0, x1)), arr.shape[:2])
+
+    def finish_array(self, handle) -> np.ndarray:
+        """Block on a predict_array_async handle; returns the full-size
+        merged multilabel one-hot uint8 segmentation."""
+        packed, ((y0, y1), (x0, x1)), full = handle
+        seg_c = unpack_bits(np.asarray(jax.device_get(packed)),
                             self.total_labels)
-        if seg_c.shape[:2] != arr.shape[:2]:
-            seg = np.zeros(arr.shape[:2] + (seg_c.shape[-1],), np.uint8)
+        if seg_c.shape[:2] != tuple(full):
+            seg = np.zeros(tuple(full) + (seg_c.shape[-1],), np.uint8)
             seg[y0:y1, x0:x1] = seg_c
             return seg
         return seg_c
+
+    def predict_array(self, arr: np.ndarray, spacing_yx: Sequence[float]
+                      ) -> np.ndarray:
+        """(H, W, C) float array -> (H, W, sum(labels)) merged multilabel
+        one-hot uint8."""
+        return self.finish_array(self.predict_array_async(arr, spacing_yx))
 
     def warmup(self, in_shape: Sequence[int],
                in_spacing: Optional[Sequence[float]] = None) -> None:

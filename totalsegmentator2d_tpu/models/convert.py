@@ -27,16 +27,26 @@ from .plans import ArchSpec
 _STRIP_PREFIXES = ('module.', '_orig_mod.')
 
 
-def load_torch_checkpoint(path: str) -> dict:
-    """Load a torch checkpoint on CPU without executing arbitrary code where
-    possible. Returns the raw checkpoint dict."""
+def load_torch_checkpoint(path: str, allow_pickle: bool = False) -> dict:
+    """Load a torch checkpoint on CPU. Returns the raw checkpoint dict.
+
+    Uses the safe ``weights_only`` unpickler: checkpoints arrive in zips
+    downloaded from a network registry, and the permissive loader executes
+    arbitrary pickle code. ``allow_pickle=True`` (or the environment opt-in
+    ``TS2D_TRUST_CHECKPOINTS=1``) re-enables the legacy loader for trusted
+    local files whose containers the safe unpickler rejects."""
+    import os
+
     import torch
     try:
         return torch.load(path, map_location='cpu', weights_only=True)
-    except Exception:
-        # older checkpoints pickle plain python containers that the
-        # weights_only unpickler rejects; retry permissively
-        return torch.load(path, map_location='cpu', weights_only=False)
+    except Exception as ex:
+        if allow_pickle or os.environ.get('TS2D_TRUST_CHECKPOINTS', '') == '1':
+            return torch.load(path, map_location='cpu', weights_only=False)
+        raise RuntimeError(
+            f'Checkpoint {path!r} could not be loaded with the safe '
+            f'weights-only unpickler ({ex}). If you trust this file, retry '
+            f'with allow_pickle=True or set TS2D_TRUST_CHECKPOINTS=1.') from ex
 
 
 def extract_state_dict(checkpoint: dict) -> Dict[str, np.ndarray]:

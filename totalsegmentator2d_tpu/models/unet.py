@@ -38,22 +38,24 @@ _DN = ('NHWC', 'HWIO', 'NHWC')
 
 def _conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
           stride: Tuple[int, int], kernel: Tuple[int, int],
-          compute_dtype=None) -> jnp.ndarray:
+          compute_dtype=None, out_dtype=None) -> jnp.ndarray:
     pad = [((k - 1) // 2, (k - 1) // 2) for k in kernel]
     if compute_dtype is not None:
-        # bf16 operands feed the MXU at full rate; accumulation stays fp32
+        # bf16 operands feed the MXU at full rate; accumulation inside the
+        # MXU stays fp32 regardless of the stored output dtype
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=pad, dimension_numbers=_DN,
-        preferred_element_type=jnp.float32)
+        preferred_element_type=out_dtype or jnp.float32)
     if b is not None:
-        out = out + b
+        out = out + b.astype(out.dtype)
     return out
 
 
 def _conv_transpose(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
-                    stride: Tuple[int, int], compute_dtype=None) -> jnp.ndarray:
+                    stride: Tuple[int, int], compute_dtype=None,
+                    out_dtype=None) -> jnp.ndarray:
     """torch ConvTranspose2d(k=stride, padding=0) equivalent: output spatial
     size = input * stride. Weight layout HWOI + transpose_kernel=True matches
     torch's gradient-of-conv semantics exactly (verified in tests)."""
@@ -62,23 +64,27 @@ def _conv_transpose(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
         w = w.astype(compute_dtype)
     out = jax.lax.conv_transpose(
         x, w, strides=stride, padding='VALID', dimension_numbers=_DN,
-        transpose_kernel=True, preferred_element_type=jnp.float32)
+        transpose_kernel=True, preferred_element_type=out_dtype or jnp.float32)
     if b is not None:
-        out = out + b
+        out = out + b.astype(out.dtype)
     return out
 
 
 def _instance_norm(x: jnp.ndarray, scale: Optional[jnp.ndarray],
                    bias: Optional[jnp.ndarray], eps: float) -> jnp.ndarray:
-    # per-sample, per-channel statistics over spatial dims; biased variance
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    # per-sample, per-channel statistics over spatial dims; biased variance.
+    # statistics always accumulate in fp32 (variance over 64k elements in
+    # bf16 is garbage); a bf16 input is read once per pass and upcast
+    # in-register, so keeping activations bf16 halves the memory traffic
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     if scale is not None:
         y = y * scale
     if bias is not None:
         y = y + bias
-    return y
+    return y.astype(x.dtype)
 
 
 def _leaky_relu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
@@ -93,9 +99,11 @@ def _use_pallas() -> bool:
 def _block(x: jnp.ndarray, p: Params, stride: Tuple[int, int],
            kernel: Tuple[int, int], spec: ArchSpec,
            compute_dtype=None) -> jnp.ndarray:
-    """ConvDropoutNormReLU: conv -> InstanceNorm -> LeakyReLU."""
+    """ConvDropoutNormReLU: conv -> InstanceNorm -> LeakyReLU. With a bf16
+    compute dtype the activations are also STORED bf16 between ops (the
+    wide early stages are memory-bound; norm statistics stay fp32)."""
     x = _conv(x, p['conv']['w'], p['conv'].get('b'), stride, kernel,
-              compute_dtype)
+              compute_dtype, out_dtype=compute_dtype)
     norm = p.get('norm')
     if norm is None:
         return _leaky_relu(x, spec.nonlin_slope)
@@ -144,7 +152,7 @@ def forward(params: Params, x: jnp.ndarray, spec: ArchSpec,
         enc_stage = n_dec - d  # stage whose stride this transpconv undoes
         t = params['decoder']['transpconvs'][d]
         h = _conv_transpose(h, t['w'], t.get('b'), a.strides[enc_stage],
-                            compute_dtype)
+                            compute_dtype, out_dtype=compute_dtype)
         h = jnp.concatenate([h, skips[enc_stage - 1].astype(h.dtype)], axis=-1)
         h = _conv_stack(h, params['decoder']['stages'][d], (1, 1),
                         a.kernel_sizes[enc_stage - 1], a, compute_dtype)

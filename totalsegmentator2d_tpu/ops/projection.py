@@ -54,6 +54,35 @@ def project_array(arr: jnp.ndarray, mode: str, axis: int) -> jnp.ndarray:
     raise ValueError(f'Unsupported projection mode: {mode}')
 
 
+def project_array_np(arr: np.ndarray, mode: str, axis: int) -> np.ndarray:
+    """Host (numpy) mirror of :func:`project_array`. Projections are one
+    memory-bound pass over the volume; on remote-attached accelerators the
+    volume upload costs far more than the host reduction (~50 ms for a
+    49 MB torso CT), so the serving path projects on the host and uploads
+    only the small 2D result."""
+    mode = str(mode).lower().strip()
+    if mode in ('max', 'mip'):
+        return np.expand_dims(np.max(arr, axis=axis), axis)
+    if mode == 'min':
+        return np.expand_dims(np.min(arr, axis=axis), axis)
+    if mode in ('avg', 'mean'):
+        return np.expand_dims(
+            np.mean(arr, axis=axis, dtype=np.float32).astype(np.float32), axis)
+    if mode == 'median':
+        return np.expand_dims(
+            np.median(arr.astype(np.float32), axis=axis), axis).astype(np.float32)
+    if mode == 'std':
+        return np.expand_dims(
+            np.std(arr.astype(np.float32), axis=axis, ddof=1), axis).astype(np.float32)
+    if mode in ('first', 'depth'):
+        idx = np.argmax(arr != 0, axis=axis, keepdims=True)
+        return np.take_along_axis(arr, idx, axis=axis)
+    if mode == 'xr':
+        raise NotImplementedError(
+            'Synthetic XR projection from 3D images is not supported.')
+    raise ValueError(f'Unsupported projection mode: {mode}')
+
+
 def _project_first(arr: jnp.ndarray, axis: int) -> jnp.ndarray:
     """First non-zero value along the axis (reference image.py:141-153)."""
     nonzero = arr != 0
@@ -62,9 +91,14 @@ def _project_first(arr: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def project(img: MedicalImage, mode: str = 'max',
-            axis: Union[int, str] = -1) -> MedicalImage:
+            axis: Union[int, str] = -1, backend: str = 'host') -> MedicalImage:
     """Project a MedicalImage along an axis, handling geometry like the
-    reference's ``project()`` (image.py:46-101)."""
+    reference's ``project()`` (image.py:46-101).
+
+    :param backend: 'host' (numpy, default — see project_array_np on why)
+        or 'device' (upload + jnp reduction; useful when the volume is
+        consumed on-device anyway)
+    """
     itk_axis = axis_name_to_index(axis) if isinstance(axis, str) else \
         list(range(img.dim))[axis]
     mode = str(mode).lower().strip()
@@ -80,8 +114,11 @@ def project(img: MedicalImage, mode: str = 'max',
                                    axis=itk_axis)
 
     np_axis = img.dim - 1 - itk_axis  # channel tail (if any) is after spatial
-    dev = jax.device_put(np.ascontiguousarray(img.array))
-    out = np.asarray(project_array(dev, mode, np_axis))
+    if backend == 'host':
+        out = project_array_np(img.array, mode, np_axis)
+    else:
+        dev = jax.device_put(np.ascontiguousarray(img.array))
+        out = np.asarray(project_array(dev, mode, np_axis))
     return _projected_image(img, out, itk_axis)
 
 

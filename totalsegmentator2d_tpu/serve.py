@@ -37,7 +37,6 @@ class TS2DServer:
         self.port = port
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
-        self._lock = threading.Lock()  # predict serialization (host side)
 
     # -- request handling --------------------------------------------------
 
@@ -60,6 +59,11 @@ class TS2DServer:
         ext = query.get('input_format', ['nrrd'])[0]
         out_fmt = query.get('format', ['nrrd'])[0]
         collapse = query.get('collapse', ['0'])[0] in ('1', 'true')
+        # both extensions are interpolated into filesystem paths below:
+        # whitelist strictly to the supported formats (no traversal)
+        if ext not in ('nrrd', 'nii', 'nii.gz', 'mha', 'mhd'):
+            return 400, 'application/json', json.dumps(
+                {'error': f'unsupported input format {ext}'}).encode()
         if out_fmt not in ('nrrd', 'nii', 'nii.gz', 'mha'):
             return 400, 'application/json', json.dumps(
                 {'error': f'unsupported output format {out_fmt}'}).encode()
@@ -74,8 +78,11 @@ class TS2DServer:
                 return 400, 'application/json', json.dumps(
                     {'error': f'failed to parse input image: {ex}'}).encode()
 
-            with self._lock:
-                res = self.tool.predict(img, collapse=collapse)
+            # no host-side serialization: predict is thread-safe (the engine
+            # locks only its program cache) and the XLA dispatch queue orders
+            # device work, so concurrent requests overlap their host-side
+            # parse/export with each other's device time
+            res = self.tool.predict(img, collapse=collapse)
             seg = res.get_segmentation()
             out_path = os.path.join(tmp, f'seg.{out_fmt}')
             write_image(seg, out_path)
