@@ -150,16 +150,17 @@ class TestAsyncAndPallas:
         np.testing.assert_array_equal(unpack_bits(packed, 117), bits)
 
     def test_pallas_flag_cpu_fallback(self, groups, rng, monkeypatch):
-        """TS2D_PALLAS=1 on CPU falls back to the jnp path (kernel returns
-        None) and produces identical results."""
-        monkeypatch.setenv('TS2D_PALLAS', '1')
+        """The default-on Pallas prefilter falls back to the jnp path on
+        CPU (kernel returns None): disabled vs enabled results match on a
+        resampling input."""
         specs, params = groups
+        monkeypatch.setenv('TS2D_PALLAS', '0')
         ens = EnsembleEngine(specs, params)
         arr = (rng.standard_normal((64, 64, 2)) + 2).astype(np.float32)
-        seg = ens.predict_array(arr, (1.5, 1.5))
+        seg = ens.predict_array(arr, (3.0, 3.0))
         monkeypatch.delenv('TS2D_PALLAS')
         ens2 = EnsembleEngine(specs, params)
-        ref = ens2.predict_array(arr, (1.5, 1.5))
+        ref = ens2.predict_array(arr, (3.0, 3.0))
         np.testing.assert_array_equal(seg, ref)
 
 

@@ -36,8 +36,25 @@ class TestPrefilterKernel:
         assert bspline_prefilter_pallas(x, axis=0, interpret=True) is None
 
 
-class TestNormActKernel:
-    def test_declines_on_cpu(self, rng):
-        from totalsegmentator2d_tpu.ops.pallas import instance_norm_act
-        x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)).astype(np.float32))
-        assert instance_norm_act(x, jnp.ones(8), jnp.zeros(8)) is None
+class TestDefaultGating:
+    def test_prefilter_on_by_default_and_disablable(self, monkeypatch):
+        from totalsegmentator2d_tpu.ops.resample import \
+            _pallas_prefilter_enabled
+        monkeypatch.delenv('TS2D_PALLAS', raising=False)
+        assert _pallas_prefilter_enabled()
+        monkeypatch.setenv('TS2D_PALLAS', '0')
+        assert not _pallas_prefilter_enabled()
+
+    def test_bspline_prefilter_falls_back_on_cpu(self, rng):
+        """With the kernel enabled by default, the CPU backend must fall
+        through to the associative-scan path transparently."""
+        from totalsegmentator2d_tpu.ops.resample import bspline_prefilter, \
+            bspline_prefilter_1d
+        x = jnp.asarray(rng.standard_normal((30, 20, 2)).astype(np.float32))
+        out = bspline_prefilter(x, (0, 1))
+        ref = x
+        for ax in (0, 1):
+            ref = jnp.moveaxis(bspline_prefilter_1d(
+                jnp.moveaxis(ref, ax, -1)), -1, ax)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)

@@ -1,9 +1,12 @@
-"""Probe 3: does the Pallas fused InstanceNorm+LeakyReLU earn its place?
+"""Probe 3: does a Pallas fused InstanceNorm+LeakyReLU earn its place?
 
-Times the bench-scale U-Net forward (bf16, batch 16/64) and the full 2D
-ensemble program with TS2D_PALLAS on vs off, plus the raw norm_act op vs
-the XLA reduce+elementwise path. Decision rule (VERDICT round 1, item 6):
-enable by default whichever wins, delete what loses.
+VERDICT (measured 2026-08-16, v5e): NO — XLA's reduce+elementwise fusion
+won at every shape whose plane fit VMEM (e.g. fwd M=16 bf16: 44.8 ms
+XLA-only vs 46.7 ms with the kernel; full 2D program 102.7 vs 114.4 ms),
+and fp32 temporaries of stage-0-sized planes overflow VMEM (23.8M > 16M
+scoped limit). The kernel was deleted; this probe remains as the record
+and still A/Bs the forward + program with the TS2D_PALLAS flag (which now
+gates only the winning B-spline prefilter kernel, see perf_probe4.py).
 """
 
 import os
@@ -24,7 +27,8 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # raw op: norm+act over a stage-0-sized activation
+    # raw op: norm+act over a stage-0-sized activation (XLA path only; the
+    # Pallas competitor was deleted after losing — see module docstring)
     for shape in ((16, 256, 256, 32), (64, 128, 128, 64)):
         x32 = rng.standard_normal(shape).astype(np.float32)
         for dt in (jnp.bfloat16, jnp.float32):
@@ -37,20 +41,8 @@ def main():
                 return jnp.where(y >= 0, y, y * 0.01)
 
             t_xla = timeit(jax.jit(xla_path), 8, x, scale, bias)[0]
-
-            from totalsegmentator2d_tpu.ops.pallas import instance_norm_act
-            def pallas_path(x, s, b):
-                out = instance_norm_act(x, s, b, eps=1e-5, slope=0.01)
-                assert out is not None
-                return out
-
-            try:
-                t_pl = timeit(jax.jit(pallas_path), 8, x, scale, bias)[0]
-            except Exception as ex:
-                t_pl = float('nan')
-                print(f'  pallas failed: {type(ex).__name__}: {ex}')
             print(f'norm_act {shape} {jnp.dtype(dt).name}: '
-                  f'xla {t_xla*1e3:7.2f} ms  pallas {t_pl*1e3:7.2f} ms')
+                  f'xla {t_xla*1e3:7.2f} ms')
 
     # forward-level: bf16 M=16 with/without pallas
     eng = build_engine()

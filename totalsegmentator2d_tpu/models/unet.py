@@ -91,31 +91,20 @@ def _leaky_relu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
     return jnp.where(x >= 0, x, x * slope)
 
 
-def _use_pallas() -> bool:
-    import os
-    return os.environ.get('TS2D_PALLAS', '') == '1'
-
-
 def _block(x: jnp.ndarray, p: Params, stride: Tuple[int, int],
            kernel: Tuple[int, int], spec: ArchSpec,
            compute_dtype=None) -> jnp.ndarray:
     """ConvDropoutNormReLU: conv -> InstanceNorm -> LeakyReLU. With a bf16
     compute dtype the activations are also STORED bf16 between ops (the
-    wide early stages are memory-bound; norm statistics stay fp32)."""
+    wide early stages are memory-bound; norm statistics stay fp32).
+
+    A Pallas fused norm+act kernel was benchmarked here and removed: XLA's
+    fusion won at every shape that fit VMEM (tools/perf_probe3.py)."""
     x = _conv(x, p['conv']['w'], p['conv'].get('b'), stride, kernel,
               compute_dtype, out_dtype=compute_dtype)
     norm = p.get('norm')
     if norm is None:
         return _leaky_relu(x, spec.nonlin_slope)
-    if (_use_pallas() and norm.get('scale') is not None
-            and norm.get('bias') is not None):
-        # opt-in Pallas fused norm+activation (ops/pallas/norm_act.py);
-        # returns None when the kernel does not apply on this backend/shape
-        from ..ops.pallas import instance_norm_act
-        out = instance_norm_act(x, norm['scale'], norm['bias'],
-                                eps=spec.norm_eps, slope=spec.nonlin_slope)
-        if out is not None:
-            return out
     # norm statistics always in fp32 (variance is precision-sensitive)
     x = _instance_norm(x, norm.get('scale'), norm.get('bias'), spec.norm_eps)
     return _leaky_relu(x, spec.nonlin_slope)

@@ -92,8 +92,11 @@ def bspline_prefilter_1d(x: jnp.ndarray, tol: float = 1e-10) -> jnp.ndarray:
 
 
 def _pallas_prefilter_enabled() -> bool:
+    # ON by default: measured on v5e, the single-pass VMEM IIR kernel saves
+    # ~20 ms per resampling program vs the associative scan (which costs
+    # O(n log n) work and log n HBM round trips). TS2D_PALLAS=0 disables.
     import os
-    return os.environ.get('TS2D_PALLAS', '') == '1'
+    return os.environ.get('TS2D_PALLAS', '1') != '0'
 
 
 def bspline_prefilter(arr: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
