@@ -66,7 +66,8 @@ def build_engine():
             channel_names={0: 'max', 1: 'mean'}, multilabel=True))
         params.append([init_params_np(i, arch)])
     return EnsembleEngine(specs, params, tile_step_size=0.5,
-                          use_mirroring=True, compute_dtype=jnp.bfloat16)
+                          use_mirroring=True, compute_dtype=jnp.bfloat16,
+                          auto_batch=8)
 
 
 def make_realistic_volume():
@@ -105,21 +106,37 @@ def blocking_latency(engine, vol, spacing, n=5):
     return float(np.min(times))
 
 
-def pipelined_rate(engine, vol, spacing, n=6, rounds=3):
-    """Async dispatch of n scans per round, drain once — the production
-    serving rate (host projection of scan i+1 overlaps device time of scan
-    i). Best round is reported: the TPU here is reached through a shared
-    tunnel whose throughput varies several-fold between moments, and min is
-    the contention-robust estimator of machine capability."""
-    rates = []
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        handles = [engine.predict_array_async(host_project(vol), spacing)
-                   for _ in range(n)]
-        outs = [engine.finish_array(h) for h in handles]
-        rates.append((time.perf_counter() - t0) / n)
-        assert all(o.shape[-1] == sum(GROUP_LABELS.values()) for o in outs)
-    return float(np.min(rates))
+def pipelined_rate(engine, vol, spacing, n=16, rounds=3, threads=1,
+                   linger_ms=0.0):
+    """Sustained serving throughput: a stream of n scans is projected on the
+    host and dispatched async; scans in flight coalesce into micro-batched
+    device programs (inference/batching.py), host projection overlaps device
+    time, and the drain downloads bit-packed masks. Natural batching
+    (linger 0) measured best in this serial-arrival regime — the queue fills
+    behind each dispatch's upload latency; holding partial batches idles the
+    device for a worse trade (116 vs 265-393 ms/scan at linger 40-80,
+    tools/perf_probe7.py). threads=1: concurrent host projections thrash
+    memory bandwidth (123 -> 338 ms/scan at 4 threads, perf_probe6.py).
+    Best round is reported: the TPU here is reached through a shared tunnel
+    whose throughput varies several-fold between moments, and min is the
+    contention-robust estimator of machine capability."""
+    from concurrent.futures import ThreadPoolExecutor
+    engine.set_batch_linger(linger_ms)
+    try:
+        rates = []
+        with ThreadPoolExecutor(threads) as pool:
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                handles = list(pool.map(
+                    lambda _: engine.predict_array_async(host_project(vol),
+                                                         spacing), range(n)))
+                outs = [engine.finish_array(h) for h in handles]
+                rates.append((time.perf_counter() - t0) / n)
+                assert all(o.shape[-1] == sum(GROUP_LABELS.values())
+                           for o in outs)
+        return float(np.min(rates))
+    finally:
+        engine.set_batch_linger(0.0)
 
 
 def main():

@@ -246,3 +246,113 @@ class TestSpatialTileSharding:
         a = plain.predict_array(arr, (1.5, 1.5))
         b = sharded.predict_array(arr, (1.5, 1.5))
         assert (a == b).mean() > 0.9999
+
+
+class TestDynamicBatching:
+    def test_batched_matches_unbatched(self, groups, rng):
+        """Concurrent same-shape requests coalesce into one batched dispatch
+        (including padding: 5 requests, max_batch=4 -> batches of <=4) and
+        reproduce the unbatched engine's output exactly."""
+        specs, params = groups
+        plain = EnsembleEngine(specs, params)
+        batched = EnsembleEngine(specs, params, auto_batch=4)
+        try:
+            arrs = [(rng.standard_normal((80, 70, 2)) + 2).astype(np.float32)
+                    for _ in range(5)]
+            handles = [batched.predict_array_async(a, (1.5, 1.5))
+                       for a in arrs]
+            for a, h in zip(arrs, handles):
+                ref = plain.predict_array(a, (1.5, 1.5))
+                np.testing.assert_array_equal(batched.finish_array(h), ref)
+        finally:
+            batched.close()
+
+    def test_single_request_passthrough(self, groups, rng):
+        """A lone request goes through the single-scan program (no batch
+        padding waste) and still matches."""
+        specs, params = groups
+        plain = EnsembleEngine(specs, params)
+        batched = EnsembleEngine(specs, params, auto_batch=8)
+        try:
+            arr = np.zeros((90, 80, 2), np.float32)
+            arr[10:70, 5:60] = (rng.standard_normal((60, 55, 2)) + 2)
+            out = batched.predict_array(arr, (1.5, 1.5))
+            np.testing.assert_array_equal(
+                out, plain.predict_array(arr, (1.5, 1.5)))
+        finally:
+            batched.close()
+
+    def test_mixed_shapes_bucket_separately(self, groups, rng):
+        """Interleaved requests of different shapes must not be stacked
+        together — each shape batches with its own kind."""
+        specs, params = groups
+        plain = EnsembleEngine(specs, params)
+        batched = EnsembleEngine(specs, params, auto_batch=4)
+        try:
+            shapes = [(80, 70), (64, 64), (80, 70), (64, 64), (80, 70)]
+            arrs = [(rng.standard_normal(s + (2,)) + 2).astype(np.float32)
+                    for s in shapes]
+            handles = [batched.predict_array_async(a, (1.5, 1.5))
+                       for a in arrs]
+            for a, h in zip(arrs, handles):
+                ref = plain.predict_array(a, (1.5, 1.5))
+                np.testing.assert_array_equal(batched.finish_array(h), ref)
+        finally:
+            batched.close()
+
+    def test_masked_norm_through_batcher(self, groups, rng):
+        """Masked-normalization plans route their host-computed hole-filled
+        masks through the batched dispatch."""
+        import dataclasses
+        specs, params = groups
+        specs_m = [dataclasses.replace(
+            s, preprocess=dataclasses.replace(
+                s.preprocess, use_mask_for_norm=(True, True)))
+            for s in specs]
+        plain = EnsembleEngine(specs_m, params)
+        batched = EnsembleEngine(specs_m, params, auto_batch=4)
+        try:
+            arrs = []
+            for _ in range(3):
+                a = np.zeros((80, 70, 2), np.float32)
+                a[10:60, 8:55] = rng.standard_normal((50, 47, 2)) + 3
+                arrs.append(a)
+            handles = [batched.predict_array_async(a, (1.5, 1.5))
+                       for a in arrs]
+            for a, h in zip(arrs, handles):
+                ref = plain.predict_array(a, (1.5, 1.5))
+                np.testing.assert_array_equal(batched.finish_array(h), ref)
+        finally:
+            batched.close()
+
+    def test_close_stops_dispatcher(self, groups):
+        specs, params = groups
+        batched = EnsembleEngine(specs, params, auto_batch=2)
+        batched.close()
+        assert batched._batcher is None
+
+    def test_linger_fills_batches(self, groups, rng):
+        """With linger, requests submitted in quick succession ride one
+        full batch and still match the unbatched engine."""
+        specs, params = groups
+        plain = EnsembleEngine(specs, params)
+        batched = EnsembleEngine(specs, params, auto_batch=4)
+        try:
+            batched.set_batch_linger(100.0)
+            arrs = [(rng.standard_normal((64, 64, 2)) + 2).astype(np.float32)
+                    for _ in range(4)]
+            handles = [batched.predict_array_async(a, (1.5, 1.5))
+                       for a in arrs]
+            for a, h in zip(arrs, handles):
+                np.testing.assert_array_equal(
+                    batched.finish_array(h),
+                    plain.predict_array(a, (1.5, 1.5)))
+            batched.set_batch_linger(0.0)
+        finally:
+            batched.close()
+
+    def test_linger_requires_batcher(self, groups):
+        specs, params = groups
+        plain = EnsembleEngine(specs, params)
+        with pytest.raises(RuntimeError, match='micro-batching'):
+            plain.set_batch_linger(10.0)

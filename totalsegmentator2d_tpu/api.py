@@ -114,7 +114,11 @@ class TS2D:
                 tile_step_size=(ref.tile_step_size
                                 if ref.tile_step_size is not None else 0.5),
                 use_mirroring=ref.use_mirroring,
-                compute_dtype=ref.compute_dtype())
+                compute_dtype=ref.compute_dtype(),
+                # concurrent requests (serve.py threads) coalesce into one
+                # batched device dispatch; sequential callers are unaffected
+                # (a lone request reuses the single-scan program)
+                auto_batch=8)
             return engine
         except Exception as ex:
             log(f'Fused ensemble unavailable ({ex}); using per-model engines.')
@@ -132,6 +136,8 @@ class TS2D:
         for model in self.models.values():
             model.stop()
         self.models = {}
+        if self._fused is not None:
+            self._fused.close()
         self._fused = None
 
     def __del__(self):

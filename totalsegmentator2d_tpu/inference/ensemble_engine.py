@@ -49,8 +49,12 @@ def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
 
 
 def unpack_bits(packed: np.ndarray, n_labels: int) -> np.ndarray:
-    """Host-side inverse of _pack_bits."""
-    bits = np.unpackbits(packed, axis=-1, bitorder='little')
+    """Host-side inverse of _pack_bits. Unpacks the flattened buffer (the
+    axis= path of np.unpackbits is measurably slower, and device_get can
+    hand back non-contiguous views that would push it onto a slow path)."""
+    packed = np.ascontiguousarray(packed)
+    bits = np.unpackbits(packed.reshape(-1), bitorder='little')
+    bits = bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
     return bits[..., :n_labels]
 
 
@@ -69,7 +73,8 @@ class EnsembleEngine:
                  tile_step_size: float = 0.5, use_mirroring: bool = True,
                  dtype=jnp.float32, compute_dtype=None,
                  tile_mesh=None, tile_axis: str = 'data',
-                 forward_batch_cap: int = 64):
+                 forward_batch_cap: int = 64,
+                 auto_batch: Optional[int] = None):
         if not specs:
             raise ValueError('At least one group is required')
         self.specs = list(specs)
@@ -133,6 +138,29 @@ class EnsembleEngine:
         # volume program builds the 2D program while holding the lock.
         import threading
         self._cache_lock = threading.RLock()
+        # auto_batch=N: concurrent predict_array requests coalesce into one
+        # batched dispatch of up to N scans (dynamic micro-batching — the
+        # production serving mode; see inference/batching.py for measurements)
+        self._batcher = None
+        if auto_batch is not None:
+            from .batching import DynamicBatcher
+            self._batcher = DynamicBatcher(self, max_batch=auto_batch)
+
+    def close(self) -> None:
+        """Stop the micro-batch dispatcher thread (if enabled)."""
+        if self._batcher is not None:
+            self._batcher.stop()
+            self._batcher = None
+
+    def set_batch_linger(self, linger_ms: float) -> None:
+        """Throughput knob for the micro-batcher: hold a partial batch up to
+        ``linger_ms`` waiting for it to fill (partial batches pad to
+        max_batch and cost a full program run). 0 = dispatch immediately
+        (latency-first, the default)."""
+        if self._batcher is None:
+            raise RuntimeError('micro-batching is not enabled '
+                               '(construct with auto_batch=N)')
+        self._batcher.linger_ms = float(linger_ms)
 
     @property
     def total_labels(self) -> int:
@@ -293,6 +321,27 @@ class EnsembleEngine:
                     f'({self.n_groups} groups, {hit[1]["n_tiles"]} tiles, '
                     f'{hit[1]["n_mirror"]} mirrors, {self.n_folds} folds)')
         return hit
+
+    def _batched_program(self, batch: int, in_shape, in_spacing,
+                         has_mask: bool):
+        """vmap of the fused 2D program over a stacked batch of same-shape
+        scans (the micro-batching dispatch path)."""
+        key = ('batch', int(batch), tuple(in_shape),
+               tuple(round(float(s), 6) for s in in_spacing), bool(has_mask))
+        with self._cache_lock:
+            fn = self._cache.get(key)
+            if fn is None:
+                fn2d, _ = self._program(in_shape, in_spacing)
+                if has_mask:
+                    fn = jax.jit(lambda params, xb, mb: jax.vmap(
+                        lambda a, m: fn2d.__wrapped__(params, a, m))(xb, mb))
+                else:
+                    fn = jax.jit(lambda params, xb: jax.vmap(
+                        lambda a: fn2d.__wrapped__(params, a))(xb))
+                self._cache[key] = fn
+                log(f'compiled batched ensemble program for shape={in_shape} '
+                    f'batch={batch}')
+        return fn
 
     # -- fused volume path ---------------------------------------------------
 
@@ -527,24 +576,45 @@ class EnsembleEngine:
                 f'Input has {arr.shape[-1]} channels; the models expect '
                 f'{self.spec.arch.in_channels}')
         (y0, y1), (x0, x1) = _nonzero_bbox(arr)
-        cropped = arr[y0:y1, x0:x1]
-        fn, meta = self._program(cropped.shape[:2], spacing_yx)
-        args = (self.params, jax.device_put(np.ascontiguousarray(cropped)))
-        if meta['needs_mask']:
-            args += (jax.device_put(nonzero_norm_mask(cropped)),)
-        return (fn(*args), ((y0, y1), (x0, x1)), arr.shape[:2])
+        cropped = np.ascontiguousarray(arr[y0:y1, x0:x1])
+        needs_mask = any(self.spec.preprocess.use_mask_for_norm)
+        mask = nonzero_norm_mask(cropped) if needs_mask else None
+        bbox = ((y0, y1), (x0, x1))
+        if self._batcher is not None:
+            # micro-batching: the dispatcher thread coalesces concurrent
+            # requests of the same shape into one batched device program
+            return ('future',
+                    self._batcher.submit(cropped, mask, spacing_yx, bbox,
+                                         arr.shape[:2]))
+        fn, _ = self._program(cropped.shape[:2], spacing_yx)
+        args = (self.params, jax.device_put(cropped))
+        if needs_mask:
+            args += (jax.device_put(mask),)
+        return (fn(*args), bbox, arr.shape[:2])
 
-    def finish_array(self, handle) -> np.ndarray:
-        """Block on a predict_array_async handle; returns the full-size
-        merged multilabel one-hot uint8 segmentation."""
-        packed, ((y0, y1), (x0, x1)), full = handle
-        seg_c = unpack_bits(np.asarray(jax.device_get(packed)),
-                            self.total_labels)
+    def _place(self, seg_c: np.ndarray, bbox, full) -> np.ndarray:
+        """Re-embed a cropped seg into the full input extent."""
+        (y0, y1), (x0, x1) = bbox
         if seg_c.shape[:2] != tuple(full):
             seg = np.zeros(tuple(full) + (seg_c.shape[-1],), np.uint8)
             seg[y0:y1, x0:x1] = seg_c
             return seg
         return seg_c
+
+    def finish_array(self, handle) -> np.ndarray:
+        """Block on a predict_array_async handle; returns the full-size
+        merged multilabel one-hot uint8 segmentation."""
+        if handle[0] == 'future':
+            batch_result, idx, bbox, full = handle[1].result()
+            packed = batch_result.get()
+            if idx is not None:
+                packed = packed[idx]
+            return self._place(unpack_bits(packed, self.total_labels),
+                               bbox, full)
+        packed, bbox, full = handle
+        seg_c = unpack_bits(np.asarray(jax.device_get(packed)),
+                            self.total_labels)
+        return self._place(seg_c, bbox, full)
 
     def predict_array(self, arr: np.ndarray, spacing_yx: Sequence[float]
                       ) -> np.ndarray:

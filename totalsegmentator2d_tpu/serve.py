@@ -174,12 +174,18 @@ def main() -> None:
     parser.add_argument('--no-remote', action='store_true')
     parser.add_argument('--no-fetch', action='store_true')
     parser.add_argument('--local', type=str, default=None)
+    parser.add_argument('--batch-linger-ms', type=float, default=0.0,
+                        help='hold a partial micro-batch up to this long '
+                             'waiting for it to fill (throughput mode; '
+                             '0 = dispatch immediately, latency mode)')
     args = parser.parse_args()
 
     from .utils.config import get_default_model
     key = args.model or get_default_model()
     with TS2D(key=key, use_remote=not args.no_remote,
               fetch_remote=not args.no_fetch, local=args.local) as tool:
+        if args.batch_linger_ms and getattr(tool, '_fused', None) is not None:
+            tool._fused.set_batch_linger(args.batch_linger_ms)
         server = TS2DServer(tool, host=args.host, port=args.port).start()
         try:
             threading.Event().wait()
