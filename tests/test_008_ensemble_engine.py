@@ -356,3 +356,12 @@ class TestDynamicBatching:
         plain = EnsembleEngine(specs, params)
         with pytest.raises(RuntimeError, match='micro-batching'):
             plain.set_batch_linger(10.0)
+
+    def test_auto_batch_rejects_tile_mesh(self, groups):
+        """The batcher vmaps the program; the tile-sharded program is a
+        shard_map — incompatible ways to fill the device."""
+        from totalsegmentator2d_tpu.parallel import make_mesh
+        specs, params = groups
+        with pytest.raises(ValueError, match='auto_batch'):
+            EnsembleEngine(specs, params, tile_mesh=make_mesh({'data': 4}),
+                           auto_batch=4)

@@ -143,6 +143,13 @@ class EnsembleEngine:
         # production serving mode; see inference/batching.py for measurements)
         self._batcher = None
         if auto_batch is not None:
+            if tile_mesh is not None:
+                # the batcher vmaps the fused program; the tile-sharded
+                # program is a shard_map over the mesh — the two batch the
+                # device in incompatible ways (scale latency via tile_mesh
+                # OR throughput via auto_batch, not both)
+                raise ValueError('auto_batch cannot be combined with '
+                                 'tile_mesh')
             from .batching import DynamicBatcher
             self._batcher = DynamicBatcher(self, max_batch=auto_batch)
 

@@ -142,6 +142,11 @@ def forward(params: Params, x: jnp.ndarray, spec: ArchSpec,
         t = params['decoder']['transpconvs'][d]
         h = _conv_transpose(h, t['w'], t.get('b'), a.strides[enc_stage],
                             compute_dtype, out_dtype=compute_dtype)
+        # NOTE: splitting this concat into two convs (conv(cat(h,s),W) ==
+        # conv(h,W1)+conv(s,W2)) was measured on v5e and rejected: no
+        # speedup (343 -> 340 ms at batch 8 — XLA already schedules the
+        # concat well) and the bf16 add reassociation flips ~1% of
+        # borderline mask pixels (tools/perf_probe8.py)
         h = jnp.concatenate([h, skips[enc_stage - 1].astype(h.dtype)], axis=-1)
         h = _conv_stack(h, params['decoder']['stages'][d], (1, 1),
                         a.kernel_sizes[enc_stage - 1], a, compute_dtype)
