@@ -365,3 +365,40 @@ class TestDynamicBatching:
         with pytest.raises(ValueError, match='auto_batch'):
             EnsembleEngine(specs, params, tile_mesh=make_mesh({'data': 4}),
                            auto_batch=4)
+
+    def test_dispatch_error_propagates(self, groups, rng, monkeypatch):
+        """A failing dispatch must surface on every waiting future, not
+        hang the callers."""
+        specs, params = groups
+        batched = EnsembleEngine(specs, params, auto_batch=4)
+        try:
+            monkeypatch.setattr(
+                batched._batcher, '_dispatch',
+                lambda key, take: (_ for _ in ()).throw(
+                    RuntimeError('boom')))
+            h = batched.predict_array_async(
+                (rng.standard_normal((64, 64, 2)) + 2).astype(np.float32),
+                (1.5, 1.5))
+            with pytest.raises(RuntimeError, match='boom'):
+                batched.finish_array(h)
+        finally:
+            batched.close()
+
+    def test_dead_dispatcher_rejects_submits(self, groups, rng):
+        """If the dispatcher thread is gone, submit must raise instead of
+        returning a future that never resolves."""
+        specs, params = groups
+        batched = EnsembleEngine(specs, params, auto_batch=4)
+        try:
+            b = batched._batcher
+            # stop the thread without marking the batcher stopped
+            with b._cv:
+                b._stopped = True
+                b._cv.notify()
+            b._thread.join(timeout=5)
+            b._stopped = False
+            arr = (rng.standard_normal((64, 64, 2)) + 2).astype(np.float32)
+            with pytest.raises(RuntimeError, match='died'):
+                batched.predict_array_async(arr, (1.5, 1.5))
+        finally:
+            batched.close()

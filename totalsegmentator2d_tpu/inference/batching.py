@@ -85,6 +85,10 @@ class DynamicBatcher:
         with self._cv:
             if self._stopped:
                 raise RuntimeError('batcher is stopped')
+            if not self._thread.is_alive():
+                # a dead dispatcher would leave this future unresolved
+                # forever (the caller blocks in fut.result())
+                raise RuntimeError('batcher dispatcher thread died')
             self._pending.append((key, item))
             self._cv.notify()
         return fut
@@ -111,6 +115,18 @@ class DynamicBatcher:
         return key, take
 
     def _run(self):
+        try:
+            self._loop()
+        except BaseException as ex:  # dispatcher is dying: fail all waiters
+            with self._cv:
+                pending, self._pending = self._pending, []
+            for _, (*_, fut) in pending:
+                if not fut.done():
+                    fut.set_exception(
+                        RuntimeError(f'batcher dispatcher died: {ex!r}'))
+            raise
+
+    def _loop(self):
         import time
         while True:
             with self._cv:
