@@ -106,7 +106,7 @@ def blocking_latency(engine, vol, spacing, n=5):
     return float(np.min(times))
 
 
-def pipelined_rate(engine, vol, spacing, n=16, rounds=3, threads=1,
+def pipelined_rate(engine, vol, spacing, n=24, rounds=3, threads=1,
                    linger_ms=0.0):
     """Sustained serving throughput: a stream of n scans is projected on the
     host and dispatched async; scans in flight coalesce into micro-batched

@@ -246,3 +246,15 @@ class TestFusedUnfusedConsistency:
             a = res_f.get_segmentation(mid)
             b = res_u.get_segmentation(mid)
             assert (a.array == b.array).mean() > 0.9999
+
+
+class TestBatchingKnob:
+    def test_no_batching_disables_batcher(self, model_root):
+        with TS2D(key='ts2d-v9-test', use_remote=False, local=model_root,
+                  batching=False) as t:
+            assert t._fused is not None
+            assert t._fused._batcher is None
+        with TS2D(key='ts2d-v9-test', use_remote=False,
+                  local=model_root) as t:
+            assert t._fused is not None
+            assert t._fused._batcher is not None

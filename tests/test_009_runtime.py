@@ -131,3 +131,32 @@ class TestScanPipeline:
                                  content='file'))
         assert results == ['ok']
         assert (out / 'ok.seg.nrrd').exists()
+
+    def test_pipeline_async_window_matches_sync(self, tmp_path):
+        """With several scans in flight (predict_async + micro-batching),
+        the pipeline's outputs must equal one-at-a-time predicts."""
+        import shutil
+        import numpy as np
+        from totalsegmentator2d_tpu.api import TS2D
+        from totalsegmentator2d_tpu.inference.pipeline import ScanPipeline
+        from totalsegmentator2d_tpu.io import read_image
+
+        zoo_root = tmp_path / 'zoo'
+        build_group_set(str(zoo_root))
+        src = tmp_path / 'src'
+        src.mkdir()
+        for i in range(4):
+            shutil.copy(asset_path('sample_s0332.nrrd'), src / f'c{i}.nrrd')
+        out = tmp_path / 'out'
+        with TS2D(key='ts2d-v9-test', use_remote=False,
+                  local=str(zoo_root)) as tool:
+            ref = tool.predict(str(src / 'c0.nrrd')).get_segmentation()
+            pipe = ScanPipeline(tool, in_flight=4)
+            cases = [(f'c{i}', str(src / f'c{i}.nrrd')) for i in range(4)]
+            timers = pipe.run(cases, save_kwargs=dict(
+                dest=str(out), targets=['segmentation'], content='file'))
+        assert len(timers) == 4
+        assert all('dispatch' in t.marks for t in timers)
+        for i in range(4):
+            seg = read_image(str(out / f'c{i}.seg.nrrd'))
+            np.testing.assert_array_equal(seg.array, ref.array)

@@ -39,12 +39,21 @@ class TS2D:
     :param fetch_remote: refresh the registry from the upstream repo first
     :param local: override the local model database root (testing/offline)
     :param param: extra dot-key parameters merged into every model config
+    :param batching: coalesce concurrent/in-flight predictions into
+        micro-batched device programs (inference/batching.py) — the
+        throughput mode for serving and directory inputs. The batched
+        program's conv scheduling differs from the single-scan program's,
+        which flips borderline sigmoid pixels (~0.06% of voxels measured),
+        so results can depend on load; pass False for bitwise run-to-run
+        consistency at lower throughput.
     """
 
     def __init__(self, key: str = 'ts2d', use_remote: bool = True,
                  fetch_remote: bool = True,
                  local: Optional[str] = None,
-                 param: Optional[dict] = None):
+                 param: Optional[dict] = None,
+                 batching: bool = True):
+        self._batching = bool(batching)
         colors = get_label_colors()
         model_param = {'nnu.result.colors': colors}
         if param:
@@ -118,7 +127,7 @@ class TS2D:
                 # concurrent requests (serve.py threads) coalesce into one
                 # batched device dispatch; sequential callers are unaffected
                 # (a lone request reuses the single-scan program)
-                auto_batch=8)
+                auto_batch=8 if self._batching else None)
             return engine
         except Exception as ex:
             log(f'Fused ensemble unavailable ({ex}); using per-model engines.')
@@ -191,6 +200,33 @@ class TS2D:
         if projections:
             result['projections'] = projections
         return TS2D.Result(result)
+
+    def predict_async(self, input: Union[MedicalImage, str],
+                      collapse: bool = False, merge: bool = True):
+        """Dispatch a prediction without blocking; returns a handle for
+        :meth:`finish_predict`. Keeping several scans in flight lets the
+        fused engine's micro-batcher coalesce them into one device program
+        (the pipelined/serving throughput mode; ScanPipeline uses this for
+        directory inputs). Falls back to a blocking predict for non-fused
+        model sets (heterogeneous ensembles / single models)."""
+        if isinstance(input, str):
+            input = read_image(input)
+        if not isinstance(input, MedicalImage):
+            raise RuntimeError(
+                f'input must be a string path or a MedicalImage, found: '
+                f'{type(input).__name__}')
+        if self._fused is None:
+            return ('sync', self.predict(input, collapse=collapse,
+                                         merge=merge))
+        return ('fused',
+                self._predict_fused_dispatch(input, collapse, merge))
+
+    def finish_predict(self, handle) -> 'TS2D.Result':
+        """Block on a :meth:`predict_async` handle and return the Result."""
+        kind, data = handle
+        if kind == 'sync':
+            return data
+        return self._predict_fused_finish(data)
 
     def _predict_model(self, id_: str, input: MedicalImage, collapse: bool,
                        cache: dict) -> dict:
@@ -265,10 +301,19 @@ class TS2D:
         results are channel slices of the merged output. This is the exact
         reference dataflow (project on host -> 2D nnU-Net with
         crop_to_nonzero, tool.py:151-172)."""
+        return self._predict_fused_finish(
+            self._predict_fused_dispatch(original, collapse, merge))
+
+    def _predict_fused_dispatch(self, original: MedicalImage, collapse: bool,
+                                merge: bool):
+        """Host half of the fused path: projection + non-blocking device
+        dispatch. Returns a context for :meth:`_predict_fused_finish`.
+        Splitting the two lets callers keep several scans in flight — the
+        engine's micro-batcher then coalesces them into one device program
+        (inference/batching.py)."""
         models = list(self.models.items())
         ref = models[0][1]
         channels = sorted(ref.channels.items(), key=lambda kv: kv[0])
-        modes = [name for _, name in channels]
 
         projections: dict = {}
         if original.actual_dimension() > 2:
@@ -280,13 +325,6 @@ class TS2D:
                 ch_list.append(pimg)
             model_input = MedicalImage.compose(ch_list) if len(ch_list) > 1 \
                 else ch_list[0]
-            input2d_tmp = reduce_dimensions(model_input)
-            arr = input2d_tmp.array
-            if not input2d_tmp.is_vector:
-                arr = arr[..., None]
-            spacing_yx = tuple(reversed(input2d_tmp.spacing))
-            merged2d = self._fused.predict_array(
-                np.ascontiguousarray(arr, np.float32), spacing_yx)
         else:
             if len(channels) != original.ncomponents:
                 raise RuntimeError(
@@ -296,14 +334,24 @@ class TS2D:
             projections.update((f'ch{i}', ch) for i, ch in
                                enumerate(original.split_channels()))
             model_input = original
-            input2d_tmp = model_input if model_input.dim < 3 \
-                else reduce_dimensions(model_input)
-            arr = input2d_tmp.array
-            if not input2d_tmp.is_vector:
-                arr = arr[..., None]
-            spacing_yx = tuple(reversed(input2d_tmp.spacing))
-            merged2d = self._fused.predict_array(
-                np.ascontiguousarray(arr, np.float32), spacing_yx)
+        input2d_tmp = model_input if model_input.dim < 3 \
+            else reduce_dimensions(model_input)
+        arr = input2d_tmp.array
+        if not input2d_tmp.is_vector:
+            arr = arr[..., None]
+        spacing_yx = tuple(reversed(input2d_tmp.spacing))
+        handle = self._fused.predict_array_async(
+            np.ascontiguousarray(arr, np.float32), spacing_yx)
+        return (handle, original, model_input, input2d_tmp, projections,
+                collapse, merge)
+
+    def _predict_fused_finish(self, ctx) -> 'TS2D.Result':
+        """Device half of the fused path: block on the dispatch handle and
+        assemble the Result (per-model channel slices + merged image)."""
+        (handle, original, model_input, input2d_tmp, projections,
+         collapse, merge) = ctx
+        models = list(self.models.items())
+        merged2d = self._fused.finish_array(handle)
 
         native_2d = model_input.dim < 3
         input2d = model_input if native_2d else reduce_dimensions(model_input)

@@ -64,9 +64,12 @@ def ts2d_run(src: str, dest: str, model: Optional[str] = None,
              collapse: bool = False, visualize: bool = True,
              save_all: bool = False, silent: bool = False,
              local: Optional[str] = None,
-             trace: Optional[str] = None) -> None:
+             trace: Optional[str] = None,
+             batching: bool = True) -> None:
     """Run TS2D on one image or a directory of images. ``trace`` writes a
-    jax.profiler device trace (TensorBoard/Perfetto) to the given directory."""
+    jax.profiler device trace (TensorBoard/Perfetto) to the given directory.
+    ``batching=False`` disables micro-batched dispatch for bitwise
+    run-to-run consistency (see TS2D)."""
     from .api import TS2D
     from .utils.trace import device_trace
 
@@ -80,7 +83,7 @@ def ts2d_run(src: str, dest: str, model: Optional[str] = None,
     log(f'\n{bar}\n{_CITATION}\n{bar}\n')
 
     with TS2D(key=model, use_remote=use_remote, fetch_remote=fetch_remote,
-              local=local) as tool, device_trace(trace):
+              local=local, batching=batching) as tool, device_trace(trace):
         cases = list(_enumerate_cases(src))
         n = len(cases)
         log(f'Predicting {n} case{"s" if n != 1 else ""}')
@@ -135,10 +138,14 @@ def ts2d_entry_point() -> None:
     parser.add_argument('--trace', type=str, default=None,
                         help='Write a jax.profiler device trace to this '
                              'directory (view in TensorBoard/Perfetto).')
+    parser.add_argument('--no-batching', action='store_true',
+                        help='Disable micro-batched dispatch (bitwise '
+                             'run-to-run consistency; lower directory-mode '
+                             'throughput).')
 
     args = parser.parse_args()
     ts2d_run(src=args.src, dest=args.dest, model=args.model,
              use_remote=not args.no_remote, fetch_remote=not args.no_fetch,
              collapse=args.collapse, visualize=args.visualize,
              save_all=args.save_all, silent=args.silent, local=args.local,
-             trace=args.trace)
+             trace=args.trace, batching=not args.no_batching)

@@ -2,10 +2,12 @@
 
 The reference processes cases strictly sequentially (main.py:79-81) while its
 worker processes idle between tasks. Here host stages overlap with device
-execution: a reader thread prefetches + reorients upcoming cases, the main
-thread drives the (async-dispatch) device engine, and save workers export
-results in the background — so steady-state throughput approaches
-max(device time, IO time) instead of their sum.
+execution: a reader thread prefetches upcoming cases, the main thread
+dispatches predictions without blocking (TS2D.predict_async) keeping up to
+``in_flight`` scans queued on the device — where the fused engine's
+micro-batcher coalesces them into batched programs (inference/batching.py)
+— and save workers export results in the background. Steady-state
+throughput approaches max(device time, IO time) instead of their sum.
 """
 
 from __future__ import annotations
@@ -28,9 +30,15 @@ class ScanPipeline:
     :param save_workers: background export threads
     """
 
-    def __init__(self, tool, prefetch: int = 2, save_workers: int = 2):
+    def __init__(self, tool, prefetch: int = 2, save_workers: int = 2,
+                 in_flight: int = 8):
         self.tool = tool
         self.prefetch = max(1, int(prefetch))
+        # dispatched-but-unfinished predictions to keep queued on the
+        # device: with the fused engine they coalesce into micro-batched
+        # programs (inference/batching.py); 8 matches the engine's
+        # max_batch. Tools without predict_async degrade to 1 (blocking).
+        self.in_flight = max(1, int(in_flight))
         self._saver = AsyncRunner(num_workers=max(1, int(save_workers)),
                                   name='ts2d-save')
 
@@ -65,6 +73,33 @@ class ScanPipeline:
         n = len(cases)
         done = 0
         save_futures = []
+        # dispatched-but-unfinished predictions, finished in dispatch order
+        from collections import deque
+        pending: 'deque' = deque()
+        has_async = hasattr(self.tool, 'predict_async')
+        window = self.in_flight if has_async else 1
+
+        def finish_one():
+            name, handle, timer = pending.popleft()
+            try:
+                res = (self.tool.finish_predict(handle) if has_async
+                       else handle)
+            except Exception as ex:
+                # one bad case must not kill the batch (read failures are
+                # already survivable; predict failures match)
+                warn(f'Failed to predict case {name}: {ex}')
+                timers.append(timer)
+                return
+            timer.mark('predict')
+            if save_kwargs is not None:
+                save_futures.append(
+                    (name, self._saver.submit(
+                        self._save, res, name, dict(save_kwargs),
+                        timer, task_id=f'save-{name}')))
+            if on_result is not None:
+                on_result(name, res)
+            timers.append(timer)
+
         try:
             while True:
                 item = q.get()
@@ -79,22 +114,19 @@ class ScanPipeline:
                 if progress:
                     log(f'[{done}/{n}] Processing: {name}')
                 try:
-                    res = self.tool.predict(img, collapse=collapse)
+                    handle = (self.tool.predict_async(img, collapse=collapse)
+                              if has_async
+                              else self.tool.predict(img, collapse=collapse))
                 except Exception as ex:
-                    # one bad case must not kill the batch (read failures
-                    # are already survivable; predict failures match)
                     warn(f'Failed to predict case {name}: {ex}')
                     timers.append(timer)
                     continue
-                timer.mark('predict')
-                if save_kwargs is not None:
-                    save_futures.append(
-                        (name, self._saver.submit(
-                            self._save, res, name, dict(save_kwargs),
-                            timer, task_id=f'save-{name}')))
-                if on_result is not None:
-                    on_result(name, res)
-                timers.append(timer)
+                timer.mark('dispatch')
+                pending.append((name, handle, timer))
+                while len(pending) >= window:
+                    finish_one()
+            while pending:
+                finish_one()
             self._saver.wait()
             for name, fut in save_futures:
                 exc = fut.exception() if fut.done() else None
