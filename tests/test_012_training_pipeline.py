@@ -107,3 +107,48 @@ class TestEndToEndTrainingLoop:
         seg = model.apply(cases[0][0])
         assert seg.ncomponents == 2
         assert seg.size == cases[0][0].size
+
+
+class TestMixedPrecisionTraining:
+    def test_bf16_compute_trains(self, rng):
+        """compute_dtype='bfloat16' (the torch-AMP analogue): params and
+        loss stay fp32, the loss is finite and descends, and the result
+        tracks the fp32 run on the same fixed batch."""
+        import jax
+        from totalsegmentator2d_tpu.training import TrainConfig, Trainer
+        from __graft_entry__ import _flagship_spec
+
+        spec = _flagship_spec(out_channels=3, in_channels=2, n_stages=3)
+        batch = {
+            'image': (rng.standard_normal((2, 32, 32, 2))).astype(np.float32),
+            'target': (rng.random((2, 32, 32, 3)) > 0.7).astype(np.uint8),
+        }
+        losses = {}
+        for name, cdt in (('fp32', None), ('bf16', 'bfloat16')):
+            cfg = TrainConfig(lr=1e-2, total_steps=6, multilabel=True,
+                              deep_supervision=True, compute_dtype=cdt)
+            tr = Trainer(spec, cfg, seed=0)
+            ls = [float(tr.step(batch)) for _ in range(6)]
+            assert np.isfinite(ls).all()
+            assert ls[-1] < ls[0]
+            # params must remain fp32 regardless of compute dtype
+            leaf = jax.tree_util.tree_leaves(tr.params)[0]
+            assert leaf.dtype == np.float32
+            losses[name] = ls
+        assert abs(losses['bf16'][0] - losses['fp32'][0]) \
+            < 0.05 * abs(losses['fp32'][0]) + 0.05
+
+    def test_bf16_with_remat(self, rng):
+        from totalsegmentator2d_tpu.training import TrainConfig, Trainer
+        from __graft_entry__ import _flagship_spec
+        spec = _flagship_spec(out_channels=2, in_channels=2, n_stages=3)
+        cfg = TrainConfig(lr=1e-2, total_steps=3, multilabel=True,
+                          deep_supervision=True, compute_dtype='bf16',
+                          remat=True)
+        tr = Trainer(spec, cfg, seed=0)
+        batch = {
+            'image': rng.standard_normal((2, 32, 32, 2)).astype(np.float32),
+            'target': (rng.random((2, 32, 32, 2)) > 0.7).astype(np.uint8),
+        }
+        loss = float(tr.step(batch))
+        assert np.isfinite(loss)

@@ -120,12 +120,16 @@ def _conv_stack(x: jnp.ndarray, blocks: List[Params], first_stride: Tuple[int, i
 
 
 def forward(params: Params, x: jnp.ndarray, spec: ArchSpec,
-            deep_supervision: bool = False, compute_dtype=None):
+            deep_supervision: bool = False, compute_dtype=None,
+            head_dtype=None):
     """Run the U-Net. x: (N, H, W, C_in), H/W divisible by the total stride.
     Returns logits (N, H, W, C_out), or a list (highest resolution first)
     when deep_supervision is set. ``compute_dtype=jnp.bfloat16`` runs the
     matmul/conv operands in bf16 (fp32 accumulation + norms) for ~2x MXU
-    throughput."""
+    throughput. ``head_dtype`` sets the seg-head output dtype (default
+    fp32 — inference parity); training under bf16 passes bf16 here so the
+    head's conv backward sees matching operand/cotangent dtypes, and
+    upcasts at the loss."""
     a = spec
     skips = []
     h = x
@@ -153,7 +157,7 @@ def forward(params: Params, x: jnp.ndarray, spec: ArchSpec,
         sl = params['decoder']['seg_layers'][d]
         if deep_supervision or d == n_dec - 1:
             seg_outputs.append(_conv(h, sl['w'], sl.get('b'), (1, 1), (1, 1),
-                                     compute_dtype))
+                                     compute_dtype, out_dtype=head_dtype))
 
     if deep_supervision:
         return seg_outputs[::-1]

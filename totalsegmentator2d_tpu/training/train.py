@@ -37,6 +37,11 @@ class TrainConfig:
     # rematerialize the forward in the backward pass: trades FLOPs for HBM,
     # enabling large patches / batches that would not otherwise fit
     remat: bool = False
+    # 'bfloat16': conv operands/activations in bf16 for ~2x MXU throughput
+    # (params, gradients, optimizer state, logits and the loss stay fp32 —
+    # the TPU analogue of the reference stack's torch AMP training; bf16's
+    # fp32-matched exponent range needs no loss scaling)
+    compute_dtype: Optional[str] = None
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -51,14 +56,18 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def loss_fn(params, batch, spec: ArchSpec, cfg: TrainConfig):
     x, y = batch['image'], batch['target']
+    cdt = jnp.bfloat16 if cfg.compute_dtype in ('bfloat16', 'bf16') else None
     fwd = forward
     if cfg.remat:
-        fwd = jax.checkpoint(forward, static_argnums=(2, 3))
+        fwd = jax.checkpoint(forward, static_argnums=(2, 3, 4, 5))
+    # bf16 heads keep the head conv's backward dtype-consistent; the loss
+    # itself always runs fp32
     if cfg.deep_supervision:
-        outs = fwd(params, x, spec, True)
+        outs = fwd(params, x, spec, True, cdt, cdt)
+        outs = [o.astype(jnp.float32) for o in outs]
         return deep_supervision_loss(outs, y, cfg.multilabel)
-    logits = fwd(params, x, spec, False)
-    return dice_and_ce(logits, y, cfg.multilabel)
+    logits = fwd(params, x, spec, False, cdt, cdt)
+    return dice_and_ce(logits.astype(jnp.float32), y, cfg.multilabel)
 
 
 def train_step(params, opt_state, batch, *, spec: ArchSpec, cfg: TrainConfig,
