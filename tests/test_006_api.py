@@ -258,3 +258,20 @@ class TestBatchingKnob:
                   local=model_root) as t:
             assert t._fused is not None
             assert t._fused._batcher is not None
+
+    def test_single_model_fused_matches_unfused(self, model_root):
+        """Single-group sets (tsxr) now run the fused engine too; masks
+        must match the per-model fallback path exactly."""
+        with TS2D(key='tsxr-v9-test', use_remote=False,
+                  local=model_root) as t:
+            assert t._fused is not None, 'single-model sets should fuse'
+            res_f = t.predict(asset_path('sample_chexpert.nrrd'))
+            t._fused = None
+            for m in t.models.values():
+                m.start(wait=False)
+            for m in t.models.values():
+                m.await_startup()
+            res_u = t.predict(asset_path('sample_chexpert.nrrd'))
+        a = res_f.get_segmentation().array
+        b = res_u.get_segmentation().array
+        np.testing.assert_array_equal(a, b)

@@ -83,10 +83,12 @@ class TS2D:
                     f'Failed to load model {id_}'
                     + (f' (resolved from {key})' if key != id_ else ''))
 
-        # fast path: homogeneous multi-group ensembles fuse into ONE device
-        # program (all groups + folds stacked); heterogeneous sets fall back
-        # to per-model engines, matching the reference's sequential loop
-        self._fused = self._build_fused() if len(self.models) > 1 else None
+        # fast path: homogeneous model sets (including single-group tsxr
+        # models) fuse into ONE device program (all groups + folds stacked),
+        # gaining bit-packed downloads and micro-batched dispatch;
+        # heterogeneous sets fall back to per-model engines, matching the
+        # reference's sequential loop
+        self._fused = self._build_fused() if len(self.models) >= 1 else None
         if self._fused is None:
             for model in self.models.values():
                 model.start(wait=False)
