@@ -402,3 +402,24 @@ class TestDynamicBatching:
                 batched.predict_array_async(arr, (1.5, 1.5))
         finally:
             batched.close()
+
+    def test_linger_with_mixed_shapes_resolves(self, groups, rng):
+        """Linger counts the oldest request's own (shape) key — unrelated
+        shapes must neither extend nor break its batch; everything
+        resolves correctly."""
+        specs, params = groups
+        plain = EnsembleEngine(specs, params)
+        batched = EnsembleEngine(specs, params, auto_batch=2)
+        try:
+            batched.set_batch_linger(60.0)
+            shapes = [(64, 64), (80, 70), (64, 64), (80, 70)]
+            arrs = [(rng.standard_normal(s + (2,)) + 2).astype(np.float32)
+                    for s in shapes]
+            handles = [batched.predict_array_async(a, (1.5, 1.5))
+                       for a in arrs]
+            for a, h in zip(arrs, handles):
+                np.testing.assert_array_equal(
+                    batched.finish_array(h),
+                    plain.predict_array(a, (1.5, 1.5)))
+        finally:
+            batched.close()

@@ -19,6 +19,21 @@ from .io import MedicalImage, read_image
 from .ops.annotations import get_annotation_labels, get_label_mask
 
 
+def _dice_sums(p, g):
+    """(L, ...) stacked masks -> per-label (intersection, |p|, |g|) sums.
+    Module-level so jax.jit's cache persists across dice_per_label calls
+    (a per-call closure would re-trace every evaluation)."""
+    import jax.numpy as jnp
+    axes = tuple(range(1, p.ndim))
+    p = p.astype(jnp.float32)
+    g = g.astype(jnp.float32)
+    return (jnp.sum(p * g, axis=axes), jnp.sum(p, axis=axes),
+            jnp.sum(g, axis=axes))
+
+
+_dice_sums_jit = None  # populated on first use (keeps import jax lazy)
+
+
 def _label_masks(seg: MedicalImage) -> Dict[str, np.ndarray]:
     """{label name: binary mask}; names from Segment metadata when present,
     else 'labelN' / channel index."""
@@ -47,7 +62,6 @@ def dice_per_label(pred: MedicalImage, gt: MedicalImage,
     pm = _label_masks(pred)
     gm = _label_masks(gt)
     import jax
-    import jax.numpy as jnp
 
     result: Dict[str, float] = {}
     both = []
@@ -67,17 +81,12 @@ def dice_per_label(pred: MedicalImage, gt: MedicalImage,
 
     p_all = np.stack([pm[n] for n in both]).astype(np.uint8)
     g_all = np.stack([gm[n] for n in both]).astype(np.uint8)
-    axes = tuple(range(1, p_all.ndim))
 
-    @jax.jit
-    def _sums(p, g):
-        p = p.astype(jnp.float32)
-        g = g.astype(jnp.float32)
-        return (jnp.sum(p * g, axis=axes), jnp.sum(p, axis=axes),
-                jnp.sum(g, axis=axes))
-
-    inter, ps, gs = (np.asarray(x) for x in
-                     _sums(jax.device_put(p_all), jax.device_put(g_all)))
+    global _dice_sums_jit
+    if _dice_sums_jit is None:
+        _dice_sums_jit = jax.jit(_dice_sums)
+    inter, ps, gs = (np.asarray(x) for x in _dice_sums_jit(
+        jax.device_put(p_all), jax.device_put(g_all)))
     for i, name in enumerate(both):
         denom = float(ps[i]) + float(gs[i])
         if denom + smooth == 0:

@@ -119,6 +119,10 @@ class DynamicBatcher:
             self._loop()
         except BaseException as ex:  # dispatcher is dying: fail all waiters
             with self._cv:
+                # mark stopped FIRST so a concurrent submit() cannot slip an
+                # item in after the drain (the thread still reads as alive
+                # until this except block finishes)
+                self._stopped = True
                 pending, self._pending = self._pending, []
             for _, (*_, fut) in pending:
                 if not fut.done():
@@ -136,9 +140,17 @@ class DynamicBatcher:
                     return  # stopped and drained
                 linger = self.linger_ms / 1e3
                 if linger > 0 and not self._stopped:
+                    # wait for the OLDEST request's own batch to fill —
+                    # counting total pending across keys would end the
+                    # linger on unrelated-shape traffic and dispatch the
+                    # partial batch anyway
+                    key0 = self._pending[0][0]
                     deadline = time.monotonic() + linger
-                    while (len(self._pending) < self.max_batch
-                           and not self._stopped):
+
+                    def _mine():
+                        return sum(1 for k, _ in self._pending if k == key0)
+
+                    while _mine() < self.max_batch and not self._stopped:
                         remaining = deadline - time.monotonic()
                         if remaining <= 0:
                             break

@@ -86,6 +86,11 @@ class InferenceEngine:
         self.params = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]), *fold_params)
         self._cache: Dict[Tuple, any] = {}
+        # serving can call predict from concurrent request threads on the
+        # per-model fallback path too: guard the program cache so one shape
+        # compiles once (a duplicated compile costs minutes on remote TPUs)
+        import threading
+        self._cache_lock = threading.RLock()
 
     # -- program construction ------------------------------------------------
 
@@ -179,13 +184,15 @@ class InferenceEngine:
 
     def _program(self, in_shape, in_spacing):
         key = (tuple(in_shape), tuple(round(float(s), 6) for s in in_spacing))
-        hit = self._cache.get(key)
-        if hit is None:
-            hit = self._build(tuple(in_shape), tuple(in_spacing))
-            self._cache[key] = hit
-            log(f'compiled inference program for shape={key[0]} '
-                f'spacing={key[1]} ({hit[1]["n_tiles"]} tiles, '
-                f'{hit[1]["n_mirror"]} mirrors, {self.n_folds} folds)', once=False)
+        with self._cache_lock:
+            hit = self._cache.get(key)
+            if hit is None:
+                hit = self._build(tuple(in_shape), tuple(in_spacing))
+                self._cache[key] = hit
+                log(f'compiled inference program for shape={key[0]} '
+                    f'spacing={key[1]} ({hit[1]["n_tiles"]} tiles, '
+                    f'{hit[1]["n_mirror"]} mirrors, {self.n_folds} folds)',
+                    once=False)
         return hit
 
     # -- host API --------------------------------------------------------

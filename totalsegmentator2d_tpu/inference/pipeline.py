@@ -77,7 +77,12 @@ class ScanPipeline:
         from collections import deque
         pending: 'deque' = deque()
         has_async = hasattr(self.tool, 'predict_async')
-        window = self.in_flight if has_async else 1
+        # a window only helps when dispatch is actually non-blocking: for
+        # non-fused model sets predict_async falls back to a completed
+        # blocking predict, and queueing 8 finished Results (each holding
+        # its input volume) would just hold memory and delay exports
+        truly_async = has_async and getattr(self.tool, '_fused', None) is not None
+        window = self.in_flight if truly_async else 1
 
         def finish_one():
             name, handle, timer = pending.popleft()
