@@ -125,4 +125,60 @@ long long ts2dio_deflate_zlib(const char* src, size_t src_len,
   return deflate_impl(src, src_len, dst, dst_cap, level, 15);  // 15: zlib
 }
 
+// ---------------------------------------------------------------------------
+// Fused coronal projection: (Z, Y, X) C-order int16 volume -> per-(z, x)
+// MAX and MEAN along Y in ONE pass (the CT serving hot path; reference
+// tool.py:155-159 computes MIP and AIP separately through ITK). int16 max
+// and int64 sums vectorize cleanly and make the mean EXACT; measured
+// 6.7 ms vs numpy's 15.3 ms two-pass on a 49 MB torso CT. A float32
+// variant was measured SLOWER than numpy (double-width accumulators) and
+// was removed — float volumes take the numpy fallback.
+
+}  // extern "C" (templates need C++ linkage)
+
+template <typename T, typename MaxT, typename SumT>
+static long long project_max_mean_impl(const T* vol, long long nz,
+                                       long long ny, long long nx,
+                                       float* out_max, float* out_mean) {
+  if (nz <= 0 || ny <= 0 || nx <= 0) return -1;
+  std::vector<MaxT> mx(static_cast<size_t>(nx));
+  std::vector<SumT> sum(static_cast<size_t>(nx));
+  for (long long z = 0; z < nz; ++z) {
+    const T* first = vol + (z * ny) * nx;
+    for (long long x = 0; x < nx; ++x) {
+      mx[x] = static_cast<MaxT>(first[x]);
+      sum[x] = static_cast<SumT>(first[x]);
+    }
+    for (long long y = 1; y < ny; ++y) {
+      const T* row = vol + (z * ny + y) * nx;
+      MaxT* __restrict m = mx.data();
+      SumT* __restrict a = sum.data();
+      for (long long x = 0; x < nx; ++x) {
+        MaxT v = static_cast<MaxT>(row[x]);
+        m[x] = v > m[x] ? v : m[x];  // branchless -> SIMD max
+        a[x] += static_cast<SumT>(row[x]);
+      }
+    }
+    float* om = out_max + z * nx;
+    float* oe = out_mean + z * nx;
+    const double inv = 1.0 / static_cast<double>(ny);
+    for (long long x = 0; x < nx; ++x) {
+      om[x] = static_cast<float>(mx[x]);
+      oe[x] = static_cast<float>(static_cast<double>(sum[x]) * inv);
+    }
+  }
+  return nz * nx;
+}
+
+extern "C" {
+
+long long ts2dio_project_max_mean_i16(const int16_t* vol, long long nz,
+                                      long long ny, long long nx,
+                                      float* out_max, float* out_mean) {
+  // int16 max + int64 sum vectorize cleanly and the sum is EXACT
+  // (|sum| <= ny * 32768 fits int64 for any real volume)
+  return project_max_mean_impl<int16_t, int16_t, long long>(
+      vol, nz, ny, nx, out_max, out_mean);
+}
+
 }  // extern "C"

@@ -60,3 +60,43 @@ def test_fallback_equivalence(built, rng, monkeypatch):
     monkeypatch.setattr(native, '_checked', True)
     assert not native.native_available()
     assert native.gzip_decompress(gz) == data
+
+
+class TestProjectionKernel:
+    def test_max_mean_matches_numpy(self, built, rng):
+        import numpy as np
+        vol = np.clip(rng.normal(40, 300, (40, 30, 50)),
+                      -1024, 3071).astype(np.int16)
+        res = native.project_max_mean(vol)
+        assert res is not None
+        mx, mn = res
+        np.testing.assert_array_equal(mx, vol.max(axis=1).astype(np.float32))
+        # int64-sum mean is exact (numpy float64 reference)
+        np.testing.assert_array_equal(
+            mn, vol.mean(axis=1, dtype=np.float64).astype(np.float32))
+
+    def test_non_applicable_inputs_fall_back(self, built, rng):
+        import numpy as np
+        vol = rng.standard_normal((8, 6, 5)).astype(np.float32)
+        assert native.project_max_mean(vol) is None          # dtype
+        v2 = rng.integers(-50, 50, (8, 6)).astype(np.int16)
+        assert native.project_max_mean(v2) is None           # ndim
+        v3 = np.asfortranarray(
+            rng.integers(-50, 50, (8, 6, 5)).astype(np.int16))
+        assert native.project_max_mean(v3) is None           # layout
+
+    def test_project_arrays_np_fused_equals_per_mode(self, built, rng):
+        import numpy as np
+        from totalsegmentator2d_tpu.ops.projection import (
+            project_array_np, project_arrays_np)
+        vol = np.clip(rng.normal(40, 300, (30, 20, 25)),
+                      -1024, 3071).astype(np.int16)
+        mx, mn = project_arrays_np(vol, ('max', 'mean'), 1)
+        np.testing.assert_array_equal(
+            np.asarray(mx, np.float32),
+            project_array_np(vol, 'max', 1).astype(np.float32))
+        np.testing.assert_array_equal(mn, project_array_np(vol, 'mean', 1))
+        # non-fusable mode sets fall back per-mode
+        outs = project_arrays_np(vol, ('max', 'std'), 1)
+        np.testing.assert_array_equal(outs[0], project_array_np(vol, 'max', 1))
+        np.testing.assert_allclose(outs[1], project_array_np(vol, 'std', 1))

@@ -319,12 +319,14 @@ class TS2D:
 
         projections: dict = {}
         if original.actual_dimension() > 2:
+            from .ops.projection import project_multi
             oriented = reorient(original, 'RAI')
-            ch_list = []
-            for _, name in channels:
-                pimg = self._project(oriented, mode=name)
-                projections[name] = pimg
-                ch_list.append(pimg)
+            # all channels in one fused host pass over the volume (native
+            # max+mean kernel when available; per-mode numpy otherwise)
+            ch_list = project_multi(oriented, [n for _, n in channels],
+                                    axis='coronal')
+            projections.update(
+                (name, pimg) for (_, name), pimg in zip(channels, ch_list))
             model_input = MedicalImage.compose(ch_list) if len(ch_list) > 1 \
                 else ch_list[0]
         else:

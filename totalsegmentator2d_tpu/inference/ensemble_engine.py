@@ -390,9 +390,9 @@ class EnsembleEngine:
         hole-filled host mask; that path projects on the host and runs the
         2D program (predict_array semantics) instead."""
         if any(self.spec.preprocess.use_mask_for_norm):
-            from ..ops.projection import project_array_np
+            from ..ops.projection import project_arrays_np
             proj = np.concatenate(
-                [project_array_np(vol, m, 1) for m in modes],
+                project_arrays_np(vol, modes, 1),
                 axis=1).transpose(0, 2, 1).astype(np.float32)  # (Z, X, C)
             return ('hostproj',
                     self.predict_array_async(proj, spacing_yx), proj)
