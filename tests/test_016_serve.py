@@ -120,3 +120,34 @@ class TestServer:
             results = list(pool.map(lambda _: post(), range(4)))
         assert all(status == 200 for status, _ in results)
         assert all(body == solo for _, body in results)
+
+
+class TestMetrics:
+    def test_metrics_counts_and_latency(self, server):
+        # counters reflect completed predicts; reset is not exposed, so
+        # read deltas around one request
+        before = json.loads(_get(server, '/metrics')[1])
+        payload = open(asset_path('sample_s0332.nrrd'), 'rb').read()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{server.port}/predict?format=nrrd',
+            data=payload, method='POST')
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        after = json.loads(_get(server, '/metrics')[1])
+        assert after['predict_requests'] == before['predict_requests'] + 1
+        assert after['predict_errors'] == before['predict_errors']
+        assert after['predict_seconds_total'] > before['predict_seconds_total']
+        assert after['predict_seconds_mean'] > 0
+        assert after['predict_seconds_max'] > 0
+
+    def test_metrics_counts_errors(self, server):
+        before = json.loads(_get(server, '/metrics')[1])
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{server.port}/predict',
+            data=b'not an image', method='POST')
+        try:
+            urllib.request.urlopen(req)
+        except urllib.error.HTTPError:
+            pass
+        after = json.loads(_get(server, '/metrics')[1])
+        assert after['predict_errors'] == before['predict_errors'] + 1

@@ -10,12 +10,16 @@ Endpoints
 ---------
 GET  /health            -> {"status": "ok", "models": [...]}
 GET  /labels            -> {"<model id>": {"1": "heart", ...}, ...}
+GET  /metrics           -> request/latency counters (JSON)
 POST /predict           body: a medical image file (nrrd/nii/nii.gz/mha)
      query params:      collapse=0|1, format=nrrd|nii.gz
      response:          merged multilabel segmentation in the requested
                         format; label metadata rides in X-TS2D-Labels (JSON)
 
 Start:  python -m totalsegmentator2d_tpu.serve --model ts2d --port 8008
+        [--warmup ZxX ...]   pre-compile the device programs for the given
+                             projection shapes (a cold shape costs a full
+                             XLA compile on first request)
 """
 
 from __future__ import annotations
@@ -37,6 +41,31 @@ class TS2DServer:
         self.port = port
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+        # request/latency counters served at /metrics (the reference has no
+        # observability surface, SURVEY.md §5; production serving needs one)
+        self._metrics_lock = threading.Lock()
+        self._metrics = {'predict_requests': 0, 'predict_errors': 0,
+                         'predict_seconds_total': 0.0,
+                         'predict_seconds_max': 0.0}
+
+    def _record(self, seconds: float, error: bool) -> None:
+        with self._metrics_lock:
+            m = self._metrics
+            m['predict_requests'] += 1
+            if error:
+                m['predict_errors'] += 1
+            else:
+                m['predict_seconds_total'] += seconds
+                m['predict_seconds_max'] = max(m['predict_seconds_max'],
+                                               seconds)
+
+    def _handle_metrics(self):
+        with self._metrics_lock:
+            m = dict(self._metrics)
+        ok = m['predict_requests'] - m['predict_errors']
+        m['predict_seconds_mean'] = (m['predict_seconds_total'] / ok
+                                     if ok else 0.0)
+        return 200, 'application/json', json.dumps(m).encode()
 
     # -- request handling --------------------------------------------------
 
@@ -118,6 +147,8 @@ class TS2DServer:
                     self._send(*server._handle_health())
                 elif path == '/labels':
                     self._send(*server._handle_labels())
+                elif path == '/metrics':
+                    self._send(*server._handle_metrics())
                 else:
                     self._send(404, 'application/json',
                                json.dumps({'error': 'not found'}).encode())
@@ -131,12 +162,16 @@ class TS2DServer:
                     return
                 length = int(self.headers.get('Content-Length', 0))
                 body = self.rfile.read(length)
+                import time
+                t0 = time.perf_counter()
                 try:
                     result = server._handle_predict(body, parse_qs(parsed.query))
                 except Exception as ex:
                     warn(f'[serve] predict failed: {ex}')
                     result = (500, 'application/json',
                               json.dumps({'error': str(ex)}).encode())
+                server._record(time.perf_counter() - t0,
+                               error=result[0] != 200)
                 self._send(*result)
 
         return Handler
@@ -178,14 +213,28 @@ def main() -> None:
                         help='hold a partial micro-batch up to this long '
                              'waiting for it to fill (throughput mode; '
                              '0 = dispatch immediately, latency mode)')
+    parser.add_argument('--warmup', type=str, nargs='*', default=(),
+                        metavar='HxW',
+                        help='pre-compile the fused device program for these '
+                             'projection shapes (e.g. 350x280) before '
+                             'serving — a cold shape otherwise pays a full '
+                             'XLA compile on its first request')
     args = parser.parse_args()
 
     from .utils.config import get_default_model
     key = args.model or get_default_model()
     with TS2D(key=key, use_remote=not args.no_remote,
               fetch_remote=not args.no_fetch, local=args.local) as tool:
-        if args.batch_linger_ms and getattr(tool, '_fused', None) is not None:
-            tool._fused.set_batch_linger(args.batch_linger_ms)
+        fused = getattr(tool, '_fused', None)
+        if args.batch_linger_ms and fused is not None:
+            fused.set_batch_linger(args.batch_linger_ms)
+        for shape in args.warmup:
+            if fused is None:
+                warn('--warmup requires a fused model set; skipping')
+                break
+            h, w = (int(v) for v in shape.lower().split('x'))
+            log(f'warming up {h}x{w} ...')
+            fused.warmup((h, w))
         server = TS2DServer(tool, host=args.host, port=args.port).start()
         try:
             threading.Event().wait()
