@@ -377,3 +377,29 @@ class TestMaskedNorm:
         assert out.shape == x.shape
         # channel 0: CT clip to [-10, 10]
         assert out[..., 0].max() <= 10.0 and out[..., 0].min() >= -10.0
+
+
+class TestProjectMulti:
+    def test_fused_modes_match_project(self, rng):
+        from totalsegmentator2d_tpu.ops.projection import project, project_multi
+        arr = np.clip(rng.normal(40, 300, (20, 16, 24)),
+                      -1024, 3071).astype(np.int16)
+        img = MedicalImage(array=arr, spacing=(1.0, 1.5, 2.0))
+        outs = project_multi(img, ('max', 'mean'), axis='coronal')
+        ref_max = project(img, mode='max', axis='coronal')
+        np.testing.assert_array_equal(
+            outs[0].array, ref_max.array.astype(np.float32))
+        assert outs[0].spacing == ref_max.spacing
+        ref_mean = project(img, mode='mean', axis='coronal')
+        np.testing.assert_allclose(outs[1].array, ref_mean.array, rtol=1e-6)
+
+    def test_parameterized_modes_dispatch_fully(self, rng):
+        """slice:/multiclass:/std modes must keep working through
+        project_multi (full project() dispatch per mode)."""
+        from totalsegmentator2d_tpu.ops.projection import project, project_multi
+        arr = rng.standard_normal((10, 8, 12)).astype(np.float32)
+        img = MedicalImage(array=arr, spacing=(1.0, 1.0, 1.0))
+        outs = project_multi(img, ('max', 'slice:middle'), axis='coronal')
+        ref = project(img, mode='slice:middle', axis='coronal')
+        np.testing.assert_allclose(outs[1].array,
+                                   ref.array.astype(np.float32), rtol=1e-6)

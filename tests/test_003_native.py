@@ -13,7 +13,18 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _ensure_built():
     so = os.path.join(_REPO, 'totalsegmentator2d_tpu', '_native', 'libts2dio.so')
-    if not os.path.exists(so):
+
+    def _stale():
+        # a library built before the projection kernel existed must be
+        # rebuilt, not silently exercised through the numpy fallback
+        import ctypes
+        try:
+            return getattr(ctypes.CDLL(so),
+                           'ts2dio_project_max_mean_i16', None) is None
+        except OSError:
+            return True
+
+    if not os.path.exists(so) or _stale():
         subprocess.run(['make', '-C', os.path.join(_REPO, 'csrc')], check=True,
                        capture_output=True)
     # reset the lazy loader so this process picks the fresh build up

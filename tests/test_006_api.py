@@ -266,6 +266,9 @@ class TestBatchingKnob:
                   local=model_root) as t:
             assert t._fused is not None, 'single-model sets should fuse'
             res_f = t.predict(asset_path('sample_chexpert.nrrd'))
+            # close the fused engine (stops its batcher thread) before
+            # forcing the unfused path
+            t._fused.close()
             t._fused = None
             for m in t.models.values():
                 m.start(wait=False)

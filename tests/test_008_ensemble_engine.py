@@ -423,3 +423,17 @@ class TestDynamicBatching:
                     plain.predict_array(a, (1.5, 1.5)))
         finally:
             batched.close()
+
+    def test_warmup_compiles_batched_program(self, groups):
+        """warmup on a batching engine must also compile the batched
+        program (jit is lazy — the first concurrent burst would otherwise
+        pay the cold compile)."""
+        specs, params = groups
+        eng = EnsembleEngine(specs, params, auto_batch=2)
+        try:
+            eng.warmup((64, 64))
+            key = ('batch', 2, (64, 64),
+                   tuple(round(float(s), 6) for s in (1.5, 1.5)), False)
+            assert key in eng._cache
+        finally:
+            eng.close()

@@ -152,3 +152,9 @@ class TestMixedPrecisionTraining:
         }
         loss = float(tr.step(batch))
         assert np.isfinite(loss)
+
+    def test_invalid_compute_dtype_rejected(self):
+        from totalsegmentator2d_tpu.training import TrainConfig
+        import pytest
+        with pytest.raises(ValueError, match='bfloat16'):
+            TrainConfig(compute_dtype='float16')

@@ -88,7 +88,7 @@ class TS2D:
         # gaining bit-packed downloads and micro-batched dispatch;
         # heterogeneous sets fall back to per-model engines, matching the
         # reference's sequential loop
-        self._fused = self._build_fused() if len(self.models) >= 1 else None
+        self._fused = self._build_fused()
         if self._fused is None:
             for model in self.models.values():
                 model.start(wait=False)
@@ -203,6 +203,13 @@ class TS2D:
             result['projections'] = projections
         return TS2D.Result(result)
 
+    @property
+    def supports_async(self) -> bool:
+        """True when predict_async actually dispatches without blocking
+        (fused model set); False when it degrades to a completed blocking
+        predict. Pipelines use this to size their in-flight window."""
+        return self._fused is not None
+
     def predict_async(self, input: Union[MedicalImage, str],
                       collapse: bool = False, merge: bool = True):
         """Dispatch a prediction without blocking; returns a handle for
@@ -316,6 +323,10 @@ class TS2D:
         models = list(self.models.items())
         ref = models[0][1]
         channels = sorted(ref.channels.items(), key=lambda kv: kv[0])
+        if not channels:
+            raise RuntimeError(
+                f'Model {models[0][0]} does not have a channel definition, '
+                f'cannot project the input image.')
 
         projections: dict = {}
         if original.actual_dimension() > 2:

@@ -143,18 +143,40 @@ class DynamicBatcher:
                     # wait for the OLDEST request's own batch to fill —
                     # counting total pending across keys would end the
                     # linger on unrelated-shape traffic and dispatch the
-                    # partial batch anyway
+                    # partial batch anyway. But if ANY key fills, stop
+                    # waiting: a ready-full batch of another shape must not
+                    # absorb the partial batch's linger latency.
                     key0 = self._pending[0][0]
                     deadline = time.monotonic() + linger
+
+                    def _full_key_ready():
+                        counts: dict = {}
+                        for k, _ in self._pending:
+                            counts[k] = counts.get(k, 0) + 1
+                            if counts[k] >= self.max_batch:
+                                return True
+                        return False
 
                     def _mine():
                         return sum(1 for k, _ in self._pending if k == key0)
 
-                    while _mine() < self.max_batch and not self._stopped:
+                    while (_mine() < self.max_batch and not _full_key_ready()
+                           and not self._stopped):
                         remaining = deadline - time.monotonic()
                         if remaining <= 0:
                             break
                         self._cv.wait(timeout=remaining)
+                    # dispatch whichever batch is ready first
+                    if self._pending and _full_key_ready() \
+                            and _mine() < self.max_batch:
+                        counts = {}
+                        for k, _ in self._pending:
+                            counts[k] = counts.get(k, 0) + 1
+                        for k, n in counts.items():
+                            if n >= self.max_batch:
+                                self._pending.sort(
+                                    key=lambda ki: ki[0] != k)
+                                break
                 key, take = self._take_batch()
             try:
                 self._dispatch(key, take)

@@ -631,8 +631,24 @@ class EnsembleEngine:
 
     def warmup(self, in_shape: Sequence[int],
                in_spacing: Optional[Sequence[float]] = None) -> None:
+        """Pre-compile the programs for an input shape (an all-zero dummy
+        crops to the full extent). With micro-batching enabled this also
+        compiles the batched program — otherwise the first concurrent burst
+        would still pay the cold compile warmup exists to avoid."""
         if in_spacing is None:
             in_spacing = self.spec.preprocess.spacing
         dummy = np.zeros(tuple(in_shape) + (self.spec.arch.in_channels,),
                          np.float32)
         self.predict_array(dummy, in_spacing)
+        if self._batcher is not None:
+            # jit is lazy: execute one stacked batch so the batched program
+            # actually compiles now
+            B = self._batcher.max_batch
+            needs_mask = any(self.spec.preprocess.use_mask_for_norm)
+            fn = self._batched_program(B, tuple(in_shape),
+                                       tuple(in_spacing), needs_mask)
+            args = (self.params, jax.device_put(np.stack([dummy] * B)))
+            if needs_mask:
+                m = nonzero_norm_mask(dummy)
+                args += (jax.device_put(np.stack([m] * B)),)
+            jax.block_until_ready(fn(*args))

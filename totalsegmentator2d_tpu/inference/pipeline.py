@@ -77,11 +77,12 @@ class ScanPipeline:
         from collections import deque
         pending: 'deque' = deque()
         has_async = hasattr(self.tool, 'predict_async')
-        # a window only helps when dispatch is actually non-blocking: for
-        # non-fused model sets predict_async falls back to a completed
-        # blocking predict, and queueing 8 finished Results (each holding
-        # its input volume) would just hold memory and delay exports
-        truly_async = has_async and getattr(self.tool, '_fused', None) is not None
+        # a window only helps when dispatch is actually non-blocking:
+        # TS2D.supports_async says whether predict_async really dispatches
+        # (fused engine) or degrades to a completed blocking predict —
+        # queueing 8 finished Results (each holding its input volume) would
+        # just hold memory and delay exports
+        truly_async = has_async and getattr(self.tool, 'supports_async', True)
         window = self.in_flight if truly_async else 1
 
         def finish_one():

@@ -118,11 +118,18 @@ def project_multi(img: MedicalImage, modes: Sequence[str],
                   axis: Union[int, str] = -1) -> List[MedicalImage]:
     """`project` for several modes at once (fused single pass when the
     native kernel applies), float32 outputs — the fused-ensemble dispatch
-    path's projection primitive."""
+    path's projection primitive. Modes outside the plain reduction set
+    (parameterized `slice:`/`multiclass:`, median, std, ...) go through the
+    full `project` dispatch per mode, so every channel mode `project`
+    supports works here too."""
+    modes_l = [str(m).lower().strip() for m in modes]
+    if not set(modes_l) <= {'max', 'mip', 'min', 'avg', 'mean'}:
+        return [project(img, mode=m, axis=axis).astype(np.float32)
+                for m in modes_l]
     itk_axis = axis_name_to_index(axis) if isinstance(axis, str) else \
         list(range(img.dim))[axis]
     np_axis = img.dim - 1 - itk_axis
-    outs = project_arrays_np(img.array, modes, np_axis)
+    outs = project_arrays_np(img.array, modes_l, np_axis)
     return [_projected_image(img, np.asarray(o, np.float32), itk_axis)
             for o in outs]
 

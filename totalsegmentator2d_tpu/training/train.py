@@ -43,6 +43,16 @@ class TrainConfig:
     # fp32-matched exponent range needs no loss scaling)
     compute_dtype: Optional[str] = None
 
+    def __post_init__(self):
+        if self.compute_dtype not in (None, 'bfloat16', 'bf16'):
+            # fail loudly: a typo (or 'float16', torch-AMP's default) would
+            # otherwise silently train in full fp32
+            raise ValueError(
+                f"compute_dtype must be None or 'bfloat16'; "
+                f"got {self.compute_dtype!r} (fp16 is not offered — bf16 "
+                f"is the TPU mixed-precision dtype and needs no loss "
+                f"scaling)")
+
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     schedule = optax.polynomial_schedule(
