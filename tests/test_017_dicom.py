@@ -1,0 +1,172 @@
+"""Pure-Python DICOM series reader (io/dicom.py) on synthetic files."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from totalsegmentator2d_tpu.io import read_image
+from totalsegmentator2d_tpu.io.dicom import (DicomError, is_dicom_dir,
+                                             read_dicom_file,
+                                             read_dicom_series)
+
+_EXPLICIT = '1.2.840.10008.1.2.1'
+_IMPLICIT = '1.2.840.10008.1.2'
+
+
+def _el_explicit(group, elem, vr, value: bytes) -> bytes:
+    if len(value) % 2:
+        value += b'\x00' if vr not in (b'US', b'SS') else b''
+    head = struct.pack('<HH', group, elem) + vr
+    if vr in (b'OB', b'OW', b'SQ', b'UN', b'UT'):
+        return head + b'\x00\x00' + struct.pack('<I', len(value)) + value
+    return head + struct.pack('<H', len(value)) + value
+
+
+def _el_implicit(group, elem, value: bytes) -> bytes:
+    if len(value) % 2:
+        value += b'\x00'
+    return struct.pack('<HH', group, elem) + struct.pack('<I', len(value)) + value
+
+
+def _ds_bytes(*vals) -> bytes:
+    return '\\'.join(f'{v:g}' for v in vals).encode()
+
+
+def write_slice(path, arr, *, position, orientation=(1, 0, 0, 0, 1, 0),
+                pixel_spacing=(0.7, 0.8), instance=1, slope=None,
+                intercept=None, transfer_syntax=_EXPLICIT,
+                extra_pre_pixel=None):
+    """Minimal single-frame CT slice. arr: (rows, cols) int16/uint16."""
+    rows, cols = arr.shape
+    ts = transfer_syntax.encode()
+    meta = _el_explicit(0x0002, 0x0010, b'UI', ts)
+    implicit = transfer_syntax == _IMPLICIT
+
+    def E(g, e, vr, v):
+        return _el_implicit(g, e, v) if implicit else _el_explicit(g, e, vr, v)
+
+    body = b''
+    body += E(0x0020, 0x0013, b'IS', str(instance).encode())
+    body += E(0x0020, 0x0032, b'DS', _ds_bytes(*position))
+    body += E(0x0020, 0x0037, b'DS', _ds_bytes(*orientation))
+    body += E(0x0028, 0x0002, b'US', struct.pack('<H', 1))
+    body += E(0x0028, 0x0010, b'US', struct.pack('<H', rows))
+    body += E(0x0028, 0x0011, b'US', struct.pack('<H', cols))
+    body += E(0x0028, 0x0030, b'DS', _ds_bytes(*pixel_spacing))
+    body += E(0x0028, 0x0100, b'US', struct.pack('<H', 16))
+    body += E(0x0028, 0x0103, b'US',
+              struct.pack('<H', 1 if arr.dtype == np.int16 else 0))
+    if intercept is not None:
+        body += E(0x0028, 0x1052, b'DS', _ds_bytes(intercept))
+    if slope is not None:
+        body += E(0x0028, 0x1053, b'DS', _ds_bytes(slope))
+    if extra_pre_pixel:
+        body += extra_pre_pixel
+    body += E(0x7FE0, 0x0010, b'OW', arr.astype(arr.dtype).tobytes())
+    with open(path, 'wb') as f:
+        f.write(b'\x00' * 128 + b'DICM' + meta + body)
+
+
+def _series(tmp_path, n=4, dz=2.5, reverse=False, **kw):
+    rng = np.random.default_rng(0)
+    vol = rng.integers(-900, 1500, size=(n, 10, 12)).astype(np.int16)
+    order = range(n - 1, -1, -1) if reverse else range(n)
+    for i, z in enumerate(order):
+        write_slice(str(tmp_path / f's{i:03d}.dcm'), vol[z],
+                    position=(5.0, -7.0, 10.0 + dz * z), instance=i + 1, **kw)
+    return vol
+
+
+class TestReader:
+    def test_series_geometry_and_values(self, tmp_path):
+        vol = _series(tmp_path, n=4, dz=2.5)
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+        assert img.spacing == (0.8, 0.7, 2.5)   # (x, y, z); PixelSpacing is (row, col)
+        assert img.origin == (5.0, -7.0, 10.0)
+        np.testing.assert_allclose(img.direction, np.eye(3))
+
+    def test_unsorted_files_sort_by_position(self, tmp_path):
+        """Files written in reverse z order must still assemble ascending
+        along the slice normal."""
+        vol = _series(tmp_path, n=5, dz=1.5, reverse=True)
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+        assert img.origin == (5.0, -7.0, 10.0)
+
+    def test_implicit_vr(self, tmp_path):
+        vol = _series(tmp_path, n=3, transfer_syntax=_IMPLICIT)
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+        assert img.spacing == (0.8, 0.7, 2.5)
+
+    def test_rescale_to_hounsfield(self, tmp_path):
+        raw = np.arange(120, dtype=np.uint16).reshape(10, 12)
+        write_slice(str(tmp_path / 'a.dcm'), raw, position=(0, 0, 0),
+                    slope=1, intercept=-1024)
+        sl = read_dicom_file(str(tmp_path / 'a.dcm'))
+        assert sl['array'].dtype == np.int16
+        np.testing.assert_array_equal(
+            sl['array'], raw.astype(np.int32) - 1024)
+
+    def test_read_image_dispatches_directory(self, tmp_path):
+        vol = _series(tmp_path, n=3)
+        img = read_image(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+        assert is_dicom_dir(str(tmp_path))
+        assert not is_dicom_dir(str(tmp_path / 's000.dcm'))
+
+    def test_unknown_elements_are_skipped(self, tmp_path):
+        """Unlisted tags (incl. a defined-length SQ) must not derail
+        parsing."""
+        sq = _el_explicit(0x0008, 0x1140, b'SQ', b'')
+        other = _el_explicit(0x0010, 0x0010, b'PN', b'DOE^JANE')
+        vol = _series(tmp_path, n=2, extra_pre_pixel=sq + other)
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+
+
+class TestErrors:
+    def test_compressed_transfer_syntax_rejected(self, tmp_path):
+        arr = np.zeros((4, 4), np.int16)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    transfer_syntax='1.2.840.10008.1.2.4.70')  # JPEG lossless
+        with pytest.raises(DicomError, match='transfer syntax'):
+            read_dicom_file(str(tmp_path / 'a.dcm'))
+
+    def test_mixed_orientation_rejected(self, tmp_path):
+        arr = np.zeros((4, 4), np.int16)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0))
+        write_slice(str(tmp_path / 'b.dcm'), arr, position=(0, 0, 2),
+                    orientation=(0, 1, 0, 1, 0, 0))
+        with pytest.raises(DicomError, match='Orientation'):
+            read_dicom_series(str(tmp_path))
+
+    def test_nonuniform_spacing_rejected(self, tmp_path):
+        arr = np.zeros((4, 4), np.int16)
+        for i, z in enumerate((0.0, 1.0, 3.5)):
+            write_slice(str(tmp_path / f'{i}.dcm'), arr, position=(0, 0, z))
+        with pytest.raises(DicomError, match='Non-uniform'):
+            read_dicom_series(str(tmp_path))
+
+    def test_empty_dir(self, tmp_path):
+        with pytest.raises(DicomError, match='No DICOM'):
+            read_dicom_series(str(tmp_path))
+
+
+class TestEndToEnd:
+    def test_cli_enumerates_dicom_dir_as_one_case(self, tmp_path):
+        from totalsegmentator2d_tpu.cli import _enumerate_cases
+        series = tmp_path / 'patient1'
+        series.mkdir()
+        _series(series, n=3)
+        cases = list(_enumerate_cases(str(series)))
+        assert cases == [('patient1', str(series))]
+        # a directory containing image files AND a series subdir yields both
+        import shutil
+        from tests.conftest import asset_path
+        shutil.copy(asset_path('sample_s0332.nrrd'), tmp_path / 'x.nrrd')
+        cases = dict(_enumerate_cases(str(tmp_path)))
+        assert 'patient1' in cases and 'x' in cases

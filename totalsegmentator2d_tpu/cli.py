@@ -37,9 +37,20 @@ _CITATION = (
 
 def _enumerate_cases(src: str) -> Iterator[Tuple[str, str]]:
     """Yield (name, path) for the input file or every supported file in the
-    input directory (extension filter as in the reference, main.py:10-32)."""
+    input directory (extension filter as in the reference, main.py:10-32).
+    A directory of DICOM slice files is ONE case (the series); so is any
+    DICOM-series subdirectory of the input directory (beyond the
+    reference, which requires prior conversion to NRRD/NIfTI)."""
+    from .io.dicom import is_dicom_dir
     isdir = os.path.isdir(src)
+    if is_dicom_dir(src):
+        yield os.path.basename(os.path.normpath(src)), src
+        return
     paths = glob(os.path.join(src, '*.*')) if isdir else [src]
+    if isdir:
+        for sub in sorted(glob(os.path.join(src, '*'))):
+            if is_dicom_dir(sub):
+                yield os.path.basename(os.path.normpath(sub)), sub
     for fp in sorted(paths):
         try:
             if not os.path.exists(fp):

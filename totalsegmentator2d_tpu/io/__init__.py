@@ -27,7 +27,14 @@ def _ext(path: str) -> str:
 def read_image(path: str) -> MedicalImage:
     if not os.path.exists(path):
         raise FileNotFoundError(path)
+    if os.path.isdir(path):
+        # a directory input is a DICOM slice series (one case)
+        from . import dicom
+        return dicom.read_dicom_series(path)
     ext = _ext(path)
+    if ext in ('dcm', 'dicom', 'ima'):
+        from . import dicom
+        return dicom.read_dicom_series(path)
     if ext == 'nrrd' or ext == 'nhdr':
         return nrrd.read(path)
     if ext in ('nii', 'nii.gz'):

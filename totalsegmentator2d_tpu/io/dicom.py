@@ -1,0 +1,306 @@
+"""Minimal DICOM CT-series reader (pure Python, no pydicom).
+
+Neither the reference tool nor nnU-Net reads DICOM directly — users convert
+series to NRRD/NIfTI first. CT data, however, arrives from scanners as
+DICOM, so this build reads the common case natively: uncompressed
+little-endian transfer syntaxes (implicit 1.2.840.10008.1.2 and explicit
+1.2.840.10008.1.2.1), single-frame single-sample slices, assembled into one
+(Z, Y, X) volume with full LPS geometry (DICOM's patient coordinate system
+IS LPS, the framework's world frame — no conversion needed).
+
+Deliberately conservative: compressed transfer syntaxes, multi-frame files,
+color images, and non-uniform slice stacks raise informative errors rather
+than guessing. Geometry notes:
+ - ImageOrientationPatient (0020,0037) gives the column-axis (x) and
+   row-axis (y) direction cosines; the z column of the direction matrix
+   comes from the actual slice-position delta (not the cross product), so
+   flipped/descending stacks keep their true orientation.
+ - PixelSpacing (0028,0030) is (row, col) = (y, x); ITK-order spacing is
+   (x, y, z) with z from successive ImagePositionPatient distances.
+ - Rescale slope/intercept (0028,1052/1053) are applied; integral results
+   that fit int16 stay int16 (CT Hounsfield units), else float32.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .image import MedicalImage
+
+_IMPLICIT_LE = '1.2.840.10008.1.2'
+_EXPLICIT_LE = '1.2.840.10008.1.2.1'
+
+# VRs whose explicit encoding uses a 2-byte reserved field + 4-byte length
+_LONG_VRS = {b'OB', b'OW', b'OF', b'OD', b'OL', b'SQ', b'UC', b'UR',
+             b'UT', b'UN'}
+
+_ITEM = (0xFFFE, 0xE000)
+_ITEM_DELIM = (0xFFFE, 0xE00D)
+_SEQ_DELIM = (0xFFFE, 0xE0DD)
+
+# tags we collect (group, element)
+_TAGS = {
+    (0x0020, 0x0013): 'InstanceNumber',
+    (0x0020, 0x0032): 'ImagePositionPatient',
+    (0x0020, 0x0037): 'ImageOrientationPatient',
+    (0x0028, 0x0002): 'SamplesPerPixel',
+    (0x0028, 0x0008): 'NumberOfFrames',
+    (0x0028, 0x0010): 'Rows',
+    (0x0028, 0x0011): 'Columns',
+    (0x0028, 0x0030): 'PixelSpacing',
+    (0x0028, 0x0100): 'BitsAllocated',
+    (0x0028, 0x0103): 'PixelRepresentation',
+    (0x0028, 0x1052): 'RescaleIntercept',
+    (0x0028, 0x1053): 'RescaleSlope',
+    (0x7FE0, 0x0010): 'PixelData',
+}
+
+
+class DicomError(ValueError):
+    pass
+
+
+def _read_file_meta(buf: bytes) -> Tuple[int, str]:
+    """Return (offset of the first dataset element, transfer syntax UID).
+    The file meta group (0002,xxxx) is always explicit VR little endian."""
+    if len(buf) > 132 and buf[128:132] == b'DICM':
+        pos = 132
+    elif buf[:4] == b'DICM':  # preamble-less writers exist
+        pos = 4
+    else:
+        # no file meta at all: raw implicit-LE dataset (legacy exports)
+        return 0, _IMPLICIT_LE
+    ts = _IMPLICIT_LE
+    while pos + 8 <= len(buf):
+        group, elem = struct.unpack_from('<HH', buf, pos)
+        if group != 0x0002:
+            break
+        vr = buf[pos + 4:pos + 6]
+        if vr in _LONG_VRS:
+            (length,) = struct.unpack_from('<I', buf, pos + 8)
+            value_at = pos + 12
+        else:
+            (length,) = struct.unpack_from('<H', buf, pos + 6)
+            value_at = pos + 8
+        if elem == 0x0010:
+            ts = buf[value_at:value_at + length].decode(
+                'ascii', 'replace').rstrip('\x00 ').strip()
+        pos = value_at + length
+    return pos, ts
+
+
+def _skip_undefined(buf: bytes, pos: int, implicit: bool) -> int:
+    """Skip an undefined-length sequence/item body: scan nested items until
+    the matching delimiter."""
+    depth = 1
+    while pos + 8 <= len(buf):
+        group, elem = struct.unpack_from('<HH', buf, pos)
+        (length,) = struct.unpack_from('<I', buf, pos + 4)
+        pos += 8
+        tag = (group, elem)
+        if tag == _ITEM:
+            if length == 0xFFFFFFFF:
+                depth += 1
+            else:
+                pos += length
+        elif tag in (_ITEM_DELIM, _SEQ_DELIM):
+            depth -= 1
+            if depth == 0:
+                return pos
+        else:
+            # element inside an item (only reachable for item contents
+            # when delimiters are omitted) — give up cleanly
+            raise DicomError('Unsupported undefined-length sequence layout')
+    raise DicomError('Truncated undefined-length sequence')
+
+
+def _parse_dataset(buf: bytes, pos: int, implicit: bool) -> Dict[str, bytes]:
+    """Collect the raw value bytes of the tags in _TAGS; stop after
+    PixelData."""
+    out: Dict[str, bytes] = {}
+    n = len(buf)
+    while pos + 8 <= n:
+        group, elem = struct.unpack_from('<HH', buf, pos)
+        tag = (group, elem)
+        if implicit:
+            (length,) = struct.unpack_from('<I', buf, pos + 4)
+            value_at = pos + 8
+            vr = b''
+        else:
+            vr = buf[pos + 4:pos + 6]
+            if vr in _LONG_VRS:
+                (length,) = struct.unpack_from('<I', buf, pos + 8)
+                value_at = pos + 12
+            else:
+                (length,) = struct.unpack_from('<H', buf, pos + 6)
+                value_at = pos + 8
+        if length == 0xFFFFFFFF:
+            if tag in _TAGS and _TAGS[tag] == 'PixelData':
+                raise DicomError(
+                    'Encapsulated (compressed) PixelData is not supported; '
+                    'convert the series to an uncompressed transfer syntax '
+                    'or to NRRD/NIfTI')
+            pos = _skip_undefined(buf, value_at, implicit)
+            continue
+        if tag in _TAGS:
+            out[_TAGS[tag]] = buf[value_at:value_at + length]
+            if _TAGS[tag] == 'PixelData':
+                return out
+        pos = value_at + length
+    return out
+
+
+def _ds(raw: Optional[bytes]) -> List[float]:
+    if raw is None:
+        return []
+    text = raw.decode('ascii', 'replace').strip('\x00 ')
+    return [float(v) for v in text.split('\\') if v.strip()]
+
+
+def _us(raw: Optional[bytes], default: Optional[int] = None) -> Optional[int]:
+    if raw is None or len(raw) < 2:
+        return default
+    return struct.unpack_from('<H', raw, 0)[0]
+
+
+def _int(raw: Optional[bytes], default: int = 0) -> int:
+    if raw is None:
+        return default
+    try:
+        return int(raw.decode('ascii', 'replace').strip('\x00 ') or default)
+    except ValueError:
+        return default
+
+
+def read_dicom_file(path: str) -> dict:
+    """Parse one DICOM file into {array (Y, X), position, orientation,
+    pixel_spacing, instance}. Raises DicomError on unsupported encodings."""
+    with open(path, 'rb') as f:
+        buf = f.read()
+    pos, ts = _read_file_meta(buf)
+    if ts == _IMPLICIT_LE:
+        implicit = True
+    elif ts == _EXPLICIT_LE:
+        implicit = False
+    else:
+        raise DicomError(
+            f'Unsupported transfer syntax {ts} in {os.path.basename(path)} '
+            f'(only uncompressed little endian is read natively; convert '
+            f'compressed series to NRRD/NIfTI)')
+    el = _parse_dataset(buf, pos, implicit)
+    rows, cols = _us(el.get('Rows')), _us(el.get('Columns'))
+    if not rows or not cols:
+        raise DicomError(f'{os.path.basename(path)}: missing Rows/Columns')
+    if _us(el.get('SamplesPerPixel'), 1) != 1:
+        raise DicomError('Only single-sample (grayscale) images are supported')
+    if _int(el.get('NumberOfFrames'), 1) != 1:
+        raise DicomError('Multi-frame DICOM files are not supported')
+    bits = _us(el.get('BitsAllocated'), 16)
+    signed = _us(el.get('PixelRepresentation'), 0) == 1
+    pix = el.get('PixelData')
+    if pix is None:
+        raise DicomError(f'{os.path.basename(path)}: no PixelData')
+    dtype = {(8, False): np.uint8, (8, True): np.int8,
+             (16, False): np.uint16, (16, True): np.int16}.get((bits, signed))
+    if dtype is None:
+        raise DicomError(f'Unsupported BitsAllocated={bits}')
+    need = rows * cols * (bits // 8)
+    if len(pix) < need:
+        raise DicomError(f'{os.path.basename(path)}: truncated PixelData')
+    arr = np.frombuffer(pix[:need], dtype=dtype).reshape(rows, cols)
+    slope = (_ds(el.get('RescaleSlope')) or [1.0])[0]
+    inter = (_ds(el.get('RescaleIntercept')) or [0.0])[0]
+    if slope != 1.0 or inter != 0.0:
+        scaled = arr.astype(np.float64) * slope + inter
+        if float(slope).is_integer() and float(inter).is_integer() \
+                and scaled.min() >= -32768 and scaled.max() <= 32767:
+            arr = scaled.astype(np.int16)  # CT Hounsfield units
+        else:
+            arr = scaled.astype(np.float32)
+    return {
+        'array': arr,
+        'position': _ds(el.get('ImagePositionPatient')),
+        'orientation': _ds(el.get('ImageOrientationPatient')),
+        'pixel_spacing': _ds(el.get('PixelSpacing')),
+        'instance': _int(el.get('InstanceNumber')),
+        'path': path,
+    }
+
+
+def _series_files(path: str) -> List[str]:
+    exts = ('.dcm', '.dicom', '.ima')
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.lower().endswith(exts) and not f.startswith('.'))
+    if not files:
+        raise DicomError(f'No DICOM files (*.dcm) found in {path}')
+    return files
+
+
+def read_dicom_series(path: str) -> MedicalImage:
+    """Read a directory of single-frame DICOM slices (or one file) into a
+    3D MedicalImage with LPS geometry."""
+    files = _series_files(path) if os.path.isdir(path) else [path]
+    slices = [read_dicom_file(f) for f in files]
+
+    first = slices[0]
+    for s in slices[1:]:
+        if s['array'].shape != first['array'].shape:
+            raise DicomError('Slices disagree on Rows/Columns')
+        if first['orientation'] and s['orientation'] and not np.allclose(
+                s['orientation'], first['orientation'], atol=1e-4):
+            raise DicomError('Slices disagree on ImageOrientationPatient '
+                             '(mixed series?)')
+        if first['pixel_spacing'] and s['pixel_spacing'] and not np.allclose(
+                s['pixel_spacing'], first['pixel_spacing'], rtol=1e-4):
+            raise DicomError('Slices disagree on PixelSpacing')
+
+    iop = first['orientation'] or [1, 0, 0, 0, 1, 0]
+    x_dir = np.asarray(iop[0:3], float)
+    y_dir = np.asarray(iop[3:6], float)
+    normal = np.cross(x_dir, y_dir)
+
+    if len(slices) > 1 and all(len(s['position']) == 3 for s in slices):
+        slices.sort(key=lambda s: float(np.dot(s['position'], normal)))
+        locs = np.asarray([np.dot(s['position'], normal) for s in slices])
+        deltas = np.diff(locs)
+        if np.any(deltas <= 0):
+            raise DicomError('Duplicate slice positions in the series')
+        dz = float(np.median(deltas))
+        if np.any(np.abs(deltas - dz) > max(1e-3, 0.01 * dz)):
+            raise DicomError(
+                f'Non-uniform slice spacing (deltas {deltas.min():.4f}..'
+                f'{deltas.max():.4f} mm); resample the series first')
+        z_dir = (np.asarray(slices[-1]['position'], float)
+                 - np.asarray(slices[0]['position'], float))
+        z_dir = z_dir / np.linalg.norm(z_dir)
+    else:
+        slices.sort(key=lambda s: s['instance'])
+        dz = 1.0
+        z_dir = normal
+
+    ps = first['pixel_spacing'] or [1.0, 1.0]
+    spacing = (float(ps[1]), float(ps[0]), dz)  # (x, y, z): PixelSpacing is (row, col)
+    origin = tuple(slices[0]['position']) if slices[0]['position'] \
+        else (0.0, 0.0, 0.0)
+    direction = np.stack([x_dir, y_dir, z_dir], axis=1)
+
+    vol = np.stack([s['array'] for s in slices])  # (Z, Y, X)
+    return MedicalImage(array=vol, spacing=spacing, origin=origin,
+                        direction=direction)
+
+
+def is_dicom_dir(path: str) -> bool:
+    """A directory containing DICOM slice files (and no other supported
+    image files) — treated as ONE case by the CLI."""
+    if not os.path.isdir(path):
+        return False
+    try:
+        _series_files(path)
+        return True
+    except DicomError:
+        return False
