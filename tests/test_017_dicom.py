@@ -170,3 +170,75 @@ class TestEndToEnd:
         shutil.copy(asset_path('sample_s0332.nrrd'), tmp_path / 'x.nrrd')
         cases = dict(_enumerate_cases(str(tmp_path)))
         assert 'patient1' in cases and 'x' in cases
+
+
+class TestReviewRegressions:
+    def test_mixed_dir_is_not_a_series(self, tmp_path):
+        """A scans directory with a stray .dcm must still enumerate its
+        NRRD files (no silent data loss)."""
+        import shutil
+        from tests.conftest import asset_path
+        from totalsegmentator2d_tpu.cli import _enumerate_cases
+        shutil.copy(asset_path('sample_s0332.nrrd'), tmp_path / 'scan1.nrrd')
+        write_slice(str(tmp_path / 'stray.dcm'),
+                    np.zeros((4, 4), np.int16), position=(0, 0, 0))
+        assert not is_dicom_dir(str(tmp_path))
+        cases = dict(_enumerate_cases(str(tmp_path)))
+        assert 'scan1' in cases
+        assert 'stray' in cases  # the loose .dcm is its own case
+
+    def test_single_dcm_file_via_cli(self, tmp_path):
+        from totalsegmentator2d_tpu.cli import _enumerate_cases
+        write_slice(str(tmp_path / 'slice.dcm'),
+                    np.zeros((4, 4), np.int16), position=(0, 0, 0))
+        cases = list(_enumerate_cases(str(tmp_path / 'slice.dcm')))
+        assert cases == [('slice', str(tmp_path / 'slice.dcm'))]
+        img = read_image(str(tmp_path / 'slice.dcm'))
+        assert img.array.shape == (1, 4, 4)
+
+    def test_undefined_length_sequence_with_item_elements(self, tmp_path):
+        """The standard undefined-length SQ layout (undefined-length item
+        containing data elements, closed by item+sequence delimiters) must
+        be skipped, not rejected."""
+        inner = _el_explicit(0x0008, 0x1150, b'UI', b'1.2.3.4')
+        inner += _el_explicit(0x0008, 0x1155, b'UI', b'1.2.3.5')
+        item = struct.pack('<HHI', 0xFFFE, 0xE000, 0xFFFFFFFF) + inner \
+            + struct.pack('<HHI', 0xFFFE, 0xE00D, 0)
+        sq = struct.pack('<HH', 0x0008, 0x1140) + b'SQ\x00\x00' \
+            + struct.pack('<I', 0xFFFFFFFF) + item \
+            + struct.pack('<HHI', 0xFFFE, 0xE0DD, 0)
+        vol = _series(tmp_path, n=2, extra_pre_pixel=sq)
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+
+    def test_partial_positions_rejected(self, tmp_path):
+        """Some-but-not-all slices carrying ImagePositionPatient must raise,
+        not silently guess dz=1."""
+        arr = np.zeros((4, 4), np.int16)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0))
+        write_slice(str(tmp_path / 'b.dcm'), arr, position=())
+        with pytest.raises(DicomError, match='ImagePositionPatient'):
+            read_dicom_series(str(tmp_path))
+
+    def test_orientation_reference_not_first_slice(self, tmp_path):
+        """A missing IOP on the first file must not default the geometry to
+        identity when later slices carry a real orientation."""
+        arr = np.arange(16, dtype=np.int16).reshape(4, 4)
+        tilted = (0, 1, 0, 1, 0, 0)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    orientation=())
+        write_slice(str(tmp_path / 'b.dcm'), arr, position=(0, 0, -2),
+                    orientation=tilted)
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_allclose(img.direction[:, 0], (0, 1, 0))
+        np.testing.assert_allclose(img.direction[:, 1], (1, 0, 0))
+
+    def test_mixed_series_uids_rejected(self, tmp_path):
+        arr = np.zeros((4, 4), np.int16)
+        uid_el = lambda uid: _el_explicit(0x0020, 0x000E, b'UI', uid)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    extra_pre_pixel=uid_el(b'1.2.3'))
+        write_slice(str(tmp_path / 'b.dcm'), arr, position=(0, 0, 2),
+                    extra_pre_pixel=uid_el(b'9.8.7'))
+        with pytest.raises(DicomError, match='series in one directory'):
+            read_dicom_series(str(tmp_path))

@@ -15,7 +15,10 @@ from typing import Iterator, Optional, Tuple
 from .utils.config import get_default_model
 from .utils.logging import log, log_silent
 
-_SUPPORTED = ('nrrd', 'nii', 'nii.gz', 'mha', 'mhd')
+_SUPPORTED = ('nrrd', 'nii', 'nii.gz', 'mha', 'mhd',
+              # single DICOM files also read natively (io/dicom.py); a
+              # DICOM *series* is a directory case, see _enumerate_cases
+              'dcm', 'dicom', 'ima')
 
 _CITATION = (
     'TS2D is a research tool. It is NOT validated for clinical use and should '

@@ -32,7 +32,8 @@ def read_image(path: str) -> MedicalImage:
         from . import dicom
         return dicom.read_dicom_series(path)
     ext = _ext(path)
-    if ext in ('dcm', 'dicom', 'ima'):
+    from .dicom import DICOM_EXTENSIONS
+    if '.' + ext in DICOM_EXTENSIONS:
         from . import dicom
         return dicom.read_dicom_series(path)
     if ext == 'nrrd' or ext == 'nhdr':

@@ -42,8 +42,11 @@ _ITEM = (0xFFFE, 0xE000)
 _ITEM_DELIM = (0xFFFE, 0xE00D)
 _SEQ_DELIM = (0xFFFE, 0xE0DD)
 
+DICOM_EXTENSIONS = ('.dcm', '.dicom', '.ima')
+
 # tags we collect (group, element)
 _TAGS = {
+    (0x0020, 0x000E): 'SeriesInstanceUID',
     (0x0020, 0x0013): 'InstanceNumber',
     (0x0020, 0x0032): 'ImagePositionPatient',
     (0x0020, 0x0037): 'ImageOrientationPatient',
@@ -93,29 +96,55 @@ def _read_file_meta(buf: bytes) -> Tuple[int, str]:
     return pos, ts
 
 
-def _skip_undefined(buf: bytes, pos: int, implicit: bool) -> int:
-    """Skip an undefined-length sequence/item body: scan nested items until
-    the matching delimiter."""
-    depth = 1
-    while pos + 8 <= len(buf):
-        group, elem = struct.unpack_from('<HH', buf, pos)
+def _element_header(buf: bytes, pos: int,
+                    implicit: bool) -> Tuple[Tuple[int, int], int, int]:
+    """Parse one data-element header at ``pos``; returns (tag, length,
+    value offset). Delimiter pseudo-elements (group FFFE) always use the
+    implicit 4-byte-length form, even in explicit files."""
+    if pos + 8 > len(buf):
+        raise DicomError('Truncated data element')
+    group, elem = struct.unpack_from('<HH', buf, pos)
+    tag = (group, elem)
+    if implicit or group == 0xFFFE:
         (length,) = struct.unpack_from('<I', buf, pos + 4)
-        pos += 8
-        tag = (group, elem)
-        if tag == _ITEM:
-            if length == 0xFFFFFFFF:
-                depth += 1
-            else:
-                pos += length
-        elif tag in (_ITEM_DELIM, _SEQ_DELIM):
-            depth -= 1
-            if depth == 0:
-                return pos
+        return tag, length, pos + 8
+    vr = buf[pos + 4:pos + 6]
+    if vr in _LONG_VRS:
+        (length,) = struct.unpack_from('<I', buf, pos + 8)
+        return tag, length, pos + 12
+    (length,) = struct.unpack_from('<H', buf, pos + 6)
+    return tag, length, pos + 8
+
+
+def _skip_sequence(buf: bytes, pos: int, implicit: bool) -> int:
+    """Skip an undefined-length SQ value starting at ``pos``; returns the
+    offset past the sequence delimiter. Items may themselves be
+    undefined-length (terminated by an item delimiter, PS3.5 §7.5 — the
+    standard layout scanners actually write) and may nest further
+    sequences."""
+    while True:
+        tag, length, value_at = _element_header(buf, pos, implicit)
+        if tag == _SEQ_DELIM:
+            return value_at + length
+        if tag != _ITEM:
+            raise DicomError('Malformed sequence (expected an item)')
+        if length == 0xFFFFFFFF:
+            pos = _skip_item(buf, value_at, implicit)
         else:
-            # element inside an item (only reachable for item contents
-            # when delimiters are omitted) — give up cleanly
-            raise DicomError('Unsupported undefined-length sequence layout')
-    raise DicomError('Truncated undefined-length sequence')
+            pos = value_at + length
+
+
+def _skip_item(buf: bytes, pos: int, implicit: bool) -> int:
+    """Skip an undefined-length item body (a stream of data elements up to
+    the item delimiter)."""
+    while True:
+        tag, length, value_at = _element_header(buf, pos, implicit)
+        if tag == _ITEM_DELIM:
+            return value_at + length
+        if length == 0xFFFFFFFF:  # nested undefined-length sequence
+            pos = _skip_sequence(buf, value_at, implicit)
+        else:
+            pos = value_at + length
 
 
 def _parse_dataset(buf: bytes, pos: int, implicit: bool) -> Dict[str, bytes]:
@@ -124,27 +153,14 @@ def _parse_dataset(buf: bytes, pos: int, implicit: bool) -> Dict[str, bytes]:
     out: Dict[str, bytes] = {}
     n = len(buf)
     while pos + 8 <= n:
-        group, elem = struct.unpack_from('<HH', buf, pos)
-        tag = (group, elem)
-        if implicit:
-            (length,) = struct.unpack_from('<I', buf, pos + 4)
-            value_at = pos + 8
-            vr = b''
-        else:
-            vr = buf[pos + 4:pos + 6]
-            if vr in _LONG_VRS:
-                (length,) = struct.unpack_from('<I', buf, pos + 8)
-                value_at = pos + 12
-            else:
-                (length,) = struct.unpack_from('<H', buf, pos + 6)
-                value_at = pos + 8
+        tag, length, value_at = _element_header(buf, pos, implicit)
         if length == 0xFFFFFFFF:
             if tag in _TAGS and _TAGS[tag] == 'PixelData':
                 raise DicomError(
                     'Encapsulated (compressed) PixelData is not supported; '
                     'convert the series to an uncompressed transfer syntax '
                     'or to NRRD/NIfTI')
-            pos = _skip_undefined(buf, value_at, implicit)
+            pos = _skip_sequence(buf, value_at, implicit)
             continue
         if tag in _TAGS:
             out[_TAGS[tag]] = buf[value_at:value_at + length]
@@ -221,21 +237,23 @@ def read_dicom_file(path: str) -> dict:
             arr = scaled.astype(np.int16)  # CT Hounsfield units
         else:
             arr = scaled.astype(np.float32)
+    uid = el.get('SeriesInstanceUID')
     return {
         'array': arr,
         'position': _ds(el.get('ImagePositionPatient')),
         'orientation': _ds(el.get('ImageOrientationPatient')),
         'pixel_spacing': _ds(el.get('PixelSpacing')),
         'instance': _int(el.get('InstanceNumber')),
+        'series_uid': (uid.decode('ascii', 'replace').rstrip('\x00 ').strip()
+                       if uid else ''),
         'path': path,
     }
 
 
 def _series_files(path: str) -> List[str]:
-    exts = ('.dcm', '.dicom', '.ima')
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path)
-        if f.lower().endswith(exts) and not f.startswith('.'))
+        if f.lower().endswith(DICOM_EXTENSIONS) and not f.startswith('.'))
     if not files:
         raise DicomError(f'No DICOM files (*.dcm) found in {path}')
     return files
@@ -247,24 +265,45 @@ def read_dicom_series(path: str) -> MedicalImage:
     files = _series_files(path) if os.path.isdir(path) else [path]
     slices = [read_dicom_file(f) for f in files]
 
+    uids = {s['series_uid'] for s in slices if s['series_uid']}
+    if len(uids) > 1:
+        raise DicomError(
+            f'{len(uids)} different series in one directory (mixed '
+            f'SeriesInstanceUIDs); separate the series first')
+
     first = slices[0]
-    for s in slices[1:]:
+    # reference tags come from the first slice that HAS them — a missing
+    # tag on slice 1 must not silence the consistency checks (or default
+    # the orientation to identity when the rest of the stack is tilted)
+    ref_iop = next((s['orientation'] for s in slices if s['orientation']),
+                   None)
+    ref_ps = next((s['pixel_spacing'] for s in slices if s['pixel_spacing']),
+                  None)
+    for s in slices:
         if s['array'].shape != first['array'].shape:
             raise DicomError('Slices disagree on Rows/Columns')
-        if first['orientation'] and s['orientation'] and not np.allclose(
-                s['orientation'], first['orientation'], atol=1e-4):
+        if ref_iop and s['orientation'] and not np.allclose(
+                s['orientation'], ref_iop, atol=1e-4):
             raise DicomError('Slices disagree on ImageOrientationPatient '
                              '(mixed series?)')
-        if first['pixel_spacing'] and s['pixel_spacing'] and not np.allclose(
-                s['pixel_spacing'], first['pixel_spacing'], rtol=1e-4):
+        if ref_ps and s['pixel_spacing'] and not np.allclose(
+                s['pixel_spacing'], ref_ps, rtol=1e-4):
             raise DicomError('Slices disagree on PixelSpacing')
 
-    iop = first['orientation'] or [1, 0, 0, 0, 1, 0]
+    iop = ref_iop or [1, 0, 0, 0, 1, 0]
     x_dir = np.asarray(iop[0:3], float)
     y_dir = np.asarray(iop[3:6], float)
     normal = np.cross(x_dir, y_dir)
 
-    if len(slices) > 1 and all(len(s['position']) == 3 for s in slices):
+    n_pos = sum(len(s['position']) == 3 for s in slices)
+    if len(slices) > 1 and n_pos < len(slices):
+        # guessing dz (and slice order) would silently produce wrong
+        # physical geometry — refuse ("conservative, raise rather than
+        # guess"); single slices fall through with dz=1
+        raise DicomError(
+            f'ImagePositionPatient present on {n_pos}/{len(slices)} slices; '
+            f'cannot derive slice order/spacing — fix or convert the series')
+    if len(slices) > 1:
         slices.sort(key=lambda s: float(np.dot(s['position'], normal)))
         locs = np.asarray([np.dot(s['position'], normal) for s in slices])
         deltas = np.diff(locs)
@@ -278,12 +317,11 @@ def read_dicom_series(path: str) -> MedicalImage:
         z_dir = (np.asarray(slices[-1]['position'], float)
                  - np.asarray(slices[0]['position'], float))
         z_dir = z_dir / np.linalg.norm(z_dir)
-    else:
-        slices.sort(key=lambda s: s['instance'])
+    else:  # single slice: unit z spacing, normal from the orientation
         dz = 1.0
         z_dir = normal
 
-    ps = first['pixel_spacing'] or [1.0, 1.0]
+    ps = ref_ps or [1.0, 1.0]
     spacing = (float(ps[1]), float(ps[0]), dz)  # (x, y, z): PixelSpacing is (row, col)
     origin = tuple(slices[0]['position']) if slices[0]['position'] \
         else (0.0, 0.0, 0.0)
@@ -295,12 +333,21 @@ def read_dicom_series(path: str) -> MedicalImage:
 
 
 def is_dicom_dir(path: str) -> bool:
-    """A directory containing DICOM slice files (and no other supported
-    image files) — treated as ONE case by the CLI."""
+    """A directory containing DICOM slice files and NO other supported
+    image files — treated as ONE case (the series) by the CLI. A mixed
+    directory (scans dir with a stray .dcm) is NOT a series: the CLI must
+    enumerate its NRRD/NIfTI files normally rather than silently swallow
+    them into a bogus one-slice volume."""
     if not os.path.isdir(path):
         return False
-    try:
-        _series_files(path)
-        return True
-    except DicomError:
-        return False
+    from . import SUPPORTED_EXTENSIONS
+    has_dicom = False
+    for f in os.listdir(path):
+        low = f.lower()
+        if f.startswith('.'):
+            continue
+        if low.endswith(DICOM_EXTENSIONS):
+            has_dicom = True
+        elif low.endswith(tuple('.' + e for e in SUPPORTED_EXTENSIONS)):
+            return False
+    return has_dicom
