@@ -437,3 +437,25 @@ class TestDynamicBatching:
             assert key in eng._cache
         finally:
             eng.close()
+
+
+class TestCohortMaskedNorm:
+    def test_masked_cohort_exact(self, groups, rng):
+        """Masked-norm cohorts now run the exact hole-filled host-mask
+        path: results must equal per-volume predict_volume."""
+        import dataclasses
+        specs, params = groups
+        specs_m = [dataclasses.replace(
+            s, preprocess=dataclasses.replace(
+                s.preprocess, use_mask_for_norm=(True, True)))
+            for s in specs]
+        ens = EnsembleEngine(specs_m, params)
+        vols = np.zeros((3, 40, 20, 30), np.float32)
+        vols[:, 8:36, 4:16, 6:26] = \
+            rng.standard_normal((3, 28, 12, 20)) * 100 + 60
+        batch = ens.predict_cohort(vols, (1.5, 1.5), ('max', 'mean'))
+        assert batch.shape == (3, 40, 30, 5)
+        for i in range(3):
+            solo, _ = ens.predict_volume(vols[i], (1.5, 1.5),
+                                         ('max', 'mean'))
+            np.testing.assert_array_equal(batch[i], solo)

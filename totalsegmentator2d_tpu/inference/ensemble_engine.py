@@ -492,10 +492,22 @@ class EnsembleEngine:
         (N, Z, X, sum L) uint8. For mixed-shape cohorts use
         :meth:`predict_cohort_mixed`."""
         if any(self.spec.preprocess.use_mask_for_norm):
-            warn('predict_cohort approximates use_mask_for_norm with a '
-                 'device-side nonzero mask (no hole filling); use '
-                 'predict_volume/predict_array for exact masked '
-                 'normalization', once=True)
+            # exact masked normalization needs the hole-filled HOST mask:
+            # project on the host and pipeline the async 2D path (requests
+            # coalesce in the micro-batcher when enabled). The mesh's
+            # device-side projection DP does not apply here.
+            if mesh is not None:
+                warn('predict_cohort ignores the mesh for masked-norm '
+                     'plans (exact hole-filled masks are host-side)',
+                     once=True)
+            from ..ops.projection import project_arrays_np
+            handles = []
+            for vol in vols:
+                proj = np.concatenate(
+                    project_arrays_np(np.ascontiguousarray(vol), modes, 1),
+                    axis=1).transpose(0, 2, 1).astype(np.float32)
+                handles.append(self.predict_array_async(proj, spacing_yx))
+            return np.stack([self.finish_array(h) for h in handles])
         vols = np.ascontiguousarray(vols)
         if mesh is not None:
             data_axis = ('data' if 'data' in mesh.axis_names
