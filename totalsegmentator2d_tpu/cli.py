@@ -156,6 +156,9 @@ def ts2d_entry_point() -> None:
                         help='Disable micro-batched dispatch (bitwise '
                              'run-to-run consistency; lower directory-mode '
                              'throughput).')
+    from . import __version__
+    parser.add_argument('--version', action='version',
+                        version=f'ts2d (TPU-native) {__version__}')
 
     args = parser.parse_args()
     ts2d_run(src=args.src, dest=args.dest, model=args.model,

@@ -232,7 +232,11 @@ def main() -> None:
             if fused is None:
                 warn('--warmup requires a fused model set; skipping')
                 break
-            h, w = (int(v) for v in shape.lower().split('x'))
+            try:
+                h, w = (int(v) for v in shape.lower().split('x'))
+            except ValueError:
+                parser.error(f"--warmup expects HxW (e.g. 350x280); "
+                             f"got '{shape}'")
             log(f'warming up {h}x{w} ...')
             fused.warmup((h, w))
         server = TS2DServer(tool, host=args.host, port=args.port).start()
