@@ -206,3 +206,22 @@ class TestMiscParity:
         meta = get_image_meta(img, add_info=True)
         assert meta['size'] == (3, 2)
         assert sanitize_meta({'6000|3000': 'big', 'k': 'v'}) == {'k': 'v'}
+
+
+class TestParamsReviewRegressions:
+    def test_sequence_leaf_joins_subgroup_both_orders(self):
+        """a[0].b then a[0] (and vice versa) must merge into a '~' node,
+        not destroy the subgroup."""
+        from totalsegmentator2d_tpu.utils.params import nest_dict
+        assert nest_dict({'a[0].b': 2, 'a[0]': 1}) == {'a': [{'b': 2, '~': 1}]}
+        assert nest_dict({'a[0]': 1, 'a[0].b': 2}) == {'a': [{'~': 1, 'b': 2}]}
+
+    def test_dict_get_indexes_nested_sequences(self):
+        """dict_get(nest_dict(d), k) must equal dict_get(d, k) for
+        bracketed keys (lists are indexed, not just flat-key matched)."""
+        from totalsegmentator2d_tpu.utils.params import dict_get, nest_dict
+        flat = {'a.b[0]': 'x', 'a.b[1]': 'y', 'a.b[2].c': 3}
+        nested = nest_dict(flat)
+        for k in ('a.b[0]', 'a.b[1]', 'a.b[2].c'):
+            assert dict_get(nested, k) == dict_get(flat, k)
+        assert dict_get(nested, 'a.b[9]', default='d') == 'd'

@@ -459,3 +459,25 @@ class TestCohortMaskedNorm:
             solo, _ = ens.predict_volume(vols[i], (1.5, 1.5),
                                          ('max', 'mean'))
             np.testing.assert_array_equal(batch[i], solo)
+
+    def test_cancelled_request_does_not_poison_batch(self, groups, rng):
+        """A caller that cancels its future must neither get a result nor
+        fail its co-batched siblings."""
+        import concurrent.futures
+        specs, params = groups
+        plain = EnsembleEngine(specs, params)
+        batched = EnsembleEngine(specs, params, auto_batch=2)
+        try:
+            batched.set_batch_linger(500.0)  # hold the batch open
+            arr = (rng.standard_normal((64, 64, 2)) + 2).astype(np.float32)
+            h_cancel = batched.predict_array_async(arr, (1.5, 1.5))
+            assert h_cancel[1].cancel()  # still pending: cancel succeeds
+            h_live = batched.predict_array_async(arr, (1.5, 1.5))
+            np.testing.assert_array_equal(
+                batched.finish_array(h_live),
+                plain.predict_array(arr, (1.5, 1.5)))
+            with pytest.raises(concurrent.futures.CancelledError):
+                batched.finish_array(h_cancel)
+            batched.set_batch_linger(0.0)
+        finally:
+            batched.close()

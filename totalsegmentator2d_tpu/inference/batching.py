@@ -67,8 +67,9 @@ class DynamicBatcher:
         # execution, so under sustained load a short linger trades a little
         # latency for near-2x throughput. Mutable at runtime.
         self.linger_ms = float(linger_ms)
-        # FIFO of (key, item); item = (cropped, mask, bbox, full, future)
-        self._pending: List[Tuple[tuple, tuple]] = []
+        # FIFO of (key, t_enqueued, item);
+        # item = (cropped, mask, bbox, full, future)
+        self._pending: List[Tuple[tuple, float, tuple]] = []
         self._cv = threading.Condition()
         self._stopped = False
         self._thread = threading.Thread(target=self._run, daemon=True,
@@ -80,6 +81,7 @@ class DynamicBatcher:
         key = (cropped.shape[:2],
                tuple(round(float(s), 6) for s in spacing),
                mask is not None)
+        import time
         fut: Future = Future()
         item = (cropped, mask, bbox, full, fut)
         with self._cv:
@@ -89,7 +91,7 @@ class DynamicBatcher:
                 # a dead dispatcher would leave this future unresolved
                 # forever (the caller blocks in fut.result())
                 raise RuntimeError('batcher dispatcher thread died')
-            self._pending.append((key, item))
+            self._pending.append((key, time.monotonic(), item))
             self._cv.notify()
         return fut
 
@@ -106,11 +108,11 @@ class DynamicBatcher:
         (shape, spacing, masked) key, up to max_batch. Caller holds _cv."""
         key = self._pending[0][0]
         take, rest = [], []
-        for k, it in self._pending:
-            if k == key and len(take) < self.max_batch:
-                take.append(it)
+        for entry in self._pending:
+            if entry[0] == key and len(take) < self.max_batch:
+                take.append(entry[2])
             else:
-                rest.append((k, it))
+                rest.append(entry)
         self._pending = rest
         return key, take
 
@@ -124,7 +126,7 @@ class DynamicBatcher:
                 # until this except block finishes)
                 self._stopped = True
                 pending, self._pending = self._pending, []
-            for _, (*_, fut) in pending:
+            for _, _, (*_, fut) in pending:
                 if not fut.done():
                     fut.set_exception(
                         RuntimeError(f'batcher dispatcher died: {ex!r}'))
@@ -140,55 +142,61 @@ class DynamicBatcher:
                     return  # stopped and drained
                 linger = self.linger_ms / 1e3
                 if linger > 0 and not self._stopped:
-                    # wait for the OLDEST request's own batch to fill —
-                    # counting total pending across keys would end the
-                    # linger on unrelated-shape traffic and dispatch the
-                    # partial batch anyway. But if ANY key fills, stop
-                    # waiting: a ready-full batch of another shape must not
-                    # absorb the partial batch's linger latency.
-                    key0 = self._pending[0][0]
-                    deadline = time.monotonic() + linger
+                    # wait for the OLDEST request's own batch to fill. The
+                    # deadline is anchored at that request's ENQUEUE time —
+                    # re-arming it per iteration would let sustained
+                    # majority-shape traffic postpone a minority request
+                    # indefinitely (each full batch would reset the clock).
+                    # A full batch of another shape may dispatch first, but
+                    # once the oldest request's deadline expires it goes
+                    # out (partial) no matter what else is ready.
+                    key0, t0, _ = self._pending[0]
+                    deadline = t0 + linger
 
-                    def _full_key_ready():
+                    def _full_key():
                         counts: dict = {}
-                        for k, _ in self._pending:
+                        for k, _, _ in self._pending:
                             counts[k] = counts.get(k, 0) + 1
                             if counts[k] >= self.max_batch:
-                                return True
-                        return False
+                                return k
+                        return None
 
                     def _mine():
-                        return sum(1 for k, _ in self._pending if k == key0)
+                        return sum(1 for k, _, _ in self._pending
+                                   if k == key0)
 
-                    while (_mine() < self.max_batch and not _full_key_ready()
-                           and not self._stopped):
+                    while (_mine() < self.max_batch
+                           and _full_key() is None and not self._stopped):
                         remaining = deadline - time.monotonic()
                         if remaining <= 0:
                             break
                         self._cv.wait(timeout=remaining)
-                    # dispatch whichever batch is ready first
-                    if self._pending and _full_key_ready() \
-                            and _mine() < self.max_batch:
-                        counts = {}
-                        for k, _ in self._pending:
-                            counts[k] = counts.get(k, 0) + 1
-                        for k, n in counts.items():
-                            if n >= self.max_batch:
-                                self._pending.sort(
-                                    key=lambda ki: ki[0] != k)
-                                break
+                    full = _full_key()
+                    if (full is not None and full != key0
+                            and time.monotonic() < deadline):
+                        # a ready-full batch of another shape goes first;
+                        # key0 keeps its original deadline for next round
+                        self._pending.sort(key=lambda e: e[0] != full)
                 key, take = self._take_batch()
             try:
                 self._dispatch(key, take)
-            except Exception as ex:  # surface to every waiting caller
+            except BaseException as ex:  # surface to every waiting caller
                 for *_, fut in take:
                     if not fut.done():
                         fut.set_exception(ex)
+                if not isinstance(ex, Exception):
+                    raise  # fatal (KeyboardInterrupt/SystemExit): die loudly
 
     def _dispatch(self, key, take):
         import jax
         engine = self.engine
         _, spacing, has_mask = key
+        # claim every future before doing work: a caller that cancelled its
+        # handle (e.g. a timed-out request) must neither receive a result
+        # nor poison its co-batched siblings with InvalidStateError
+        take = [it for it in take if it[-1].set_running_or_notify_cancel()]
+        if not take:
+            return
         B = len(take)
         if B == 1:
             # reuse the single-scan program (no extra compile for the

@@ -362,16 +362,18 @@ class EnsembleEngine:
 
         fn2d, meta2d = self._program(vol_shape[::2], spacing_yx)
 
+        # masked-norm plans never reach this builder (predict_volume_async
+        # reroutes them to the host-projection path for the exact
+        # hole-filled mask) — an approximate device-side mask here would be
+        # silently wrong, so refuse rather than carry dead code
+        assert not meta2d['needs_mask'], \
+            'masked-norm plans take the host-projection path'
+
         def program(params, vol):
             work = vol.astype(self.dtype)
             chans = [jnp.squeeze(project_array(work, m, axis=1), 1)
                      for m in modes]
             x2d = jnp.stack(chans, axis=-1)          # (Z, X, C)
-            if meta2d['needs_mask']:
-                # device-side mask (no hole fill): CT projections are dense,
-                # so this only affects hypothetical masked-norm volume plans
-                return fn2d.__wrapped__(params, x2d,
-                                        jnp.any(x2d != 0, axis=-1)), x2d
             return fn2d.__wrapped__(params, x2d), x2d
 
         return jax.jit(program)
@@ -458,14 +460,16 @@ class EnsembleEngine:
 
         fn2d, meta2d = self._program(vol_shape[::2], spacing_yx)
 
+        # masked-norm cohorts are rerouted to the exact host-projection
+        # path before this builder runs (see predict_cohort)
+        assert not meta2d['needs_mask'], \
+            'masked-norm plans take the host-projection path'
+
         def one(params, vol):
             work = vol.astype(self.dtype)
             chans = [jnp.squeeze(project_array(work, m, axis=1), 1)
                      for m in modes]
             x2d = jnp.stack(chans, axis=-1)
-            if meta2d['needs_mask']:
-                return fn2d.__wrapped__(params, x2d,
-                                        jnp.any(x2d != 0, axis=-1))
             return fn2d.__wrapped__(params, x2d)
 
         def program(params, vols):

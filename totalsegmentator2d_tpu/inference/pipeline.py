@@ -129,7 +129,10 @@ class ScanPipeline:
                     continue
                 timer.mark('dispatch')
                 pending.append((name, handle, timer))
-                while len(pending) >= window:
+                # drain only past the window: `>=` would cap the in-flight
+                # count at window-1 and the micro-batcher could never see a
+                # full batch
+                while len(pending) > window:
                     finish_one()
             while pending:
                 finish_one()

@@ -226,8 +226,12 @@ def main() -> None:
     with TS2D(key=key, use_remote=not args.no_remote,
               fetch_remote=not args.no_fetch, local=args.local) as tool:
         fused = getattr(tool, '_fused', None)
-        if args.batch_linger_ms and fused is not None:
-            fused.set_batch_linger(args.batch_linger_ms)
+        if args.batch_linger_ms:
+            if fused is not None:
+                fused.set_batch_linger(args.batch_linger_ms)
+            else:
+                warn('--batch-linger-ms requires a fused model set; '
+                     'requests will run unbatched')
         for shape in args.warmup:
             if fused is None:
                 warn('--warmup requires a fused model set; skipping')

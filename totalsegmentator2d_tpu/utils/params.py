@@ -113,6 +113,18 @@ def _walk(d: Any, parts: list[str]) -> Any:
         if hit is not _MISSING:
             cur = hit
             continue
+        # bracketed index into an already-nested sequence: 'b[0]' reaches
+        # element 0 of the list under 'b' (nest_dict finalizes sequences
+        # into lists, so dict_get(nest_dict(d), k) must match dict_get(d, k))
+        if p.endswith(']') and '[' in p:
+            name, _, idx_s = p[:-1].partition('[')
+            if idx_s.isdigit():
+                container = _lookup(cur, name.strip())
+                if isinstance(container, (list, tuple)):
+                    j = int(idx_s)
+                    if 0 <= j < len(container):
+                        cur = container[j]
+                        continue
         # allow a flat remainder, e.g. {'a': {'b.c': 1}} for key 'a.b.c'
         rest = '.'.join(parts[i:])
         hit = _lookup(cur, rest)
@@ -174,7 +186,14 @@ def _nest_insert(res: dict, parts: list[str], value: Any, key: str) -> None:
                     f'Key {key} uses {name!r} as a sequence, but it already '
                     f'holds {type(node).__name__}')
             if last:
-                node[idx] = value
+                old = node.get(idx)
+                if isinstance(old, dict):
+                    # leaf joining an element's existing subgroup — same
+                    # '~' merge as the plain-dict case (silently replacing
+                    # would destroy the subgroup's keys)
+                    old['~'] = value
+                else:
+                    node[idx] = value
             else:
                 cur = node.setdefault(idx, {})
                 if not isinstance(cur, dict):
