@@ -481,3 +481,21 @@ class TestCohortMaskedNorm:
             batched.set_batch_linger(0.0)
         finally:
             batched.close()
+
+    def test_warmup_masked_norm_batched(self, groups):
+        """warmup must also pre-compile the masked batched program for
+        masked-norm plans (stacked hole-filled dummy masks)."""
+        import dataclasses
+        specs, params = groups
+        specs_m = [dataclasses.replace(
+            s, preprocess=dataclasses.replace(
+                s.preprocess, use_mask_for_norm=(True, True)))
+            for s in specs]
+        eng = EnsembleEngine(specs_m, params, auto_batch=2)
+        try:
+            eng.warmup((64, 64))
+            key = ('batch', 2, (64, 64),
+                   tuple(round(float(s), 6) for s in (1.5, 1.5)), True)
+            assert key in eng._cache
+        finally:
+            eng.close()
