@@ -424,16 +424,24 @@ class TestDynamicBatching:
         finally:
             batched.close()
 
-    def test_warmup_compiles_batched_program(self, groups):
+    @pytest.mark.parametrize('masked', [False, True])
+    def test_warmup_compiles_batched_program(self, groups, masked):
         """warmup on a batching engine must also compile the batched
         program (jit is lazy — the first concurrent burst would otherwise
-        pay the cold compile)."""
+        pay the cold compile), including the masked-norm variant (stacked
+        hole-filled dummy masks)."""
+        import dataclasses
         specs, params = groups
+        if masked:
+            specs = [dataclasses.replace(
+                sp, preprocess=dataclasses.replace(
+                    sp.preprocess, use_mask_for_norm=(True, True)))
+                for sp in specs]
         eng = EnsembleEngine(specs, params, auto_batch=2)
         try:
             eng.warmup((64, 64))
             key = ('batch', 2, (64, 64),
-                   tuple(round(float(s), 6) for s in (1.5, 1.5)), False)
+                   tuple(round(float(s), 6) for s in (1.5, 1.5)), masked)
             assert key in eng._cache
         finally:
             eng.close()
@@ -481,21 +489,3 @@ class TestCohortMaskedNorm:
             batched.set_batch_linger(0.0)
         finally:
             batched.close()
-
-    def test_warmup_masked_norm_batched(self, groups):
-        """warmup must also pre-compile the masked batched program for
-        masked-norm plans (stacked hole-filled dummy masks)."""
-        import dataclasses
-        specs, params = groups
-        specs_m = [dataclasses.replace(
-            s, preprocess=dataclasses.replace(
-                s.preprocess, use_mask_for_norm=(True, True)))
-            for s in specs]
-        eng = EnsembleEngine(specs_m, params, auto_batch=2)
-        try:
-            eng.warmup((64, 64))
-            key = ('batch', 2, (64, 64),
-                   tuple(round(float(s), 6) for s in (1.5, 1.5)), True)
-            assert key in eng._cache
-        finally:
-            eng.close()
