@@ -207,6 +207,36 @@ class TestCohort:
         assert sharded.shape == plain.shape
         np.testing.assert_array_equal(sharded, plain)
 
+    def test_cohort_program_cache_survives_mesh_gc(self, groups, rng):
+        """The cohort program cache must key on a GC-stable mesh identity,
+        not id(mesh): a new mesh allocated after the old one died must map
+        to a key derived from its axes/devices, so equal meshes share one
+        program and a different mesh can never alias a dead one's entry."""
+        import gc
+        from totalsegmentator2d_tpu.parallel import make_mesh
+        from totalsegmentator2d_tpu.inference.ensemble_engine import _mesh_key
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        vols = (rng.standard_normal((4, 40, 20, 30)) * 100).astype(np.float32)
+
+        mesh = make_mesh({'data': 4})
+        first = ens.predict_cohort(vols, (1.5, 1.5), ('max', 'mean'),
+                                   mesh=mesh)
+        key_a = _mesh_key(mesh)
+        del mesh
+        gc.collect()
+        mesh2 = make_mesh({'data': 4})
+        # identical topology -> identical key: the cached program's
+        # NamedShardings are valid for any equal mesh, and no id() reuse
+        # can produce a spurious hit for a *different* topology
+        assert _mesh_key(mesh2) == key_a
+        assert _mesh_key(make_mesh({'data': 2})) != key_a
+        again = ens.predict_cohort(vols, (1.5, 1.5), ('max', 'mean'),
+                                   mesh=mesh2)
+        np.testing.assert_array_equal(first, again)
+        cohort_keys = [k for k in ens._cache if k[0] == 'cohort']
+        assert len(cohort_keys) == 1 and cohort_keys[0][-1] == key_a
+
     def test_cohort_data_parallel_mesh(self, groups, rng):
         from totalsegmentator2d_tpu.parallel import make_mesh
         specs, params = groups

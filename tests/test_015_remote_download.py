@@ -123,6 +123,83 @@ class TestDownloadHardening:
         with pytest.raises(RuntimeError, match='after 3 attempts'):
             db._download('http://example/model.zip', str(tmp_path / 'x.zip'))
 
+    def test_drive_url_recognition(self):
+        """Every Drive URL shape gdown's fuzzy mode tolerates maps to its
+        file id; plain HTTPS does not."""
+        from totalsegmentator2d_tpu.inference.database import drive_file_id
+        fid = '1A2b-C3d_E4f'
+        assert drive_file_id(
+            f'https://drive.google.com/file/d/{fid}/view?usp=sharing') == fid
+        assert drive_file_id(
+            f'https://drive.google.com/open?id={fid}') == fid
+        assert drive_file_id(
+            f'https://drive.google.com/uc?export=download&id={fid}') == fid
+        assert drive_file_id(
+            f'https://drive.usercontent.google.com/download?id={fid}'
+            f'&export=download') == fid
+        assert drive_file_id('https://zenodo.org/record/1/files/m.zip') is None
+
+    def test_drive_confirm_interstitial(self, tmp_path, monkeypatch):
+        """A Drive large-file download first answers with the virus-scan
+        HTML page; the downloader must follow the hidden confirm form (with
+        session cookies) and stream the second response."""
+        from totalsegmentator2d_tpu.inference import database as db
+        payload = b'drive-model-zip-bytes'
+        seen = []
+
+        class FakeResponse:
+            def __init__(self, ctype, body):
+                self.headers = {'Content-Type': ctype,
+                                'Content-Length': str(len(body))}
+                self._body = body
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def raise_for_status(self):
+                pass
+
+            @property
+            def text(self):
+                return self._body.decode()
+
+            def iter_content(self, chunk_size):
+                yield self._body
+
+        html = (b'<html><form id="download-form" '
+                b'action="https://drive.usercontent.google.com/download" '
+                b'method="get">'
+                b'<input type="hidden" name="id" value="FILEID123">'
+                b'<input type="hidden" name="export" value="download">'
+                b'<input type="hidden" name="confirm" value="t">'
+                b'<input type="hidden" name="uuid" value="u-u-i-d">'
+                b'</form></html>')
+
+        class FakeSession:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def get(self, url, params=None, **kw):
+                seen.append((url, params))
+                if 'uc?export=download' in url:
+                    return FakeResponse('text/html; charset=utf-8', html)
+                assert params['confirm'] == 't' and params['uuid'] == 'u-u-i-d'
+                return FakeResponse('application/zip', payload)
+
+        import requests
+        monkeypatch.setattr(requests, 'Session', FakeSession)
+        dest = tmp_path / 'drive.zip'
+        db._download('https://drive.google.com/file/d/FILEID123/view',
+                     str(dest))
+        assert dest.read_bytes() == payload
+        assert len(seen) == 2
+
     def test_zip_traversal_rejected(self, tmp_path):
         """A zip member with '..' must not extract outside the destination."""
         from totalsegmentator2d_tpu.inference.database import _extract_zip

@@ -66,6 +66,18 @@ def _enumerate_cases(src: str) -> Iterator[Tuple[str, str]]:
             name, ext = fn.split('.', 1)
             if ext.lower() not in _SUPPORTED:
                 raise ValueError(f'Unsupported file extension: {ext} in {fn}')
+            if isdir and ext.lower() in ('dcm', 'dicom', 'ima'):
+                # a loose slice file in a MIXED directory is almost always
+                # one slice of a series: segmenting it standalone (dz=1)
+                # would silently produce near-meaningless output. Point the
+                # tool at the series directory instead; explicit single-file
+                # input (-i file.dcm) still works.
+                from .utils.logging import warn
+                warn(f'skipping loose DICOM file {fn} in a mixed directory '
+                     f'(likely one slice of a series) — pass the series '
+                     f'directory, or the file itself, as --src to segment it',
+                     once=True)
+                continue
             yield name, fp
         except Exception:
             if isdir:

@@ -95,11 +95,26 @@ class DynamicBatcher:
             self._cv.notify()
         return fut
 
-    def stop(self, timeout: float = 10.0) -> None:
+    def stop(self, timeout: float = 10.0) -> bool:
+        """Signal the dispatcher to drain and wait for it to exit.
+
+        :returns: True when the dispatcher actually exited. False means the
+            join timed out — a dispatch can sit in a seconds-to-minutes
+            remote XLA compile — and the daemon thread is still running;
+            callers dropping their engine reference should know the orphan
+            exists (it dies with the process, but can race interpreter
+            shutdown)."""
         with self._cv:
             self._stopped = True
             self._cv.notify()
         self._thread.join(timeout=timeout)
+        if self._thread.is_alive():
+            from ..utils.logging import warn
+            warn(f'batcher dispatcher still running after {timeout:.0f}s '
+                 f'stop timeout (likely mid-compile); it will exit after '
+                 f'the in-flight dispatch completes')
+            return False
+        return True
 
     # -- dispatcher ----------------------------------------------------------
 
@@ -208,6 +223,15 @@ class DynamicBatcher:
                 args += (jax.device_put(mask),)
             fut.set_result((_BatchResult(fn(*args)), None, bbox, full))
             return
+        # batched-program numerics differ from the solo program's (borderline
+        # sigmoid pixels, ~0.06% measured; docs/performance.md): tell the
+        # user once when coalescing actually kicks in so load-dependent
+        # outputs are not a surprise
+        from ..utils.logging import log
+        log(f'micro-batching engaged ({B} concurrent scans coalesced into '
+            f'one device program); results may differ from solo runs on '
+            f'borderline pixels — use batching=False / --no-batching for '
+            f'bitwise reproducibility', once=True)
         fnb = engine._batched_program(self.max_batch, take[0][0].shape[:2],
                                       spacing, has_mask)
         pad = self.max_batch - B

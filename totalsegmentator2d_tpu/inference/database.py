@@ -215,14 +215,88 @@ def _extract_zip(zip_path: str, dest_root: str) -> None:
         zf.extractall(dest_root)
 
 
+#: Google-Drive URL shapes the registry may carry (the reference's gdown
+#: with fuzzy=True tolerates the same set, reference database.py:213):
+#: share links /file/d/<id>/view, open?id=, uc?id=, usercontent downloads
+_DRIVE_ID_PATTERNS = (
+    r'drive\.google\.com/file/d/([\w-]+)',
+    r'drive\.google\.com/(?:uc|open|download)\?[^#]*?\bid=([\w-]+)',
+    r'drive\.usercontent\.google\.com/download\?[^#]*?\bid=([\w-]+)',
+)
+
+
+def drive_file_id(url: str) -> Optional[str]:
+    """Extract the file id from any Google-Drive-style URL, else None."""
+    import re
+    for pat in _DRIVE_ID_PATTERNS:
+        m = re.search(pat, url)
+        if m:
+            return m.group(1)
+    return None
+
+
+def _stream_to_file(resp, dest: str, chunk: int) -> None:
+    """Stream an open response body to ``dest`` with progress logging and a
+    size check against Content-Length."""
+    expected = int(resp.headers.get('Content-Length') or 0)
+    got = 0
+    next_mark = 0.25
+    with open(dest, 'wb') as f:
+        for block in resp.iter_content(chunk_size=chunk):
+            f.write(block)
+            got += len(block)
+            if expected and got / expected >= next_mark:
+                log(f'  ... {got / expected:4.0%} of '
+                    f'{expected / 1e6:.1f} MB')
+                next_mark += 0.25
+    if expected and got != expected:
+        raise IOError(f'Truncated download: {got} of {expected} bytes')
+
+
+def _fetch_drive(file_id: str, dest: str, chunk: int) -> None:
+    """Download a Drive file, following the large-file confirm interstitial
+    (Drive answers big downloads with an HTML virus-scan page whose hidden
+    form carries the confirm token; cookies must persist across the hop)."""
+    import re
+
+    import requests
+    with requests.Session() as s:
+        url = f'https://drive.google.com/uc?export=download&id={file_id}'
+        with s.get(url, stream=True, timeout=60) as r:
+            r.raise_for_status()
+            ctype = r.headers.get('Content-Type') or ''
+            if 'text/html' not in ctype:
+                _stream_to_file(r, dest, chunk)
+                return
+            html = r.text
+        m = re.search(r'<form[^>]*\baction="([^"]+)"', html)
+        if m is None:
+            raise IOError(
+                f'Drive returned an HTML page with no download form for '
+                f'file id {file_id} (permission denied or quota exceeded?)')
+        action = m.group(1).replace('&amp;', '&')
+        params = dict(re.findall(
+            r'<input[^>]*\bname="([^"]+)"[^>]*\bvalue="([^"]*)"', html))
+        with s.get(action, params=params, stream=True, timeout=60) as r:
+            r.raise_for_status()
+            if 'text/html' in (r.headers.get('Content-Type') or ''):
+                raise IOError(
+                    f'Drive confirm hop still returned HTML for file id '
+                    f'{file_id} (permission denied or quota exceeded?)')
+            _stream_to_file(r, dest, chunk)
+
+
 def _download(url: str, dest: str, chunk: int = 1 << 20,
               attempts: int = 3) -> None:
     """HTTPS download with retries/backoff, progress logging, and a size
-    check against Content-Length (the reference gets equivalent robustness
-    from gdown, reference database.py:213)."""
+    check against Content-Length. Google-Drive-style URLs (share links,
+    open?id=, uc?id=) are recognized and routed through the Drive confirm
+    flow (the reference gets both behaviors from gdown with fuzzy=True,
+    reference database.py:213)."""
     import time
 
     import requests
+    file_id = drive_file_id(url)
     last_err: Optional[Exception] = None
     for attempt in range(attempts):
         if attempt:
@@ -232,23 +306,13 @@ def _download(url: str, dest: str, chunk: int = 1 << 20,
             time.sleep(delay)
         try:
             log(f'Downloading {url}')
+            if file_id is not None:
+                _fetch_drive(file_id, dest, chunk)
+                return
             with requests.get(url, stream=True, timeout=60,
                               allow_redirects=True) as r:
                 r.raise_for_status()
-                expected = int(r.headers.get('Content-Length') or 0)
-                got = 0
-                next_mark = 0.25
-                with open(dest, 'wb') as f:
-                    for block in r.iter_content(chunk_size=chunk):
-                        f.write(block)
-                        got += len(block)
-                        if expected and got / expected >= next_mark:
-                            log(f'  ... {got / expected:4.0%} of '
-                                f'{expected / 1e6:.1f} MB')
-                            next_mark += 0.25
-                if expected and got != expected:
-                    raise IOError(
-                        f'Truncated download: {got} of {expected} bytes')
+                _stream_to_file(r, dest, chunk)
             return
         except Exception as ex:  # noqa: BLE001 — retry any transport error
             last_err = ex

@@ -36,6 +36,17 @@ from .engine import _mirror_combos, _nonzero_bbox, compute_new_shape
 from .tiling import accumulate_tiles, pad_amounts, padded_shape, tile_positions
 
 
+def _mesh_key(mesh) -> Optional[Tuple]:
+    """GC-stable cache identity for a Mesh. id(mesh) is unsafe: a dead
+    mesh's address can be reused by a new one, silently serving a cached
+    program whose NamedShardings point at the dead mesh. Axis names +
+    sizes + the device ids pin the identity instead."""
+    if mesh is None:
+        return None
+    return (tuple(mesh.axis_names), tuple(mesh.shape.values()),
+            tuple(d.id for d in mesh.devices.flat))
+
+
 def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """Pack a (..., L) array of 0/1 uint8 into (..., ceil(L/8)) uint8,
     little bit order (numpy np.unpackbits(..., bitorder='little'))."""
@@ -526,7 +537,7 @@ class EnsembleEngine:
                                            mesh=mesh)[:n]
         key = ('cohort', vols.shape,
                tuple(round(float(s), 6) for s in spacing_yx), tuple(modes),
-               id(mesh) if mesh is not None else None)
+               _mesh_key(mesh))
         with self._cache_lock:
             fn = self._cache.get(key)
             if fn is None:

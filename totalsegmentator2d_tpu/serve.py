@@ -34,11 +34,20 @@ from typing import Optional
 from .utils.logging import log, warn
 
 
+#: default request-body ceiling (512 MiB covers any realistic CT upload;
+#: the largest published test asset is ~30 MB)
+DEFAULT_MAX_BODY = 512 * 1024 * 1024
+
+
 class TS2DServer:
-    def __init__(self, tool, host: str = '127.0.0.1', port: int = 8008):
+    def __init__(self, tool, host: str = '127.0.0.1', port: int = 8008,
+                 max_body_bytes: int = DEFAULT_MAX_BODY):
         self.tool = tool
         self.host = host
         self.port = port
+        # requests are buffered in memory (temp-file write + predict): an
+        # unbounded Content-Length is an OOM; over-limit posts get 413
+        self.max_body_bytes = int(max_body_bytes)
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
         # request/latency counters served at /metrics (the reference has no
@@ -160,7 +169,22 @@ class TS2DServer:
                     self._send(404, 'application/json',
                                json.dumps({'error': 'not found'}).encode())
                     return
-                length = int(self.headers.get('Content-Length', 0))
+                try:
+                    length = int(self.headers.get('Content-Length', 0))
+                except (TypeError, ValueError):
+                    length = -1
+                if length < 0:
+                    self._send(411, 'application/json', json.dumps(
+                        {'error': 'Content-Length required'}).encode())
+                    return
+                if length > server.max_body_bytes:
+                    # reject BEFORE reading: an over-limit body never
+                    # touches memory (the connection closes on it)
+                    self._send(413, 'application/json', json.dumps(
+                        {'error': f'request body {length} bytes exceeds '
+                                  f'limit {server.max_body_bytes}'}).encode())
+                    self.close_connection = True
+                    return
                 body = self.rfile.read(length)
                 import time
                 t0 = time.perf_counter()
@@ -213,6 +237,10 @@ def main() -> None:
                         help='hold a partial micro-batch up to this long '
                              'waiting for it to fill (throughput mode; '
                              '0 = dispatch immediately, latency mode)')
+    parser.add_argument('--max-body-mb', type=int,
+                        default=DEFAULT_MAX_BODY // (1024 * 1024),
+                        help='reject request bodies larger than this '
+                             '(HTTP 413); bounds server memory per request')
     parser.add_argument('--warmup', type=str, nargs='*', default=(),
                         metavar='HxW',
                         help='pre-compile the fused device program for these '
@@ -232,18 +260,26 @@ def main() -> None:
             else:
                 warn('--batch-linger-ms requires a fused model set; '
                      'requests will run unbatched')
+        # validate EVERY --warmup shape before compiling any: a typo in the
+        # second shape must not surface only after the first one's
+        # minutes-long XLA compile has already run
+        warmup_shapes = []
         for shape in args.warmup:
-            if fused is None:
-                warn('--warmup requires a fused model set; skipping')
-                break
             try:
                 h, w = (int(v) for v in shape.lower().split('x'))
             except ValueError:
                 parser.error(f"--warmup expects HxW (e.g. 350x280); "
                              f"got '{shape}'")
+            warmup_shapes.append((h, w))
+        if warmup_shapes and fused is None:
+            warn('--warmup requires a fused model set; skipping')
+            warmup_shapes = []
+        for h, w in warmup_shapes:
             log(f'warming up {h}x{w} ...')
             fused.warmup((h, w))
-        server = TS2DServer(tool, host=args.host, port=args.port).start()
+        server = TS2DServer(
+            tool, host=args.host, port=args.port,
+            max_body_bytes=args.max_body_mb * 1024 * 1024).start()
         try:
             threading.Event().wait()
         except KeyboardInterrupt:
