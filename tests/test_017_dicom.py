@@ -13,6 +13,64 @@ from totalsegmentator2d_tpu.io.dicom import (DicomError, is_dicom_dir,
 
 _EXPLICIT = '1.2.840.10008.1.2.1'
 _IMPLICIT = '1.2.840.10008.1.2'
+_RLE = '1.2.840.10008.1.2.5'
+
+
+def _packbits(data: bytes) -> bytes:
+    """Reference PackBits encoder (PS3.5 G.3.1) for building RLE fixtures:
+    runs >= 3 become replicate codes, everything else literal blocks."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 127:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i
+            while j < n and j - i < 128:
+                r = 1
+                while j + r < n and data[j + r] == data[j] and r < 3:
+                    r += 1
+                if r >= 3:
+                    break
+                j += r
+            j = min(j, i + 128)
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _rle_frame(arr) -> bytes:
+    """Encode a (rows, cols) int16/uint16 array as one DICOM RLE frame:
+    64-byte header + MSB plane segment + LSB plane segment, each PackBits
+    encoded and padded even with the 0x80 no-op."""
+    big = arr.astype(arr.dtype.newbyteorder('>')).tobytes()
+    segs = []
+    for plane in (big[0::2], big[1::2]):
+        enc = _packbits(plane)
+        if len(enc) % 2:
+            enc += b'\x80'
+        segs.append(enc)
+    offsets = [64, 64 + len(segs[0])] + [0] * 13
+    header = struct.pack('<I', 2) + struct.pack('<15I', *offsets)
+    return header + segs[0] + segs[1]
+
+
+def _encapsulate(frame: bytes) -> bytes:
+    """Encapsulated PixelData: OB/undefined length, empty Basic Offset
+    Table item, one frame fragment, sequence delimiter."""
+    if len(frame) % 2:
+        frame += b'\x00'
+    return (struct.pack('<HH', 0x7FE0, 0x0010) + b'OB\x00\x00'
+            + struct.pack('<I', 0xFFFFFFFF)
+            + struct.pack('<HHI', 0xFFFE, 0xE000, 0)
+            + struct.pack('<HHI', 0xFFFE, 0xE000, len(frame)) + frame
+            + struct.pack('<HHI', 0xFFFE, 0xE0DD, 0))
 
 
 def _el_explicit(group, elem, vr, value: bytes) -> bytes:
@@ -64,7 +122,10 @@ def write_slice(path, arr, *, position, orientation=(1, 0, 0, 0, 1, 0),
         body += E(0x0028, 0x1053, b'DS', _ds_bytes(slope))
     if extra_pre_pixel:
         body += extra_pre_pixel
-    body += E(0x7FE0, 0x0010, b'OW', arr.astype(arr.dtype).tobytes())
+    if transfer_syntax == _RLE:
+        body += _encapsulate(_rle_frame(arr))
+    else:
+        body += E(0x7FE0, 0x0010, b'OW', arr.astype(arr.dtype).tobytes())
     with open(path, 'wb') as f:
         f.write(b'\x00' * 128 + b'DICM' + meta + body)
 
@@ -128,6 +189,59 @@ class TestReader:
         np.testing.assert_array_equal(img.array, vol)
 
 
+class TestRLE:
+    def test_rle_series_matches_uncompressed(self, tmp_path):
+        """An RLE Lossless series must decode to the same volume and
+        geometry as its uncompressed twin."""
+        vol = _series(tmp_path, n=4, dz=2.5, transfer_syntax=_RLE)
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+        assert img.spacing == (0.8, 0.7, 2.5)
+        assert img.origin == (5.0, -7.0, 10.0)
+
+    def test_rle_rescale_to_hounsfield(self, tmp_path):
+        raw = np.arange(120, dtype=np.uint16).reshape(10, 12)
+        write_slice(str(tmp_path / 'a.dcm'), raw, position=(0, 0, 0),
+                    slope=1, intercept=-1024, transfer_syntax=_RLE)
+        sl = read_dicom_file(str(tmp_path / 'a.dcm'))
+        assert sl['array'].dtype == np.int16
+        np.testing.assert_array_equal(sl['array'],
+                                      raw.astype(np.int32) - 1024)
+
+    def test_rle_highly_compressible(self, tmp_path):
+        """Long constant runs (the case RLE exists for: air around the
+        patient) exercise the replicate path and the even-length no-op
+        padding."""
+        arr = np.full((32, 32), -1000, np.int16)
+        arr[10:20, 10:20] = 137
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    transfer_syntax=_RLE)
+        sl = read_dicom_file(str(tmp_path / 'a.dcm'))
+        np.testing.assert_array_equal(sl['array'], arr)
+
+    def test_packbits_decoder_semantics(self):
+        """Unit pins on the PackBits control bytes: literal, replicate,
+        and the 0x80 no-op."""
+        from totalsegmentator2d_tpu.io.dicom import _rle_decode_segment
+        enc = bytes([2, 10, 20, 30,        # literal x3
+                     0x80,                 # no-op
+                     257 - 5, 7,           # replicate 7 five times
+                     0, 99])               # literal x1
+        assert _rle_decode_segment(enc, 9) == bytes(
+            [10, 20, 30, 7, 7, 7, 7, 7, 99])
+        with pytest.raises(DicomError, match='Short RLE'):
+            _rle_decode_segment(enc, 50)
+
+    def test_rle_wrong_segment_count_rejected(self, tmp_path):
+        """A 16-bit image whose frame advertises one segment must raise,
+        not decode garbage."""
+        from totalsegmentator2d_tpu.io.dicom import _rle_decode_frame
+        frame = struct.pack('<I', 1) + struct.pack('<15I', 64, *([0] * 14))
+        frame += _packbits(b'\x00' * 16)
+        with pytest.raises(DicomError, match='segments'):
+            _rle_decode_frame(frame, 4, 4, 2)
+
+
 class TestErrors:
     def test_compressed_transfer_syntax_rejected(self, tmp_path):
         arr = np.zeros((4, 4), np.int16)
@@ -185,7 +299,9 @@ class TestReviewRegressions:
         assert not is_dicom_dir(str(tmp_path))
         cases = dict(_enumerate_cases(str(tmp_path)))
         assert 'scan1' in cases
-        assert 'stray' in cases  # the loose .dcm is its own case
+        # the loose .dcm is SKIPPED (with a warning): a stray slice of a
+        # series segmented standalone would be silently meaningless
+        assert 'stray' not in cases
 
     def test_single_dcm_file_via_cli(self, tmp_path):
         from totalsegmentator2d_tpu.cli import _enumerate_cases

@@ -2,15 +2,17 @@
 
 Neither the reference tool nor nnU-Net reads DICOM directly — users convert
 series to NRRD/NIfTI first. CT data, however, arrives from scanners as
-DICOM, so this build reads the common case natively: uncompressed
+DICOM, so this build reads the common cases natively: uncompressed
 little-endian transfer syntaxes (implicit 1.2.840.10008.1.2 and explicit
-1.2.840.10008.1.2.1), single-frame single-sample slices, assembled into one
-(Z, Y, X) volume with full LPS geometry (DICOM's patient coordinate system
-IS LPS, the framework's world frame — no conversion needed).
+1.2.840.10008.1.2.1) plus RLE Lossless (1.2.840.10008.1.2.5, the PackBits
+scheme — decoded in _rle_decode_frame), single-frame single-sample slices,
+assembled into one (Z, Y, X) volume with full LPS geometry (DICOM's patient
+coordinate system IS LPS, the framework's world frame — no conversion
+needed).
 
-Deliberately conservative: compressed transfer syntaxes, multi-frame files,
-color images, and non-uniform slice stacks raise informative errors rather
-than guessing. Geometry notes:
+Deliberately conservative: JPEG-family transfer syntaxes, multi-frame
+files, color images, and non-uniform slice stacks raise informative errors
+rather than guessing. Geometry notes:
  - ImageOrientationPatient (0020,0037) gives the column-axis (x) and
    row-axis (y) direction cosines; the z column of the direction matrix
    comes from the actual slice-position delta (not the cross product), so
@@ -33,6 +35,7 @@ from .image import MedicalImage
 
 _IMPLICIT_LE = '1.2.840.10008.1.2'
 _EXPLICIT_LE = '1.2.840.10008.1.2.1'
+_RLE_LOSSLESS = '1.2.840.10008.1.2.5'
 
 # VRs whose explicit encoding uses a 2-byte reserved field + 4-byte length
 _LONG_VRS = {b'OB', b'OW', b'OF', b'OD', b'OL', b'SQ', b'UC', b'UR',
@@ -147,6 +150,25 @@ def _skip_item(buf: bytes, pos: int, implicit: bool) -> int:
             pos = value_at + length
 
 
+def _parse_fragments(buf: bytes, pos: int) -> Tuple[List[bytes], int]:
+    """Parse an encapsulated PixelData value (PS3.5 A.4): a Basic Offset
+    Table item followed by one fragment item per frame, closed by a
+    sequence delimiter. Returns (fragments without the BOT, offset past
+    the delimiter)."""
+    frags: List[bytes] = []
+    first = True
+    while True:
+        tag, length, value_at = _element_header(buf, pos, implicit=True)
+        if tag == _SEQ_DELIM:
+            return frags, value_at + length
+        if tag != _ITEM or length == 0xFFFFFFFF:
+            raise DicomError('Malformed encapsulated PixelData')
+        if not first:  # the first item is the Basic Offset Table
+            frags.append(buf[value_at:value_at + length])
+        first = False
+        pos = value_at + length
+
+
 def _parse_dataset(buf: bytes, pos: int, implicit: bool) -> Dict[str, bytes]:
     """Collect the raw value bytes of the tags in _TAGS; stop after
     PixelData."""
@@ -156,10 +178,12 @@ def _parse_dataset(buf: bytes, pos: int, implicit: bool) -> Dict[str, bytes]:
         tag, length, value_at = _element_header(buf, pos, implicit)
         if length == 0xFFFFFFFF:
             if tag in _TAGS and _TAGS[tag] == 'PixelData':
-                raise DicomError(
-                    'Encapsulated (compressed) PixelData is not supported; '
-                    'convert the series to an uncompressed transfer syntax '
-                    'or to NRRD/NIfTI')
+                # encapsulated (compressed) PixelData: collect the raw
+                # fragments; whether the compression is decodable (RLE) is
+                # the caller's decision based on the transfer syntax
+                out['PixelDataFragments'], pos = _parse_fragments(
+                    buf, value_at)
+                return out
             pos = _skip_sequence(buf, value_at, implicit)
             continue
         if tag in _TAGS:
@@ -192,21 +216,77 @@ def _int(raw: Optional[bytes], default: int = 0) -> int:
         return default
 
 
+def _rle_decode_segment(data: bytes, expected: int) -> bytes:
+    """PackBits decode (PS3.5 G.3.1): control byte n in [0,127] copies the
+    next n+1 literal bytes, n in [129,255] repeats the next byte 257-n
+    times, n=128 is a no-op. Stops once ``expected`` bytes are produced
+    (encoders may pad the segment to even length)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            if i >= n:
+                break
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+    if len(out) < expected:
+        raise DicomError(f'Short RLE segment: {len(out)} of {expected} bytes')
+    return bytes(out[:expected])
+
+
+def _rle_decode_frame(frame: bytes, rows: int, cols: int,
+                      bytes_per_sample: int) -> np.ndarray:
+    """Decode one RLE frame (PS3.5 Annex G) into a (rows, cols) uint8 or
+    uint16 array. The 64-byte header holds the segment count + 15 segment
+    offsets; multi-byte samples split into one PackBits segment per byte
+    plane, most significant first."""
+    if len(frame) < 64:
+        raise DicomError('RLE frame shorter than its 64-byte header')
+    nseg = struct.unpack_from('<I', frame, 0)[0]
+    offsets = struct.unpack_from('<15I', frame, 4)
+    if nseg != bytes_per_sample:
+        raise DicomError(
+            f'RLE frame has {nseg} segments; expected {bytes_per_sample} '
+            f'(grayscale, {bytes_per_sample * 8}-bit)')
+    npix = rows * cols
+    planes = []
+    for s in range(nseg):
+        start = offsets[s]
+        end = offsets[s + 1] if s + 1 < nseg else len(frame)
+        if not (64 <= start <= end <= len(frame)):
+            raise DicomError('RLE segment offsets out of bounds')
+        planes.append(np.frombuffer(
+            _rle_decode_segment(frame[start:end], npix), np.uint8))
+    if nseg == 1:
+        return planes[0].reshape(rows, cols)
+    # composite pixel code, most significant byte plane first
+    val = (planes[0].astype(np.uint16) << 8) | planes[1]
+    return val.reshape(rows, cols)
+
+
 def read_dicom_file(path: str) -> dict:
     """Parse one DICOM file into {array (Y, X), position, orientation,
     pixel_spacing, instance}. Raises DicomError on unsupported encodings."""
     with open(path, 'rb') as f:
         buf = f.read()
     pos, ts = _read_file_meta(buf)
+    rle = False
     if ts == _IMPLICIT_LE:
         implicit = True
     elif ts == _EXPLICIT_LE:
         implicit = False
+    elif ts == _RLE_LOSSLESS:
+        implicit, rle = False, True
     else:
         raise DicomError(
             f'Unsupported transfer syntax {ts} in {os.path.basename(path)} '
-            f'(only uncompressed little endian is read natively; convert '
-            f'compressed series to NRRD/NIfTI)')
+            f'(uncompressed little endian and RLE lossless are read '
+            f'natively; convert JPEG-compressed series to NRRD/NIfTI)')
     el = _parse_dataset(buf, pos, implicit)
     rows, cols = _us(el.get('Rows')), _us(el.get('Columns'))
     if not rows or not cols:
@@ -217,17 +297,33 @@ def read_dicom_file(path: str) -> dict:
         raise DicomError('Multi-frame DICOM files are not supported')
     bits = _us(el.get('BitsAllocated'), 16)
     signed = _us(el.get('PixelRepresentation'), 0) == 1
-    pix = el.get('PixelData')
-    if pix is None:
-        raise DicomError(f'{os.path.basename(path)}: no PixelData')
     dtype = {(8, False): np.uint8, (8, True): np.int8,
              (16, False): np.uint16, (16, True): np.int16}.get((bits, signed))
     if dtype is None:
         raise DicomError(f'Unsupported BitsAllocated={bits}')
-    need = rows * cols * (bits // 8)
-    if len(pix) < need:
-        raise DicomError(f'{os.path.basename(path)}: truncated PixelData')
-    arr = np.frombuffer(pix[:need], dtype=dtype).reshape(rows, cols)
+    if rle:
+        frags = el.get('PixelDataFragments')
+        if not frags:
+            raise DicomError(
+                f'{os.path.basename(path)}: RLE file without encapsulated '
+                f'PixelData fragments')
+        # PS3.5 A.4.2: an RLE frame occupies exactly one fragment; with a
+        # single frame the first fragment is the whole frame
+        arr = _rle_decode_frame(frags[0], rows, cols, bits // 8)
+        arr = arr.view(dtype) if arr.itemsize == np.dtype(dtype).itemsize \
+            else arr.astype(dtype)
+    else:
+        pix = el.get('PixelData')
+        if pix is None:
+            if el.get('PixelDataFragments') is not None:
+                raise DicomError(
+                    f'{os.path.basename(path)}: encapsulated PixelData in a '
+                    f'non-RLE transfer syntax is not supported')
+            raise DicomError(f'{os.path.basename(path)}: no PixelData')
+        need = rows * cols * (bits // 8)
+        if len(pix) < need:
+            raise DicomError(f'{os.path.basename(path)}: truncated PixelData')
+        arr = np.frombuffer(pix[:need], dtype=dtype).reshape(rows, cols)
     slope = (_ds(el.get('RescaleSlope')) or [1.0])[0]
     inter = (_ds(el.get('RescaleIntercept')) or [0.0])[0]
     if slope != 1.0 or inter != 0.0:
