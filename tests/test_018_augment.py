@@ -1,0 +1,355 @@
+"""The full nnU-Net augmentation recipe (training/augment.py): per-
+transform golden tests against scipy/numpy references, jit/vmap safety,
+and a small augmented-training convergence check."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from totalsegmentator2d_tpu.training import augment as A
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+@pytest.fixture
+def img(rng):
+    return rng.standard_normal((40, 36)).astype(np.float32)
+
+
+class TestMapCoordinates:
+    """The interpolation core vs scipy.ndimage.map_coordinates."""
+
+    @pytest.mark.parametrize('order', [0, 1, 3])
+    def test_matches_scipy_mirror(self, rng, img, order):
+        from scipy.ndimage import map_coordinates as scipy_mc
+        coords = np.stack([rng.uniform(-6, 45, (25, 31)),
+                           rng.uniform(-6, 41, (25, 31))]).astype(np.float32)
+        ours = np.asarray(A.map_coordinates(
+            jnp.asarray(img), jnp.asarray(coords), order=order))
+        ref = scipy_mc(img, coords, order=order, mode='mirror')
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_identity_grid_is_exact(self, img):
+        yy, xx = np.meshgrid(np.arange(40.0), np.arange(36.0), indexing='ij')
+        coords = jnp.asarray(np.stack([yy, xx]).astype(np.float32))
+        for order in (0, 1, 3):
+            out = np.asarray(A.map_coordinates(jnp.asarray(img), coords,
+                                               order=order))
+            np.testing.assert_allclose(out, img, atol=3e-5)
+
+    def test_constant_mode_masks_outside(self, img):
+        coords = jnp.asarray(np.array([[[-3.0, 5.0, 45.0]],
+                                       [[2.0, 5.0, 2.0]]], np.float32))
+        out = np.asarray(A.map_coordinates(jnp.asarray(img), coords, order=1,
+                                           mode='constant', cval=0.0))
+        assert out[0, 0] == 0.0 and out[0, 2] == 0.0
+        assert out[0, 1] == pytest.approx(img[5, 5], abs=1e-6)
+
+    def test_channels_broadcast(self, rng):
+        imgc = rng.standard_normal((20, 22, 3)).astype(np.float32)
+        coords = jnp.asarray(np.stack(
+            [rng.uniform(0, 19, (8,)), rng.uniform(0, 21, (8,))]
+        ).astype(np.float32))
+        out = np.asarray(A.map_coordinates(jnp.asarray(imgc), coords, order=1))
+        for c in range(3):
+            ref = np.asarray(A.map_coordinates(jnp.asarray(imgc[..., c]),
+                                               coords, order=1))
+            np.testing.assert_allclose(out[..., c], ref, atol=1e-6)
+
+
+class TestGaussianBlur:
+    def test_matches_scipy_fixed_radius(self, rng, img):
+        from scipy.ndimage import gaussian_filter1d
+        for sigma in (0.5, 0.8, 1.0):
+            ours = np.asarray(A.gaussian_blur(jnp.asarray(img), sigma,
+                                              radius=5))
+            ref = gaussian_filter1d(img, sigma, axis=0, mode='reflect',
+                                    radius=5)
+            ref = gaussian_filter1d(ref, sigma, axis=1, mode='reflect',
+                                    radius=5)
+            np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_traced_sigma_jits(self, img):
+        fn = jax.jit(lambda x, s: A.gaussian_blur(x, s))
+        a = np.asarray(fn(jnp.asarray(img), 0.6))
+        b = np.asarray(fn(jnp.asarray(img), 0.9))  # same program, new sigma
+        assert not np.allclose(a, b)
+
+
+class TestSpatial:
+    def test_affine_grid_vs_scipy_rotation(self, rng, img):
+        """Our grid + our sampler vs scipy map_coordinates on the SAME
+        grid: pins the affine math and the resampling jointly."""
+        from scipy.ndimage import map_coordinates as scipy_mc
+        angle, scale = 0.4, 1.2
+        coords = np.asarray(A.affine_grid((40, 36), angle, scale))
+        ours = np.asarray(A.map_coordinates(jnp.asarray(img),
+                                            jnp.asarray(coords), order=3))
+        ref = scipy_mc(img, coords, order=3, mode='mirror')
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_rot90_square_patch(self, rng):
+        """A 90-degree rotation of a square patch equals np.rot90 exactly
+        (interior; the grid hits integer positions)."""
+        sq = rng.standard_normal((33, 33)).astype(np.float32)
+        coords = jnp.asarray(np.asarray(
+            A.affine_grid((33, 33), np.pi / 2, 1.0)))
+        out = np.asarray(A.map_coordinates(jnp.asarray(sq), coords, order=1))
+        np.testing.assert_allclose(out, np.rot90(sq, -1), atol=1e-4)
+
+    def test_spatial_transform_identity_when_not_drawn(self, rng):
+        """With p=0 the pair passes through bit-exact (lax.cond skips the
+        resample)."""
+        image = rng.standard_normal((32, 32, 2)).astype(np.float32)
+        target = (rng.random((32, 32, 3)) > 0.7).astype(np.uint8)
+        key = jax.random.PRNGKey(0)
+        img_o, tgt_o = A.spatial_transform(key, jnp.asarray(image),
+                                           jnp.asarray(target),
+                                           p_rot=0.0, p_scale=0.0)
+        np.testing.assert_array_equal(np.asarray(img_o), image)
+        np.testing.assert_array_equal(np.asarray(tgt_o), target)
+
+    def test_spatial_transform_rotates_pair_consistently(self, rng):
+        """With p=1 the image and its one-hot target move together and the
+        target stays binary."""
+        image = np.zeros((48, 48, 1), np.float32)
+        image[10:20, 30:40] = 1.0
+        target = (image > 0.5).astype(np.uint8)
+        key = jax.random.PRNGKey(3)
+        img_o, tgt_o = A.spatial_transform(key, jnp.asarray(image),
+                                           jnp.asarray(target),
+                                           p_rot=1.0, p_scale=1.0)
+        img_o, tgt_o = np.asarray(img_o), np.asarray(tgt_o)
+        assert set(np.unique(tgt_o)) <= {0, 1}
+        inter = ((img_o[..., 0] > 0.5) & (tgt_o[..., 0] > 0)).sum()
+        union = ((img_o[..., 0] > 0.5) | (tgt_o[..., 0] > 0)).sum()
+        assert union > 20 and inter / union > 0.9
+
+    def test_elastic_offsets_scale(self):
+        off = np.asarray(A.elastic_offsets(jax.random.PRNGKey(1), (40, 40),
+                                           alpha=100.0, sigma=10.0))
+        assert off.shape == (2, 40, 40)
+        assert 0.1 < np.abs(off).max() < 100.0
+
+
+class TestIntensity:
+    def test_noise_variance(self):
+        image = jnp.zeros((64, 64, 1))
+        out = np.asarray(A.add_gaussian_noise(
+            jax.random.PRNGKey(0), image, p=1.0, variance=(0.1, 0.1)))
+        assert 0.28 < out.std() < 0.36  # sqrt(0.1) ~ 0.316
+        same = np.asarray(A.add_gaussian_noise(
+            jax.random.PRNGKey(0), image, p=0.0))
+        np.testing.assert_array_equal(same, 0)
+
+    def test_brightness_multiplies(self, rng):
+        image = jnp.asarray(rng.standard_normal((16, 16, 2)).astype(np.float32))
+        out = np.asarray(A.brightness_transform(jax.random.PRNGKey(2),
+                                                image, p=1.0))
+        ratio = out / np.asarray(image)
+        # one multiplier per channel
+        for c in range(2):
+            rc = ratio[..., c]
+            assert np.allclose(rc, rc.flat[0], atol=1e-5)
+            assert 0.75 <= rc.flat[0] <= 1.25
+        assert not np.isclose(ratio[..., 0].flat[0], ratio[..., 1].flat[0])
+
+    def test_contrast_preserves_range_and_mean(self, rng):
+        image = rng.standard_normal((32, 32, 1)).astype(np.float32)
+        out = np.asarray(A.contrast_transform(jax.random.PRNGKey(5),
+                                              jnp.asarray(image), p=1.0))
+        assert out.min() >= image.min() - 1e-6
+        assert out.max() <= image.max() + 1e-6
+        assert abs(out.mean() - image.mean()) < 0.05
+
+    def test_gamma_reference_formula(self, rng):
+        """p=1 gamma vs the numpy reference with the same drawn gamma."""
+        image = rng.standard_normal((24, 24, 1)).astype(np.float32)
+        key = jax.random.PRNGKey(9)
+        out = np.asarray(A.gamma_transform(key, jnp.asarray(image), p=1.0,
+                                           retain_stats=False))
+        # recover the drawn gamma exactly as the implementation draws it
+        k = jax.random.split(key, 3)
+        low_side = bool(jax.random.bernoulli(k[1], 0.5))
+        u = float(jax.random.uniform(k[2], ()))
+        gamma = 0.7 + u * 0.3 if low_side else 1.0 + u * 0.5
+        mn, mx = image.min(), image.max()
+        ref = ((image - mn) / (mx - mn)) ** gamma * (mx - mn) + mn
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_gamma_retain_stats(self, rng):
+        image = rng.standard_normal((32, 32, 1)).astype(np.float32) * 2 + 1
+        out = np.asarray(A.gamma_transform(jax.random.PRNGKey(4),
+                                           jnp.asarray(image), p=1.0,
+                                           retain_stats=True))
+        assert abs(out.mean() - image.mean()) < 1e-3
+        assert abs(out.std() - image.std()) < 1e-3
+        assert not np.allclose(out, image, atol=1e-4)
+
+    def test_gamma_invert_acts_on_negated(self, rng):
+        """invert=True equals -gamma(-x) with the same draw."""
+        image = rng.standard_normal((16, 16, 1)).astype(np.float32)
+        key = jax.random.PRNGKey(11)
+        inv = np.asarray(A.gamma_transform(key, jnp.asarray(image), p=1.0,
+                                           invert=True, retain_stats=False))
+        neg = np.asarray(A.gamma_transform(key, jnp.asarray(-image), p=1.0,
+                                           invert=False, retain_stats=False))
+        np.testing.assert_allclose(inv, -neg, atol=1e-5)
+
+
+class TestLowRes:
+    def test_matches_static_resize_chain(self, rng):
+        """Forcing one channel through a known zoom level must equal the
+        standalone down+up resize chain (nearest down, cubic up, skimage
+        edge mode — the validated resize_to_shape semantics)."""
+        from totalsegmentator2d_tpu.ops.resample import resize_to_shape
+        image = rng.standard_normal((30, 26, 1)).astype(np.float32)
+        # find a key whose draw applies level z=0.5 to channel 0
+        for seed in range(200):
+            key = jax.random.PRNGKey(seed)
+            k = jax.random.split(key, 3)
+            do = bool(jax.random.bernoulli(k[0], 1.0))
+            do_c = bool(jax.random.bernoulli(k[1], 0.5))
+            lvl = int(jax.random.randint(k[2], (), 0, len(A.LOWRES_ZOOMS)))
+            if do and do_c and lvl == 0:
+                break
+        else:
+            pytest.skip('no seed drew level 0')
+        out = np.asarray(A.lowres_transform(key, jnp.asarray(image), p=1.0))
+        small = resize_to_shape(image[..., 0], (15, 13), order=0)
+        ref = resize_to_shape(small, (30, 26), order=3)
+        np.testing.assert_allclose(out[..., 0], ref, atol=1e-4)
+
+    def test_blurs_content(self, rng):
+        image = rng.standard_normal((64, 64, 1)).astype(np.float32)
+        out = np.asarray(A.lowres_transform(
+            jax.random.PRNGKey(0), jnp.asarray(image), p=1.0,
+            p_per_channel=1.0))
+        # downsample+upsample removes high-frequency energy
+        assert out.std() < image.std()
+
+
+class TestRecipe:
+    def test_full_recipe_jits_and_preserves_shapes(self, rng):
+        image = rng.standard_normal((8, 64, 64, 2)).astype(np.float32)
+        target = (rng.random((8, 64, 64, 5)) > 0.8).astype(np.uint8)
+        fn = jax.jit(lambda k, b: A.augment_batch(k, b, p_elastic=0.2))
+        out = fn(jax.random.PRNGKey(0),
+                 {'image': jnp.asarray(image), 'target': jnp.asarray(target)})
+        assert out['image'].shape == image.shape
+        assert out['target'].shape == target.shape
+        assert out['target'].dtype == jnp.uint8
+        assert set(np.unique(np.asarray(out['target']))) <= {0, 1}
+        # different keys give different draws; same key reproduces
+        out2 = fn(jax.random.PRNGKey(1),
+                  {'image': jnp.asarray(image), 'target': jnp.asarray(target)})
+        assert not np.allclose(np.asarray(out['image']),
+                               np.asarray(out2['image']))
+        out3 = fn(jax.random.PRNGKey(0),
+                  {'image': jnp.asarray(image), 'target': jnp.asarray(target)})
+        np.testing.assert_array_equal(np.asarray(out['image']),
+                                      np.asarray(out3['image']))
+
+    def test_probability_zero_is_identity(self, rng):
+        image = rng.standard_normal((2, 32, 32, 1)).astype(np.float32)
+        target = (rng.random((2, 32, 32, 2)) > 0.8).astype(np.uint8)
+        out = A.augment_batch(
+            jax.random.PRNGKey(0),
+            {'image': jnp.asarray(image), 'target': jnp.asarray(target)},
+            p_rot=0.0, p_scale=0.0, p_noise=0.0, p_blur=0.0,
+            p_brightness=0.0, p_contrast=0.0, p_lowres=0.0,
+            p_gamma_invert=0.0, p_gamma=0.0, p_flip=0.0)
+        np.testing.assert_array_equal(np.asarray(out['image']), image)
+        np.testing.assert_array_equal(np.asarray(out['target']), target)
+
+
+class TestTrainerIntegration:
+    @pytest.mark.parametrize('ensemble_size', [None, 2])
+    def test_trainer_augment_flag(self, rng, ensemble_size):
+        """TrainConfig(augment=True) steps through the full recipe (incl.
+        the per-group draws of the stacked-ensemble path) and the loss
+        stays finite."""
+        from totalsegmentator2d_tpu.models.plans import ArchSpec
+        from totalsegmentator2d_tpu.training.train import TrainConfig, Trainer
+        arch = ArchSpec(n_stages=2, in_channels=1, out_channels=1,
+                        features_per_stage=(4, 8),
+                        kernel_sizes=((3, 3),) * 2,
+                        strides=((1, 1), (2, 2)),
+                        n_conv_per_stage=(1, 1),
+                        n_conv_per_stage_decoder=(1,))
+        cfg = TrainConfig(total_steps=4, deep_supervision=False, augment=True)
+        tr = Trainer(arch, cfg, ensemble_size=ensemble_size)
+        shape = (2, 16, 16, 1) if ensemble_size is None \
+            else (ensemble_size, 2, 16, 16, 1)
+        batch = {'image': jnp.asarray(
+                     rng.standard_normal(shape).astype(np.float32)),
+                 'target': jnp.asarray(
+                     (rng.random(shape) > 0.7).astype(np.uint8))}
+        for _ in range(2):
+            loss = tr.step(batch)
+        assert np.all(np.isfinite(np.asarray(loss)))
+
+
+class TestConvergence:
+    def test_augmented_training_converges(self, rng):
+        """Synthetic shapes, full augmentation recipe ON: the trainer must
+        still reach Dice > 0.9 — augmentation strength is compatible with
+        learning (the nnU-Net recipe property the suite replaces)."""
+        from totalsegmentator2d_tpu.models.plans import ArchSpec
+        from totalsegmentator2d_tpu.models.unet import forward, init_params
+        from totalsegmentator2d_tpu.training.losses import dice_and_ce
+        import optax
+
+        arch = ArchSpec(n_stages=3, in_channels=1, out_channels=1,
+                        features_per_stage=(8, 16, 32),
+                        kernel_sizes=((3, 3),) * 3,
+                        strides=((1, 1), (2, 2), (2, 2)),
+                        n_conv_per_stage=(1, 1, 1),
+                        n_conv_per_stage_decoder=(1, 1))
+        params = init_params(jax.random.PRNGKey(0), arch)
+
+        def make_batch(seed, n=8):
+            r = np.random.default_rng(seed)
+            imgs = np.zeros((n, 32, 32, 1), np.float32)
+            tgts = np.zeros((n, 32, 32, 1), np.uint8)
+            for i in range(n):
+                cy, cx = r.integers(8, 24, 2)
+                rad = int(r.integers(4, 9))
+                yy, xx = np.ogrid[:32, :32]
+                disk = (yy - cy) ** 2 + (xx - cx) ** 2 <= rad ** 2
+                imgs[i, ..., 0] = disk * 1.0 + r.standard_normal((32, 32)) * 0.1
+                tgts[i, ..., 0] = disk
+            return imgs, tgts
+
+        tx = optax.adam(3e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, opt_state, key, img, tgt):
+            aug = A.augment_batch(key, {'image': img, 'target': tgt})
+
+            def loss_fn(p):
+                logits = forward(p, aug['image'], arch)
+                return dice_and_ce(logits, aug['target'], multilabel=True)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        key = jax.random.PRNGKey(42)
+        for it in range(60):
+            key, sub = jax.random.split(key)
+            img, tgt = make_batch(it)
+            params, opt_state, loss = step(params, opt_state, sub,
+                                           jnp.asarray(img), jnp.asarray(tgt))
+
+        img, tgt = make_batch(999)
+        logits = forward(params, jnp.asarray(img), arch)
+        pred = np.asarray(jax.nn.sigmoid(logits) > 0.5)
+        inter = (pred & (tgt > 0)).sum()
+        dice = 2 * inter / (pred.sum() + tgt.sum())
+        assert dice > 0.9, f'Dice {dice:.3f}'

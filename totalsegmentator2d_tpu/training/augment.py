@@ -1,52 +1,376 @@
-"""On-device data augmentation for 2D segmentation training.
+"""On-device data augmentation: the full nnU-Net default 2D recipe.
 
-A jit/vmap-safe subset of the nnU-Net augmentation pipeline (spatial flips,
-90-degree rotations for square patches, intensity scale/shift, gaussian
-noise, gamma) — everything branch-free via lax.cond/where so one compiled
-program covers all draws.
+The reference delegates training (and therefore augmentation) to the
+external nnU-Net stack (SURVEY.md §2.2); this module is its TPU-native
+replacement. Every transform is jit/vmap-safe — branch-free where cheap
+(lax.cond only around the expensive spatial resample), static shapes
+throughout — so ONE compiled program covers all random draws and the whole
+batch augments on device between training steps.
+
+Implemented transforms, with the nnUNetTrainer default probabilities
+(nnunetv2 get_training_transforms):
+
+ 1. spatial: rotation U(-180°, 180°) p=0.2, zoom U(0.7, 1.4) p=0.2,
+    optional elastic deformation (OFF by default, as in nnU-Net v2) —
+    composed into one order-3 B-spline resample (seg: order 1 + 0.5
+    threshold), constant-0 outside
+ 2. gaussian noise p=0.1, variance U(0, 0.1)
+ 3. gaussian blur p=0.2, sigma U(0.5, 1.0), per-channel p=0.5
+ 4. multiplicative brightness U(0.75, 1.25) p=0.15
+ 5. contrast U(0.75, 1.25) p=0.15, range-preserving
+ 6. simulated low resolution p=0.25, per-channel p=0.5, zoom drawn from
+    {0.5 .. 0.9} (nnU-Net draws continuously from U(0.5, 1); discrete
+    levels keep the resample shapes static under jit — a documented
+    TPU-first adaptation), nearest down / cubic up, skimage edge mode
+ 7. inverted gamma U(0.7, 1.5) p=0.1, stats-retaining
+ 8. gamma U(0.7, 1.5) p=0.3, stats-retaining
+ 9. mirror flips p=0.5 per axis
+
+The interpolation core (``map_coordinates``) matches
+scipy.ndimage.map_coordinates for mode='mirror' at every order (0/1/3,
+cubic via the shared B-spline prefilter in ops/resample.py); the golden
+tests in tests/test_018_augment.py pin each transform against its
+scipy/numpy reference.
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+import math
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
+from ..ops.resample import _resize_jit, bspline_prefilter
 
-def augment_pair(key: jax.Array, image: jnp.ndarray, target: jnp.ndarray,
-                 p_flip: float = 0.5, p_noise: float = 0.15,
-                 p_gamma: float = 0.3) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Augment one (H, W, C) image + (H, W, L) target pair."""
-    k = jax.random.split(key, 8)
+#: discrete zoom levels for the low-resolution simulation (see module doc)
+LOWRES_ZOOMS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
-    # spatial flips (applied to both)
-    do_fy = jax.random.bernoulli(k[0], p_flip)
-    do_fx = jax.random.bernoulli(k[1], p_flip)
+
+# ---------------------------------------------------------------------------
+# interpolation core
+# ---------------------------------------------------------------------------
+
+def _mirror_idx(idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Reflect an integer index into [0, n): mirror boundary without edge
+    repetition (scipy mode='mirror'), period 2n-2."""
+    if n == 1:
+        return jnp.zeros_like(idx)
+    period = 2 * n - 2
+    m = jnp.mod(idx, period)  # jnp.mod is non-negative for positive period
+    return jnp.where(m >= n, period - m, m)
+
+
+def _bspline3(t: jnp.ndarray) -> jnp.ndarray:
+    at = jnp.abs(t)
+    return jnp.where(
+        at < 1.0, 2.0 / 3.0 - at * at + 0.5 * at ** 3,
+        jnp.where(at < 2.0, ((2.0 - at) ** 3) / 6.0, 0.0))
+
+
+def map_coordinates(img: jnp.ndarray, coords: jnp.ndarray, order: int,
+                    mode: str = 'mirror', cval: float = 0.0,
+                    prefiltered: bool = False) -> jnp.ndarray:
+    """Sample ``img`` (H, W) or (H, W, C) at continuous index positions
+    ``coords`` (2, ...): scipy.ndimage.map_coordinates semantics.
+
+    order 0 = nearest, 1 = linear, 3 = cubic B-spline (the image is
+    prefiltered internally unless ``prefiltered``). mode 'mirror' reflects;
+    mode 'constant' fills positions whose coordinate leaves [0, n-1] with
+    ``cval`` (interior values still interpolate over the mirrored
+    neighborhood, which differs from scipy only in the outermost one-pixel
+    band)."""
+    H, W = img.shape[:2]
+    y, x = coords[0], coords[1]
+    channelled = img.ndim == 3
+
+    if order == 0:
+        iy = _mirror_idx(jnp.floor(y + 0.5).astype(jnp.int32), H)
+        ix = _mirror_idx(jnp.floor(x + 0.5).astype(jnp.int32), W)
+        out = img[iy, ix]
+    elif order == 1:
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        ty, tx = y - y0, x - x0
+        out = 0.0
+        for dy, wy in ((0, 1.0 - ty), (1, ty)):
+            for dx, wx in ((0, 1.0 - tx), (1, tx)):
+                v = img[_mirror_idx(y0 + dy, H), _mirror_idx(x0 + dx, W)]
+                w = wy * wx
+                out = out + v * (w[..., None] if channelled else w)
+    elif order == 3:
+        c = img if prefiltered else bspline_prefilter(
+            img.astype(jnp.float32), (0, 1))
+        y0 = jnp.floor(y).astype(jnp.int32)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        out = 0.0
+        for dy in range(-1, 3):
+            wy = _bspline3(y - (y0 + dy))
+            iy = _mirror_idx(y0 + dy, H)
+            for dx in range(-1, 3):
+                w = wy * _bspline3(x - (x0 + dx))
+                v = c[iy, _mirror_idx(x0 + dx, W)]
+                out = out + v * (w[..., None] if channelled else w)
+    else:
+        raise ValueError(f'Unsupported interpolation order: {order}')
+
+    if mode == 'constant':
+        valid = (y >= 0) & (y <= H - 1) & (x >= 0) & (x <= W - 1)
+        out = jnp.where(valid[..., None] if channelled else valid, out, cval)
+    elif mode != 'mirror':
+        raise ValueError(f'Unsupported mode: {mode}')
+    return out
+
+
+def gaussian_blur(img: jnp.ndarray, sigma, radius: int = 5,
+                  axes: Sequence[int] = (0, 1)) -> jnp.ndarray:
+    """Separable gaussian blur with a STATIC kernel radius (the truncation
+    scipy applies via ``radius=``): jit-safe for a traced sigma. Boundary:
+    edge-replicating pad (scipy mode='reflect' / jnp 'symmetric'... scipy's
+    default 'reflect' repeats the edge sample, i.e. numpy 'symmetric')."""
+    t = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    w = jnp.exp(-0.5 * (t / sigma) ** 2)
+    w = w / jnp.sum(w)
+    out = img
+    for ax in axes:
+        pad = [(0, 0)] * out.ndim
+        pad[ax] = (radius, radius)
+        padded = jnp.pad(out, pad, mode='symmetric')
+        acc = 0.0
+        for k in range(2 * radius + 1):
+            acc = acc + w[k] * jax.lax.slice_in_dim(
+                padded, k, k + out.shape[ax], axis=ax)
+        out = acc
+    return out
+
+
+# ---------------------------------------------------------------------------
+# individual transforms (image (H, W, C) float, target (H, W, L) uint8)
+# ---------------------------------------------------------------------------
+
+def affine_grid(shape: Tuple[int, int], angle, scale) -> jnp.ndarray:
+    """Output->input sampling grid (2, H, W) for a rotation by ``angle``
+    (radians) + zoom by ``scale`` about the patch center. scale > 1 spreads
+    the sampling positions, i.e. the content shrinks (batchgenerators'
+    scale convention)."""
+    H, W = shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) - cy,
+                          jnp.arange(W, dtype=jnp.float32) - cx,
+                          indexing='ij')
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    ys = (cos * yy - sin * xx) * scale + cy
+    xs = (sin * yy + cos * xx) * scale + cx
+    return jnp.stack([ys, xs])
+
+
+def elastic_offsets(key: jax.Array, shape: Tuple[int, int], alpha,
+                    sigma) -> jnp.ndarray:
+    """Elastic displacement field (2, H, W): gaussian-smoothed U(-1, 1)
+    noise scaled by alpha (batchgenerators elastic_deform_coordinates)."""
+    noise = jax.random.uniform(key, (2,) + tuple(shape),
+                               minval=-1.0, maxval=1.0)
+    smooth = jax.vmap(lambda n: gaussian_blur(n, sigma))(noise)
+    return smooth * alpha
+
+
+def spatial_transform(key: jax.Array, image: jnp.ndarray,
+                      target: jnp.ndarray,
+                      rotation: Tuple[float, float] = (-math.pi, math.pi),
+                      p_rot: float = 0.2,
+                      scale: Tuple[float, float] = (0.7, 1.4),
+                      p_scale: float = 0.2,
+                      p_elastic: float = 0.0,
+                      elastic_alpha: Tuple[float, float] = (0.0, 200.0),
+                      elastic_sigma: Tuple[float, float] = (9.0, 13.0),
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotation + zoom (+ optional elastic deformation) composed into ONE
+    resample: image order 3 / constant 0, one-hot target order 1 + 0.5
+    threshold. The resample only runs when at least one component is drawn
+    (lax.cond), so the un-augmented path stays bit-exact."""
+    k = jax.random.split(key, 6)
+    do_rot = jax.random.bernoulli(k[0], p_rot)
+    do_scale = jax.random.bernoulli(k[1], p_scale)
+    do_el = jax.random.bernoulli(k[2], p_elastic) if p_elastic > 0 else False
+    angle = jnp.where(do_rot, jax.random.uniform(
+        k[3], (), minval=rotation[0], maxval=rotation[1]), 0.0)
+    sc = jnp.where(do_scale, jax.random.uniform(
+        k[4], (), minval=scale[0], maxval=scale[1]), 1.0)
+
+    def resample(args):
+        img, tgt = args
+        coords = affine_grid(img.shape[:2], angle, sc)
+        if p_elastic > 0:
+            ka, ks = jax.random.split(jax.random.fold_in(k[5], 1))
+            alpha = jax.random.uniform(ka, (), minval=elastic_alpha[0],
+                                       maxval=elastic_alpha[1])
+            sig = jax.random.uniform(ks, (), minval=elastic_sigma[0],
+                                     maxval=elastic_sigma[1])
+            off = elastic_offsets(k[5], img.shape[:2], alpha, sig)
+            coords = coords + jnp.where(do_el, 1.0, 0.0) * off
+        img_out = map_coordinates(img, coords, order=3, mode='constant')
+        tgt_out = (map_coordinates(tgt.astype(jnp.float32), coords, order=1,
+                                   mode='constant') > 0.5).astype(tgt.dtype)
+        return img_out, tgt_out
+
+    any_spatial = do_rot | do_scale | (do_el if p_elastic > 0 else False)
+    return jax.lax.cond(any_spatial, resample, lambda a: a, (image, target))
+
+
+def add_gaussian_noise(key: jax.Array, image: jnp.ndarray, p: float = 0.1,
+                       variance: Tuple[float, float] = (0.0, 0.1)
+                       ) -> jnp.ndarray:
+    k1, k2, k3 = jax.random.split(key, 3)
+    do = jax.random.bernoulli(k1, p)
+    var = jax.random.uniform(k2, (), minval=variance[0], maxval=variance[1])
+    noise = jax.random.normal(k3, image.shape) * jnp.sqrt(var)
+    return jnp.where(do, image + noise, image)
+
+
+def blur_transform(key: jax.Array, image: jnp.ndarray, p: float = 0.2,
+                   p_per_channel: float = 0.5,
+                   sigma: Tuple[float, float] = (0.5, 1.0)) -> jnp.ndarray:
+    C = image.shape[-1]
+    k = jax.random.split(key, 2 * C + 1)
+    do_sample = jax.random.bernoulli(k[0], p)
+    chans = []
+    for c in range(C):
+        do_c = jax.random.bernoulli(k[1 + 2 * c], p_per_channel)
+        sig = jax.random.uniform(k[2 + 2 * c], (), minval=sigma[0],
+                                 maxval=sigma[1])
+        blurred = gaussian_blur(image[..., c], sig)
+        chans.append(jnp.where(do_sample & do_c, blurred, image[..., c]))
+    return jnp.stack(chans, axis=-1)
+
+
+def brightness_transform(key: jax.Array, image: jnp.ndarray,
+                         p: float = 0.15,
+                         rng: Tuple[float, float] = (0.75, 1.25)
+                         ) -> jnp.ndarray:
+    """Per-channel multiplicative brightness."""
+    C = image.shape[-1]
+    k1, k2 = jax.random.split(key)
+    do = jax.random.bernoulli(k1, p)
+    mult = jax.random.uniform(k2, (C,), minval=rng[0], maxval=rng[1])
+    return jnp.where(do, image * mult, image)
+
+
+def contrast_transform(key: jax.Array, image: jnp.ndarray, p: float = 0.15,
+                       rng: Tuple[float, float] = (0.75, 1.25)
+                       ) -> jnp.ndarray:
+    """Per-channel contrast about the channel mean, range-preserving
+    (batchgenerators preserve_range=True: results clip to the channel's
+    original [min, max])."""
+    C = image.shape[-1]
+    k1, k2 = jax.random.split(key)
+    do = jax.random.bernoulli(k1, p)
+    factor = jax.random.uniform(k2, (C,), minval=rng[0], maxval=rng[1])
+    mean = jnp.mean(image, axis=(0, 1), keepdims=True)
+    mn = jnp.min(image, axis=(0, 1), keepdims=True)
+    mx = jnp.max(image, axis=(0, 1), keepdims=True)
+    stretched = jnp.clip((image - mean) * factor + mean, mn, mx)
+    return jnp.where(do, stretched, image)
+
+
+def lowres_transform(key: jax.Array, image: jnp.ndarray, p: float = 0.25,
+                     p_per_channel: float = 0.5) -> jnp.ndarray:
+    """Simulated low resolution: nearest-neighbor downsample to a discrete
+    zoom level then cubic upsample back (skimage edge/half-pixel
+    convention, matching nnU-Net's SimulateLowResolutionTransform up to the
+    discretized zoom draw)."""
+    H, W = image.shape[:2]
+    C = image.shape[-1]
+
+    def level_fn(z):
+        low = (max(1, int(round(H * z))), max(1, int(round(W * z))))
+
+        def fn(x):
+            small = _resize_jit(x, low, 0, 'edge', (0, 1))
+            return _resize_jit(small, (H, W), 3, 'edge', (0, 1))
+        return fn
+
+    branches = [level_fn(z) for z in LOWRES_ZOOMS] + [lambda x: x]
+    identity = len(branches) - 1
+
+    k = jax.random.split(key, 2 * C + 1)
+    do_sample = jax.random.bernoulli(k[0], p)
+    chans = []
+    for c in range(C):
+        do_c = jax.random.bernoulli(k[1 + 2 * c], p_per_channel)
+        lvl = jax.random.randint(k[2 + 2 * c], (), 0, len(LOWRES_ZOOMS))
+        idx = jnp.where(do_sample & do_c, lvl, identity)
+        chans.append(jax.lax.switch(idx, branches, image[..., c]))
+    return jnp.stack(chans, axis=-1)
+
+
+def gamma_transform(key: jax.Array, image: jnp.ndarray, p: float = 0.3,
+                    rng: Tuple[float, float] = (0.7, 1.5),
+                    invert: bool = False,
+                    retain_stats: bool = True) -> jnp.ndarray:
+    """nnU-Net gamma: half the draws come from the sub-1 range when the
+    range straddles 1 (batchgenerators GammaTransform), applied to the
+    min-max-normalized intensities; retain_stats restores the original
+    mean/std afterwards; invert applies the curve to the negated image."""
+    k = jax.random.split(key, 3)
+    do = jax.random.bernoulli(k[0], p)
+    low_side = jax.random.bernoulli(k[1], 0.5) & (rng[0] < 1.0)
+    u = jax.random.uniform(k[2], ())
+    gamma = jnp.where(low_side,
+                      rng[0] + u * (1.0 - rng[0]),
+                      max(rng[0], 1.0) + u * (rng[1] - max(rng[0], 1.0)))
+    x = -image if invert else image
+    mean = jnp.mean(x)
+    std = jnp.std(x)
+    mn = jnp.min(x)
+    span = jnp.maximum(jnp.max(x) - mn, 1e-7)
+    y = jnp.power((x - mn) / span, gamma) * span + mn
+    if retain_stats:
+        y = (y - jnp.mean(y)) / jnp.maximum(jnp.std(y), 1e-7) * std + mean
+    y = -y if invert else y
+    return jnp.where(do, y, image)
+
+
+def mirror_transform(key: jax.Array, image: jnp.ndarray,
+                     target: jnp.ndarray, p_flip: float = 0.5
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    k1, k2 = jax.random.split(key)
+    do_fy = jax.random.bernoulli(k1, p_flip)
+    do_fx = jax.random.bernoulli(k2, p_flip)
     image = jnp.where(do_fy, jnp.flip(image, 0), image)
     target = jnp.where(do_fy, jnp.flip(target, 0), target)
     image = jnp.where(do_fx, jnp.flip(image, 1), image)
     target = jnp.where(do_fx, jnp.flip(target, 1), target)
-
-    # intensity scale + shift (image only)
-    scale = jax.random.uniform(k[2], (), minval=0.85, maxval=1.15)
-    shift = jax.random.uniform(k[3], (), minval=-0.1, maxval=0.1)
-    image = image * scale + shift
-
-    # gaussian noise
-    do_noise = jax.random.bernoulli(k[4], p_noise)
-    noise = jax.random.normal(k[5], image.shape) * 0.05
-    image = jnp.where(do_noise, image + noise, image)
-
-    # gamma on [0,1]-renormalized intensities
-    do_gamma = jax.random.bernoulli(k[6], p_gamma)
-    gamma = jax.random.uniform(k[7], (), minval=0.7, maxval=1.5)
-    lo = jnp.min(image)
-    rng = jnp.maximum(jnp.max(image) - lo, 1e-7)
-    gimg = jnp.power((image - lo) / rng, gamma) * rng + lo
-    image = jnp.where(do_gamma, gimg, image)
-
     return image, target
+
+
+# ---------------------------------------------------------------------------
+# the composed recipe
+# ---------------------------------------------------------------------------
+
+def augment_pair(key: jax.Array, image: jnp.ndarray, target: jnp.ndarray,
+                 p_rot: float = 0.2, p_scale: float = 0.2,
+                 p_elastic: float = 0.0,
+                 p_noise: float = 0.1, p_blur: float = 0.2,
+                 p_brightness: float = 0.15, p_contrast: float = 0.15,
+                 p_lowres: float = 0.25, p_gamma_invert: float = 0.1,
+                 p_gamma: float = 0.3, p_flip: float = 0.5
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply the full nnU-Net default 2D augmentation chain (order as in
+    nnunetv2 get_training_transforms) to one (H, W, C) image + (H, W, L)
+    one-hot target pair. All defaults match the nnU-Net recipe; elastic
+    deformation is available but off by default, as upstream."""
+    image = image.astype(jnp.float32)
+    ks = jax.random.split(key, 9)
+    image, target = spatial_transform(ks[0], image, target, p_rot=p_rot,
+                                      p_scale=p_scale, p_elastic=p_elastic)
+    image = add_gaussian_noise(ks[1], image, p=p_noise)
+    image = blur_transform(ks[2], image, p=p_blur)
+    image = brightness_transform(ks[3], image, p=p_brightness)
+    image = contrast_transform(ks[4], image, p=p_contrast)
+    image = lowres_transform(ks[5], image, p=p_lowres)
+    image = gamma_transform(ks[6], image, p=p_gamma_invert, invert=True)
+    image = gamma_transform(ks[7], image, p=p_gamma, invert=False)
+    return mirror_transform(ks[8], image, target, p_flip=p_flip)
 
 
 def augment_batch(key: jax.Array, batch: Dict[str, jnp.ndarray],

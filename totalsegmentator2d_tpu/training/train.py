@@ -42,6 +42,9 @@ class TrainConfig:
     # the TPU analogue of the reference stack's torch AMP training; bf16's
     # fp32-matched exponent range needs no loss scaling)
     compute_dtype: Optional[str] = None
+    # apply the full on-device nnU-Net augmentation recipe (augment.py)
+    # to every batch the Trainer steps on
+    augment: bool = False
 
     def __post_init__(self):
         if self.compute_dtype not in (None, 'bfloat16', 'bf16'):
@@ -184,6 +187,8 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh
         self.step_count = 0
+        self._augment_fn = None
+        self._augment_key = jax.random.PRNGKey(seed ^ 0x5EED)
         key = jax.random.PRNGKey(seed)
         if ensemble_size:
             keys = jax.random.split(key, ensemble_size)
@@ -208,6 +213,18 @@ class Trainer:
                 base, spec=spec, cfg=cfg, optimizer=self.optimizer))
 
     def step(self, batch: Dict[str, jnp.ndarray]):
+        if self.cfg.augment:
+            from .augment import augment_batch
+            if self._augment_fn is None:
+                self._augment_fn = jax.jit(augment_batch)
+            self._augment_key, sub = jax.random.split(self._augment_key)
+            if self._ensemble:
+                # (G, N, ...) batches: each group draws its own augmentations
+                G = batch['image'].shape[0]
+                subs = jax.random.split(sub, G)
+                batch = jax.vmap(self._augment_fn)(subs, batch)
+            else:
+                batch = self._augment_fn(sub, batch)
         self.params, self.opt_state, loss = self._step(
             self.params, self.opt_state, batch)
         self.step_count += 1
