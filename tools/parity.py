@@ -238,6 +238,81 @@ def check_fused_vs_permodel() -> dict:
             'agreement': results}
 
 
+def check_full_chain() -> dict:
+    """The composed engine path vs the independent numpy/scipy/torch oracle
+    (tests/reference_chain.py — a from-scratch reimplementation of the
+    reference chain, prediction_worker.py:194-221) end-to-end: float logits
+    AND final masks, across {multilabel, softmax, masked-norm, resampling,
+    multi-fold, ct-norm} configs plus the four bundled assets.
+
+    Tolerances: 5e-3 max-abs logit error on synthetic configs (1e-2 on the
+    larger real assets) covers two independent conv stacks (torch vs XLA)
+    and resamplers drifting by float-accumulation order over 4 U-Net
+    stages; mask agreement >= 99.9% bounds decision flips to pixels whose
+    sigmoid sits within that drift of 0.5.
+
+    The check runs on the CPU backend even when a TPU is attached: it pins
+    SEMANTIC parity, which must be hardware-independent. On TPU the same
+    programs additionally carry XLA's default conv precision (~1e-2 logit
+    drift, the documented borderline-pixel flips of docs/performance.md) —
+    asserting through that would conflate precision with semantics."""
+    import jax
+
+    from tests import reference_chain as RC
+    from totalsegmentator2d_tpu.inference import InferenceEngine
+
+    rng = np.random.default_rng(21)
+    with jax.default_device(jax.devices('cpu')[0]):
+        return _full_chain_body(RC, InferenceEngine, rng)
+
+
+def _full_chain_body(RC, InferenceEngine, rng) -> dict:
+    configs = {}
+    ok = True
+    for name in ('multilabel', 'softmax', 'masked-norm', 'resampling',
+                 'multifold', 'ct-norm'):
+        arr, spacing = RC.config_input(name, rng)
+        spec, nets, fold_params = RC.build_config(name)
+        eng = InferenceEngine(spec, fold_params)
+        seg, logits, bbox = eng.predict_array(arr, spacing,
+                                              return_logits=True)
+        ref_seg, ref_logits, ref_bbox = RC.predict(arr, spacing, spec, nets)
+        entry = {
+            'max_abs_logit_err': float(np.abs(logits - ref_logits).max()),
+            'mask_agreement': float((seg == ref_seg).mean()),
+            'bbox_match': bbox == ref_bbox,
+        }
+        entry['ok'] = (entry['bbox_match']
+                       and entry['max_abs_logit_err'] < 5e-3
+                       and entry['mask_agreement'] >= 0.999)
+        ok = ok and entry['ok']
+        configs[name] = entry
+
+    assets = {}
+    import tests.test_019_full_chain_parity as T19
+    helper = T19.TestFullChainOnAssets()
+    for name in ASSETS:
+        if not os.path.exists(_asset_path(name)):
+            continue
+        arr, spacing = helper._asset_2d(name)
+        channels = ('max', 'mean') if arr.shape[-1] == 2 else ('xray',)
+        spec, nets, fold_params = RC.build_config('multilabel',
+                                                  channels=channels)
+        eng = InferenceEngine(spec, fold_params)
+        seg, logits, bbox = eng.predict_array(arr, spacing,
+                                              return_logits=True)
+        ref_seg, ref_logits, _ = RC.predict(arr, spacing, spec, nets)
+        entry = {
+            'max_abs_logit_err': float(np.abs(logits - ref_logits).max()),
+            'mask_agreement': float((seg == ref_seg).mean()),
+        }
+        entry['ok'] = (entry['max_abs_logit_err'] < 1e-2
+                       and entry['mask_agreement'] >= 0.999)
+        ok = ok and entry['ok']
+        assets[name] = entry
+    return {'ok': ok, 'configs': configs, 'assets': assets}
+
+
 def run_offline() -> dict:
     checks = {
         'gaussian-window': check_gaussian_window,
@@ -245,6 +320,7 @@ def run_offline() -> dict:
         'volume-crop': check_volume_crop,
         'resample-order': check_resample_order,
         'fused-vs-permodel': check_fused_vs_permodel,
+        'full-chain': check_full_chain,
     }
     report = {'mode': 'offline', 'checks': {}}
     for name, fn in checks.items():

@@ -74,6 +74,13 @@ def bspline_prefilter_pallas(arr: jnp.ndarray, axis: int,
     runs the Pallas interpreter (CPU-testable)."""
     if jax.default_backend() == 'cpu' and not interpret:
         return None
+    # a TPU may be attached while the caller pinned placement to the host
+    # (jax.default_device(cpu), e.g. tools/parity.py's semantic checks):
+    # the Mosaic kernel cannot lower there either
+    dd = getattr(jax.config, 'jax_default_device', None)
+    if dd is not None and getattr(dd, 'platform', None) == 'cpu' \
+            and not interpret:
+        return None
     if arr.dtype != jnp.float32:
         return None
     n = arr.shape[axis]
