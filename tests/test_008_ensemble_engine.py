@@ -194,6 +194,59 @@ class TestCohort:
             assert m.shape == solo.shape
             assert (m == solo).mean() > 0.9999
 
+    def test_cohort_mixed_padded_bucketing(self, groups, rng):
+        """bucket='pad': a 5-scan cohort of 3 distinct shapes coalesces
+        into ONE padded batch program (>=4-way batching over the 8-device
+        mesh) and agrees with exact mode everywhere except the documented
+        z-score-statistics delta."""
+        from totalsegmentator2d_tpu.parallel import make_mesh
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        mesh = make_mesh({'data': 8})
+        shapes = [(40, 20, 30), (32, 16, 24), (36, 18, 28),
+                  (40, 20, 30), (32, 16, 24)]
+        vols = [(rng.standard_normal(s) * 100 + 40).astype(np.float32)
+                for s in shapes]
+        padded = ens.predict_cohort_mixed(vols, (1.5, 1.5), ('max', 'mean'),
+                                          mesh=mesh, bucket='pad',
+                                          pad_quantum=64)
+        # every shape quantizes to (64, 64, 64): one bucket, one program
+        pad_keys = [k for k in ens._cache if k[0] == 'cohortpad']
+        assert len(pad_keys) == 1
+        assert pad_keys[0][1] == (8, 64, 64, 64)  # 5 scans padded to mesh
+        exact = ens.predict_cohort_mixed(vols, (1.5, 1.5), ('max', 'mean'))
+        for v, p, e in zip(vols, padded, exact):
+            assert p.shape == e.shape == (v.shape[0], v.shape[2], 5)
+            # the only deviation left is the tile grid seeing the padded
+            # extent (stats are masked, placement centered): measured
+            # ~99.9% at plan spacing on synthetic borderline weights
+            assert (p == e).mean() > 0.99, (p == e).mean()
+
+    def test_cohort_mixed_padded_mip_mean_masking(self, groups, rng):
+        """Negative-valued volumes: zero padding must NOT leak into the MIP
+        (zero would beat negative HU) or the AIP denominator. With
+        pad_quantum=1 the bucket shape equals each scan's true shape, so
+        pad mode must match exact mode bit-for-bit."""
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        vols = [(rng.standard_normal((40, 20, 30)) * 100 - 300)
+                .astype(np.float32),
+                (rng.standard_normal((32, 16, 24)) * 100 - 300)
+                .astype(np.float32)]
+        padded = ens.predict_cohort_mixed(vols, (1.5, 1.5), ('max', 'mean'),
+                                          bucket='pad', pad_quantum=1)
+        exact = ens.predict_cohort_mixed(vols, (1.5, 1.5), ('max', 'mean'))
+        for p, e in zip(padded, exact):
+            np.testing.assert_array_equal(p, e)
+
+    def test_cohort_mixed_pad_rejects_unsupported_mode(self, groups, rng):
+        specs, params = groups
+        ens = EnsembleEngine(specs, params)
+        vols = [(rng.standard_normal((16, 8, 8))).astype(np.float32)]
+        with pytest.raises(ValueError, match="bucket='pad' supports"):
+            ens.predict_cohort_mixed(vols, (1.5, 1.5), ('std',),
+                                     bucket='pad')
+
     def test_cohort_batch_padding(self, groups, rng):
         """N not divisible by the mesh data axis pads internally."""
         from totalsegmentator2d_tpu.parallel import make_mesh

@@ -199,9 +199,18 @@ class EnsembleEngine:
 
     # -- program construction ----------------------------------------------
 
-    def _build(self, in_shape: Tuple[int, int], in_spacing: Tuple[float, float]):
+    def _build(self, in_shape: Tuple[int, int], in_spacing: Tuple[float, float],
+               force_norm_mask: bool = False):
         spec = self.spec
         pre = spec.preprocess
+        if force_norm_mask:
+            # padded-bucket cohorts: z-score statistics must come from the
+            # scan's true extent, not the zero border — flip every channel
+            # to the masked-normalization path (CT/rescale channels ignore
+            # the mask in normalize_channels, so this only affects z-score)
+            import dataclasses
+            pre = dataclasses.replace(
+                pre, use_mask_for_norm=(True,) * len(pre.use_mask_for_norm))
         C = spec.arch.in_channels
         Lp = self.max_labels
         G = self.n_groups
@@ -562,39 +571,205 @@ class EnsembleEngine:
         return unpack_bits(np.asarray(jax.device_get(fn(params, vols_in))),
                            self.total_labels)
 
+    def _build_cohort_padded(self, vol_shape: Tuple[int, int, int],
+                             spacing_yx: Tuple[float, float],
+                             modes: Tuple[str, ...], mesh=None):
+        """Batched fused program for PADDED mixed-shape cohorts: each scan
+        carries its true (z, y, x) extent, and the padded regions are
+        masked out of the projections so zero padding never corrupts the
+        MIP (zero would beat negative HU) or the AIP (the mean denominator
+        stays the true y-extent). The 2D program variant used here computes
+        z-score statistics over the valid-extent mask, so per-image
+        normalization matches exact mode; the remaining pad-mode deltas are
+        the resample/tile grids seeing the padded extent."""
+        key2d = ('2d-masked', vol_shape[::2],
+                 tuple(round(float(s), 6) for s in spacing_yx))
+        with self._cache_lock:
+            hit = self._cache.get(key2d)
+            if hit is None:
+                hit = self._build(vol_shape[::2], tuple(spacing_yx),
+                                  force_norm_mask=True)
+                self._cache[key2d] = hit
+        fn2d, _ = hit
+        Z, Y, X = vol_shape
+        for m in modes:
+            if m not in ('max', 'mean', 'min'):
+                raise ValueError(
+                    f"bucket='pad' supports max/mean/min projections; "
+                    f"got {m!r} (use bucket='exact')")
+
+        def one(params, vol, ext):
+            work = vol.astype(self.dtype)
+            zl, yl, xl = ext[0], ext[1], ext[2]
+            ymask = (jnp.arange(Y) < yl)[None, :, None]
+            chans = []
+            for m in modes:
+                if m == 'max':
+                    c = jnp.max(jnp.where(ymask, work, -jnp.inf), axis=1)
+                elif m == 'min':
+                    c = jnp.min(jnp.where(ymask, work, jnp.inf), axis=1)
+                else:
+                    c = (jnp.sum(jnp.where(ymask, work, 0), axis=1)
+                         / yl.astype(self.dtype))
+                chans.append(c)
+            x2d = jnp.stack(chans, axis=-1)
+            zx = ((jnp.arange(Z) < zl)[:, None]
+                  & (jnp.arange(X) < xl)[None, :])
+            x2d = jnp.where(zx[..., None], x2d, 0.0)
+            # center the scan inside the bucket (jnp.roll with traced
+            # shifts): matches exact mode's symmetric pad_nd_image
+            # placement, so the conv border geometry lines up
+            sz, sx = (Z - zl) // 2, (X - xl) // 2
+            x2d = jnp.roll(x2d, (sz, sx), axis=(0, 1))
+            zx = jnp.roll(zx, (sz, sx), axis=(0, 1))
+            # the valid-extent mask doubles as the normalization mask:
+            # z-score statistics come from the scan's true pixels only
+            return fn2d.__wrapped__(params, x2d, zx)
+
+        def program(params, vols, exts):
+            return jax.vmap(lambda v, e: one(params, v, e))(vols, exts)
+
+        if mesh is None:
+            return jax.jit(program)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data_axis = 'data' if 'data' in mesh.axis_names else mesh.axis_names[0]
+        vspec = NamedSharding(mesh, P(data_axis, None, None, None))
+        espec = NamedSharding(mesh, P(data_axis, None))
+        ospec = NamedSharding(mesh, P(data_axis, None, None, None))
+        rep = jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), self.params)
+        return jax.jit(program, in_shardings=(rep, vspec, espec),
+                       out_shardings=ospec)
+
     def predict_cohort_mixed(self, vols: Sequence[np.ndarray],
                              spacing_yx, modes: Sequence[str],
-                             mesh=None) -> list:
+                             mesh=None, bucket: str = 'exact',
+                             pad_quantum: int = 32) -> list:
         """Heterogeneous cohort: volumes of DIFFERENT shapes/spacings run
-        data-parallel without caller-side padding. Scans are bucketed by
-        exact (shape, spacing) — nnU-Net preprocessing is per-image
-        (crop/resample/normalize over the actual extent), so zero-padding
-        mixed shapes into one batch would change the normalization
-        statistics and resample grids; exact-shape buckets keep per-scan
-        results identical to solo runs, and each bucket's batch is padded
-        to the mesh's data-axis size internally (padding results dropped).
+        data-parallel without caller-side padding.
+
+        ``bucket='exact'`` (default) groups scans by exact (shape, spacing)
+        — nnU-Net preprocessing is per-image, so padding would perturb the
+        per-image normalization statistics and resample grids; exact
+        buckets keep per-scan results identical to solo runs, at the cost
+        of batch-1 execution when every scan has a unique shape.
+
+        ``bucket='pad'`` quantizes each axis up to the next multiple of
+        ``pad_quantum`` voxels and zero-pads scans into shared buckets, so
+        a realistic all-unique-shape cohort still batches (one compiled
+        program per bucket instead of per scan). The padded regions are
+        masked out of the projections (true MIP/AIP over each scan's real
+        extent), z-score statistics are computed over the valid-extent mask
+        (matching exact mode's per-image stats), and each scan is centered
+        in its bucket to reproduce exact mode's symmetric pad placement.
+        The remaining deviation is the resample/tile grid seeing the padded
+        extent: measured vs exact mode on synthetic (all-borderline)
+        weights, ~0.1% of voxels when the input is already at plan spacing
+        and up to ~9% when a 2x resample runs over the padded grid
+        (tests/test_008; real saturated checkpoints flip far less). Prefer
+        'exact' when inputs are pre-resampled offline or bitwise parity
+        matters; 'pad' when cohort throughput does.
 
         :param spacing_yx: one (y, x) spacing for all scans, or a sequence
             of per-scan spacings
         :returns: list of per-scan merged segs, input order preserved
         """
+        if bucket not in ('exact', 'pad'):
+            raise ValueError(f"bucket must be 'exact' or 'pad'; got {bucket!r}")
         vols = list(vols)
         n = len(vols)
         sps = (list(spacing_yx) if not np.isscalar(spacing_yx[0])
                else [tuple(spacing_yx)] * n)
         if len(sps) != n:
             raise ValueError('spacing_yx must be one spacing or one per scan')
-        buckets: Dict[Tuple, list] = {}
-        for i, (v, sp) in enumerate(zip(vols, sps)):
-            key = (tuple(v.shape), tuple(round(float(s), 6) for s in sp))
-            buckets.setdefault(key, []).append(i)
+        if bucket == 'pad' and any(self.spec.preprocess.use_mask_for_norm):
+            warn("bucket='pad' is not available for masked-norm plans "
+                 "(exact hole-filled host masks); using exact buckets",
+                 once=True)
+            bucket = 'exact'
+
         out: list = [None] * n
-        for (shape, sp), idxs in sorted(buckets.items()):
-            batch = np.stack([vols[i] for i in idxs])
-            segs = self.predict_cohort(batch, sp, modes, mesh=mesh)
-            for i, s in zip(idxs, segs):
-                out[i] = s
+        if bucket == 'exact':
+            buckets: Dict[Tuple, list] = {}
+            for i, (v, sp) in enumerate(zip(vols, sps)):
+                key = (tuple(v.shape), tuple(round(float(s), 6) for s in sp))
+                buckets.setdefault(key, []).append(i)
+            for (shape, sp), idxs in sorted(buckets.items()):
+                batch = np.stack([vols[i] for i in idxs])
+                segs = self.predict_cohort(batch, sp, modes, mesh=mesh)
+                for i, s in zip(idxs, segs):
+                    out[i] = s
+            return out
+
+        q = max(1, int(pad_quantum))
+        buckets = {}
+        for i, (v, sp) in enumerate(zip(vols, sps)):
+            qshape = tuple(-(-d // q) * q for d in v.shape)
+            key = (qshape, tuple(round(float(s), 6) for s in sp))
+            buckets.setdefault(key, []).append(i)
+        for (qshape, sp), idxs in sorted(buckets.items()):
+            batch = np.zeros((len(idxs),) + qshape, np.float32)
+            exts = np.zeros((len(idxs), 3), np.int32)
+            for j, i in enumerate(idxs):
+                v = vols[i]
+                batch[j, :v.shape[0], :v.shape[1], :v.shape[2]] = v
+                exts[j] = v.shape
+            segs = self._predict_cohort_padded(batch, exts, sp, tuple(modes),
+                                               mesh)
+            for j, i in enumerate(idxs):
+                z, _, x = vols[i].shape
+                sz, sx = (qshape[0] - z) // 2, (qshape[2] - x) // 2
+                out[i] = segs[j, sz:sz + z, sx:sx + x]
         return out
+
+    def _predict_cohort_padded(self, vols: np.ndarray, exts: np.ndarray,
+                               spacing_yx, modes: Tuple[str, ...],
+                               mesh=None) -> np.ndarray:
+        """Dispatch one padded bucket (N, Zq, Yq, Xq) + true extents."""
+        if mesh is not None:
+            data_axis = ('data' if 'data' in mesh.axis_names
+                         else mesh.axis_names[0])
+            D = int(mesh.shape[data_axis])
+            npad = -(-vols.shape[0] // D) * D
+            if npad != vols.shape[0]:
+                reps = npad - vols.shape[0]
+                vols = np.concatenate([vols, np.repeat(vols[-1:], reps, 0)])
+                exts = np.concatenate([exts, np.repeat(exts[-1:], reps, 0)])
+                return self._predict_cohort_padded(
+                    vols, exts, spacing_yx, modes, mesh)[:-reps]
+        key = ('cohortpad', vols.shape,
+               tuple(round(float(s), 6) for s in spacing_yx), modes,
+               _mesh_key(mesh))
+        with self._cache_lock:
+            fn = self._cache.get(key)
+            if fn is None:
+                fn = self._build_cohort_padded(tuple(vols.shape[1:]),
+                                               tuple(spacing_yx), modes, mesh)
+                self._cache[key] = fn
+                log(f'compiled padded cohort program for '
+                    f'batch={vols.shape[0]} bucket={vols.shape[1:]}'
+                    + (f' over mesh {dict(mesh.shape)}'
+                       if mesh is not None else ''))
+        params = self.params
+        exts_j = np.ascontiguousarray(exts)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data_axis = ('data' if 'data' in mesh.axis_names
+                         else mesh.axis_names[0])
+            vols_in = jax.device_put(
+                np.ascontiguousarray(vols),
+                NamedSharding(mesh, P(data_axis, None, None, None)))
+            exts_in = jax.device_put(
+                exts_j, NamedSharding(mesh, P(data_axis, None)))
+            params = jax.device_put(
+                params, jax.tree_util.tree_map(
+                    lambda _: NamedSharding(mesh, P()), self.params))
+        else:
+            vols_in = jax.device_put(np.ascontiguousarray(vols))
+            exts_in = jax.device_put(exts_j)
+        return unpack_bits(
+            np.asarray(jax.device_get(fn(params, vols_in, exts_in))),
+            self.total_labels)
 
     # -- host API ------------------------------------------------------------
 
