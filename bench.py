@@ -35,6 +35,7 @@ import time
 import numpy as np
 
 CT_PATH = '/root/reference/assets/sample_s0521.nrrd'
+XRAY_PATH = '/root/reference/assets/sample_chexpert.nrrd'
 GROUP_LABELS = {  # 117 labels total, ts2d-v2 style
     'cardiac': 24, 'muscles': 21, 'organs': 22, 'ribs': 24, 'vertebrae': 26,
 }
@@ -68,6 +69,53 @@ def build_engine():
     return EnsembleEngine(specs, params, tile_step_size=0.5,
                           use_mirroring=True, compute_dtype=jnp.bfloat16,
                           auto_batch=8)
+
+
+def build_xray_engine():
+    """tsxr-style single-group native X-ray model (reference
+    test_020_predict_default.py:48-52: tsxr-v2-ep1000b2_ribs on
+    sample_chexpert): 1 input channel, no projection, plan spacing matching
+    the asset's 1.25 mm."""
+    import jax.numpy as jnp
+    from totalsegmentator2d_tpu.inference import EnsembleEngine
+    from totalsegmentator2d_tpu.models.plans import ModelSpec, PreprocessSpec
+    from totalsegmentator2d_tpu.models.unet import init_params_np
+    from __graft_entry__ import _flagship_spec
+
+    pre = PreprocessSpec(
+        spacing=(1.25, 1.25), patch_size=PATCH,
+        normalization_schemes=('ZScoreNormalization',),
+        use_mask_for_norm=(False,),
+        intensity_properties=(None,))
+    arch = _flagship_spec(out_channels=GROUP_LABELS['ribs'], in_channels=1,
+                          n_stages=N_STAGES)
+    spec = ModelSpec(
+        arch=arch, preprocess=pre,
+        labels={v + 1: f'ribs-{v}' for v in range(GROUP_LABELS['ribs'])},
+        channel_names={0: 'xray'}, multilabel=True)
+    return EnsembleEngine([spec], [[init_params_np(7, arch)]],
+                          tile_step_size=0.5, use_mirroring=True,
+                          compute_dtype=jnp.bfloat16, auto_batch=8)
+
+
+def xray_rate(engine, n=16, rounds=3):
+    """Pipelined sec/scan on the bundled CheXpert X-ray (native 2D path:
+    no projection, the image goes straight to the fused program)."""
+    from totalsegmentator2d_tpu.io import read_image
+    arr = np.asarray(read_image(XRAY_PATH).array, np.float32)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    spacing = (1.25, 1.25)
+    engine.predict_array(arr, spacing)  # compile
+    rates = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        handles = [engine.predict_array_async(arr, spacing)
+                   for _ in range(n)]
+        outs = [engine.finish_array(h) for h in handles]
+        rates.append((time.perf_counter() - t0) / n)
+        assert all(o.shape[-1] == GROUP_LABELS['ribs'] for o in outs)
+    return float(np.min(rates))
 
 
 def make_realistic_volume():
@@ -161,12 +209,23 @@ def main():
     except Exception as ex:  # pragma: no cover
         sample = f'unavailable ({type(ex).__name__})'
 
+    # secondary (best effort): the native X-ray workload class (tsxr) —
+    # the reference's second published config (test_020:48-52)
+    try:
+        engine.close()  # one resident batcher at a time
+        xeng = build_xray_engine()
+        xray = f'{round(xray_rate(xeng), 4)}s/scan'
+        xeng.close()
+    except Exception as ex:  # pragma: no cover
+        xray = f'unavailable ({type(ex).__name__})'
+
     print(json.dumps({
         'metric': ('sec/scan, full 5-model/117-label ts2d-v2-style ensemble '
                    'on a torso-sized 350x250x280 CT (4 tiles/model), '
                    'host-projection + fused device program, pipelined '
                    f'(blocking latency {round(lat_r, 4)}s; bundled small CT '
-                   f'sample_s0521 {sample})'),
+                   f'sample_s0521 {sample}; tsxr-style native X-ray '
+                   f'sample_chexpert 320x320 {xray})'),
         'value': round(pipe_r, 5),
         'unit': 's',
         'vs_baseline': round(0.7 / pipe_r, 3),
