@@ -98,8 +98,14 @@ def _block(x: jnp.ndarray, p: Params, stride: Tuple[int, int],
     compute dtype the activations are also STORED bf16 between ops (the
     wide early stages are memory-bound; norm statistics stay fp32).
 
-    A Pallas fused norm+act kernel was benchmarked here and removed: XLA's
-    fusion won at every shape that fit VMEM (tools/perf_probe3.py)."""
+    Round-3 measurement (tools/perf_probe10/11.py): the InstanceNorm
+    statistics dependency costs ~75% of a block's time at the top stages
+    under XLA's schedule. Every Pallas route tried against it LOST
+    end-to-end — standalone norm+act kernel (probe3), standalone stats
+    reduction / MXU ones-matmul (probe10), and the fused stack
+    (_conv_stack_fused: wins isolated, loses 0.69-0.93x inside the real
+    program to layout conversions; probe11) — so this standard XLA chain
+    remains the production path (docs/performance.md)."""
     x = _conv(x, p['conv']['w'], p['conv'].get('b'), stride, kernel,
               compute_dtype, out_dtype=compute_dtype)
     norm = p.get('norm')
@@ -113,10 +119,81 @@ def _block(x: jnp.ndarray, p: Params, stride: Tuple[int, int],
 def _conv_stack(x: jnp.ndarray, blocks: List[Params], first_stride: Tuple[int, int],
                 kernel: Tuple[int, int], spec: ArchSpec,
                 compute_dtype=None) -> jnp.ndarray:
+    if (fused_blocks_enabled() and len(blocks) > 1
+            and tuple(kernel) == (3, 3)
+            and compute_dtype == jnp.bfloat16
+            and all(p.get('norm') is not None for p in blocks)):
+        return _conv_stack_fused(x, blocks, first_stride, spec)
     for i, p in enumerate(blocks):
         x = _block(x, p, first_stride if i == 0 else (1, 1), kernel, spec,
                    compute_dtype)
     return x
+
+
+def fused_blocks_enabled() -> bool:
+    """Gate for the Pallas fused block chain (_conv_stack_fused /
+    ops/pallas/fused_block.py). TS2D_FUSED=1 enables (TPU backend only);
+    default follows the measured verdict in docs/performance.md."""
+    import os
+    if os.environ.get('TS2D_FUSED', '0') != '1':
+        return False
+    import jax
+    if jax.default_backend() != 'tpu':
+        return False
+    dd = getattr(jax.config, 'jax_default_device', None)
+    return not (dd is not None and getattr(dd, 'platform', None) == 'cpu')
+
+
+def _conv_stack_fused(x: jnp.ndarray, blocks: List[Params],
+                      first_stride: Tuple[int, int],
+                      spec: ArchSpec, interpret: bool = False) -> jnp.ndarray:
+    """Fused-chain version of a conv stack: block 0 runs its conv through
+    XLA with one-pass statistics; every later block runs the Pallas
+    norm+act+conv(+stats) kernel reading the raw previous output once; the
+    stack's final normalize+act is one XLA elementwise pass. Removes the
+    standalone stats read and normalize read+write of every inner block
+    (docs/performance.md round-3 measurements)."""
+    from ..ops.pallas.fused_block import fold_stats, fused_norm_act_conv
+
+    cdt = jnp.bfloat16
+    p0 = blocks[0]
+    b0 = p0['conv'].get('b')
+    if b0 is None:
+        b0 = jnp.zeros(p0['conv']['w'].shape[-1], jnp.float32)
+    if tuple(first_stride) == (1, 1) and x.shape[-1] >= 16:
+        # stride-1 first block runs in Pallas too (conv+stats, no input
+        # normact): the whole stack stays in the kernel's tiled layout and
+        # the stats reduction never touches XLA's slow reduce emitter
+        dummy = jnp.zeros((x.shape[0], x.shape[-1]), jnp.float32)
+        y, stats = fused_norm_act_conv(x.astype(cdt), dummy, dummy,
+                                       p0['conv']['w'], b0,
+                                       apply_normact=False,
+                                       interpret=interpret)
+    else:
+        y = _conv(x, p0['conv']['w'], b0, first_stride, (3, 3),
+                  cdt, out_dtype=cdt)
+        y32 = y.astype(jnp.float32)
+        # one pass: both reductions read y once (E[x], E[x^2])
+        stats = jnp.stack([jnp.sum(y32, axis=(1, 2)),
+                           jnp.sum(jnp.square(y32), axis=(1, 2))], axis=1)
+    hw = y.shape[1] * y.shape[2]
+    norm = p0['norm']
+    for p in blocks[1:]:
+        scale, shift = fold_stats(stats, hw, norm.get('scale'),
+                                  norm.get('bias'), spec.norm_eps)
+        bias = p['conv'].get('b')
+        if bias is None:
+            bias = jnp.zeros(p['conv']['w'].shape[-1], jnp.float32)
+        y, stats = fused_norm_act_conv(y, scale, shift, p['conv']['w'], bias,
+                                       slope=spec.nonlin_slope,
+                                       interpret=interpret)
+        norm = p['norm']
+    scale, shift = fold_stats(stats, hw, norm.get('scale'), norm.get('bias'),
+                              spec.norm_eps)
+    z = y.astype(jnp.float32) * scale[:, None, None, :] \
+        + shift[:, None, None, :]
+    z = jnp.where(z >= 0, z, z * spec.nonlin_slope)
+    return z.astype(cdt)
 
 
 def forward(params: Params, x: jnp.ndarray, spec: ArchSpec,
