@@ -59,6 +59,44 @@ def block(x, w, b, g, be, mode):
     # the M=1 matmul is slower than XLA's reduce; without the barrier the
     # simplifier folds it back into that reduce). Kept out of the mode
     # list; the winning path is the all-Pallas fused stack ('pl-chain').
+    if mode == 'hier-stats':
+        # hierarchical reduce: reshape (N,H,W,C)->(N,HW/G,G,C), reduce the
+        # middle dims in two steps — probing whether XLA's slow spatial
+        # reduce is an emitter choice that a different op shape fixes
+        from totalsegmentator2d_tpu.ops.pallas.fused_block import fold_stats
+        out = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.bfloat16) + b.astype(jnp.bfloat16)
+        N, H, W, C = out.shape
+        G = 256
+        r = out.astype(jnp.float32).reshape(N, (H * W) // G, G, C)
+        p1 = jnp.sum(r, axis=2)
+        p2 = jnp.sum(r * r, axis=2)
+        st = jnp.stack([jnp.sum(p1, axis=1), jnp.sum(p2, axis=1)], axis=1)
+        sc, sh = fold_stats(st, H * W, g, be, EPS)
+        y = out.astype(jnp.float32) * sc[:, None, None, :] \
+            + sh[:, None, None, :]
+        y = jnp.where(y >= 0, y, y * 0.01)
+        return y.astype(jnp.bfloat16)
+    if mode == 'split-stats':
+        # explicit two-step spatial reduce (W first, then H) — same probe
+        # as hier-stats but without the reshape, in case the reshape
+        # itself defeats the emitter choice
+        from totalsegmentator2d_tpu.ops.pallas.fused_block import fold_stats
+        out = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.bfloat16) + b.astype(jnp.bfloat16)
+        N, H, W, C = out.shape
+        o32 = out.astype(jnp.float32)
+        p1 = jnp.sum(o32, axis=2)
+        p2 = jnp.sum(o32 * o32, axis=2)
+        st = jnp.stack([jnp.sum(p1, axis=1), jnp.sum(p2, axis=1)], axis=1)
+        sc, sh = fold_stats(st, H * W, g, be, EPS)
+        y = o32 * sc[:, None, None, :] + sh[:, None, None, :]
+        y = jnp.where(y >= 0, y, y * 0.01)
+        return y.astype(jnp.bfloat16)
     if mode == 'pl-chain':
         from totalsegmentator2d_tpu.models.plans import ArchSpec
         from totalsegmentator2d_tpu.models import unet as U
@@ -118,7 +156,7 @@ def main():
         be = jax.device_put(np.zeros(Co, np.float32))
 
         res = {}
-        for mode in ('two-pass', 'conv', 'pl-chain'):
+        for mode in ('two-pass', 'conv', 'hier-stats', 'split-stats'):
             t = (timed(chain(mode), x, w, b, g, be) - noop) / NB
             if mode == 'pl-chain':
                 t /= 2  # each pl-chain iteration is a 2-block stack
