@@ -52,6 +52,13 @@ def timed(fn, *args, n=6):
 
 
 def block(x, w, b, g, be, mode):
+    # measured and rejected (2026-08-17, v5e): 'hier-stats' and
+    # 'split-stats' below — restructuring the spatial reduce (hierarchical
+    # reshape / explicit W-then-H split) is within noise of the plain
+    # two-pass at the dominant shapes (256^2C32: 6.42 -> 6.06/6.21 ms,
+    # 0.94/0.97x; 128^2C64: 0.93/0.94x); only the cheap 64^2C128 stage
+    # improved (0.64x of a 0.46 ms block). The cost is the serialization on
+    # the statistics, not the reduce emitter's op shape.
     # measured and rejected (2025-08-17): 'pl-stats' (standalone Pallas
     # stats kernel: 18.2/3.0/0.6/2.9 ms per block top-to-bottom shape —
     # XLA<->Mosaic layout conversion per call eats the win) and 'mm-stats'
