@@ -181,4 +181,49 @@ long long ts2dio_project_max_mean_i16(const int16_t* vol, long long nz,
       vol, nz, ny, nx, out_max, out_mean);
 }
 
+// ---------------------------------------------------------------------------
+// JPEG Lossless (T.81 process 14) difference-stream decoder: the serial
+// Huffman hot loop of io/jpegll.py. ``lut`` is the 64k-entry peek table
+// (lut[next16bits] = (SSSS << 5) | code_length) built on the Python side
+// from the DHT segment; ``seg`` is one unstuffed entropy segment (FF00
+// resolved, RSTn removed). Returns ``count`` on success, -1 on an invalid
+// code. Reconstruction (predictors/cumsum) stays in numpy — it is already
+// vectorized there and depends on scan parameters this function need not
+// know about.
+
+long long ts2dio_jpegll_decode_diffs(const char* seg, size_t seg_len,
+                                     const uint32_t* lut, int32_t* out,
+                                     long long count) {
+  const unsigned char* s = reinterpret_cast<const unsigned char*>(seg);
+  uint64_t acc = 0;
+  int nbits = 0;
+  size_t pos = 0;
+  for (long long i = 0; i < count; ++i) {
+    while (nbits < 32) {
+      acc = (acc << 8) | (pos < seg_len ? s[pos++] : 0);
+      nbits += 8;
+    }
+    uint32_t entry = lut[(acc >> (nbits - 16)) & 0xFFFF];
+    int len = static_cast<int>(entry & 0x1F);
+    if (len == 0) return -1;  // invalid code
+    int ssss = static_cast<int>(entry >> 5);
+    nbits -= len;
+    if (ssss == 0) {
+      out[i] = 0;
+    } else if (ssss == 16) {
+      out[i] = 32768;
+    } else {
+      uint32_t extra =
+          static_cast<uint32_t>((acc >> (nbits - ssss)) & ((1u << ssss) - 1));
+      nbits -= ssss;
+      // T.81 "extend": the low half of each category codes negatives
+      out[i] = (extra < (1u << (ssss - 1)))
+                   ? static_cast<int32_t>(extra) - ((1 << ssss) - 1)
+                   : static_cast<int32_t>(extra);
+    }
+    acc &= (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1);
+  }
+  return count;
+}
+
 }  // extern "C"

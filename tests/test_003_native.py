@@ -15,12 +15,14 @@ def _ensure_built():
     so = os.path.join(_REPO, 'totalsegmentator2d_tpu', '_native', 'libts2dio.so')
 
     def _stale():
-        # a library built before the projection kernel existed must be
+        # a library built before the newest kernel existed must be
         # rebuilt, not silently exercised through the numpy fallback
         import ctypes
         try:
-            return getattr(ctypes.CDLL(so),
-                           'ts2dio_project_max_mean_i16', None) is None
+            lib = ctypes.CDLL(so)
+            return any(getattr(lib, sym, None) is None
+                       for sym in ('ts2dio_project_max_mean_i16',
+                                   'ts2dio_jpegll_decode_diffs'))
         except OSError:
             return True
 

@@ -14,6 +14,8 @@ from totalsegmentator2d_tpu.io.dicom import (DicomError, is_dicom_dir,
 _EXPLICIT = '1.2.840.10008.1.2.1'
 _IMPLICIT = '1.2.840.10008.1.2'
 _RLE = '1.2.840.10008.1.2.5'
+_JPLL = '1.2.840.10008.1.2.4.57'      # JPEG Lossless, any predictor
+_JPLL_SV1 = '1.2.840.10008.1.2.4.70'  # JPEG Lossless, selection value 1
 
 
 def _packbits(data: bytes) -> bytes:
@@ -61,16 +63,120 @@ def _rle_frame(arr) -> bytes:
     return header + segs[0] + segs[1]
 
 
-def _encapsulate(frame: bytes) -> bytes:
+def _encapsulate(frame: bytes, split: int = 0) -> bytes:
     """Encapsulated PixelData: OB/undefined length, empty Basic Offset
-    Table item, one frame fragment, sequence delimiter."""
+    Table item, one frame fragment (or two when ``split`` cuts it — PS3.5
+    A.4 allows a frame to span fragments), sequence delimiter."""
     if len(frame) % 2:
         frame += b'\x00'
-    return (struct.pack('<HH', 0x7FE0, 0x0010) + b'OB\x00\x00'
-            + struct.pack('<I', 0xFFFFFFFF)
-            + struct.pack('<HHI', 0xFFFE, 0xE000, 0)
-            + struct.pack('<HHI', 0xFFFE, 0xE000, len(frame)) + frame
-            + struct.pack('<HHI', 0xFFFE, 0xE0DD, 0))
+    parts = [frame] if not split else [frame[:split], frame[split:]]
+    out = (struct.pack('<HH', 0x7FE0, 0x0010) + b'OB\x00\x00'
+           + struct.pack('<I', 0xFFFFFFFF)
+           + struct.pack('<HHI', 0xFFFE, 0xE000, 0))
+    for part in parts:
+        if len(part) % 2:
+            part += b'\x00'
+        out += struct.pack('<HHI', 0xFFFE, 0xE000, len(part)) + part
+    return out + struct.pack('<HHI', 0xFFFE, 0xE0DD, 0)
+
+
+# --- JPEG Lossless (T.81 process 14) reference encoder for fixtures -------
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG byte stuffing (FF -> FF00)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, val: int, bits: int):
+        if not bits:
+            return
+        self._acc = (self._acc << bits) | (val & ((1 << bits) - 1))
+        self._n += bits
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self):
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)  # 1-pad (T.81)
+
+
+def _jll_predict(recon, y, x, predictor, default):
+    """T.81 H.2: first line = default then Ra; first column = Rb."""
+    if y == 0:
+        return default if x == 0 else int(recon[y][x - 1])
+    if x == 0:
+        return int(recon[y - 1][x])
+    ra, rb = int(recon[y][x - 1]), int(recon[y - 1][x])
+    rc = int(recon[y - 1][x - 1])
+    return {1: ra, 2: rb, 3: rc, 4: ra + rb - rc, 5: ra + ((rb - rc) >> 1),
+            6: rb + ((ra - rc) >> 1), 7: (ra + rb) >> 1}[predictor]
+
+
+def _jpegll_frame(arr, predictor=1, pt=0, precision=16, dri=0) -> bytes:
+    """Encode a (rows, cols) uint16 array as one JPEG Lossless codestream:
+    flat 5-bit Huffman table over SSSS 0..16, optional point transform and
+    restart intervals (dri in samples, must land on row ends)."""
+    vals = (np.asarray(arr, np.uint16) >> pt).astype(np.int64)
+    rows, cols = vals.shape
+    default = 1 << (precision - pt - 1)
+
+    counts = [0] * 16
+    counts[4] = 17  # 17 codes of length 5 (Kraft: 17/32 <= 1)
+    symbols = list(range(17))
+
+    data = bytearray()
+    bw = _BitWriter()
+
+    def emit(diff):
+        d = diff & 0xFFFF
+        if d > 32768:
+            d -= 65536
+        if d == 0:
+            bw.put(0, 5)
+        elif d == 32768:
+            bw.put(16, 5)
+        else:
+            s = int(abs(d)).bit_length()
+            bw.put(s, 5)  # canonical flat table: code == symbol
+            bw.put(d if d > 0 else d + (1 << s) - 1, s)
+
+    recon = vals & 0xFFFF  # encoder is lossless in the shifted domain
+    n_int, rst, row0 = 0, 0, 0
+    for y in range(rows):
+        for x in range(cols):
+            pred = _jll_predict(recon[row0:], y - row0, x, predictor, default)
+            emit(int(vals[y, x]) - pred)
+            n_int += 1
+            if dri and n_int == dri and (y, x) != (rows - 1, cols - 1):
+                bw.flush()
+                data += bw.out
+                bw.out = bytearray()
+                data += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                n_int, row0 = 0, y + 1
+    bw.flush()
+    data += bw.out
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack('>H', len(payload) + 2) \
+            + payload
+
+    dht = seg(0xC4, bytes([0x00]) + bytes(counts) + bytes(symbols))
+    sof = seg(0xC3, bytes([precision]) + struct.pack('>HH', rows, cols)
+              + bytes([1, 1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, predictor, 0, pt]))
+    head = b'\xff\xd8' + dht
+    if dri:
+        head += seg(0xDD, struct.pack('>H', dri))
+    return head + sof + sos + bytes(data) + b'\xff\xd9'
 
 
 def _el_explicit(group, elem, vr, value: bytes) -> bytes:
@@ -95,7 +201,8 @@ def _ds_bytes(*vals) -> bytes:
 def write_slice(path, arr, *, position, orientation=(1, 0, 0, 0, 1, 0),
                 pixel_spacing=(0.7, 0.8), instance=1, slope=None,
                 intercept=None, transfer_syntax=_EXPLICIT,
-                extra_pre_pixel=None):
+                extra_pre_pixel=None, jll_predictor=1, jll_dri=0,
+                jll_split=0):
     """Minimal single-frame CT slice. arr: (rows, cols) int16/uint16."""
     rows, cols = arr.shape
     ts = transfer_syntax.encode()
@@ -124,6 +231,11 @@ def write_slice(path, arr, *, position, orientation=(1, 0, 0, 0, 1, 0),
         body += extra_pre_pixel
     if transfer_syntax == _RLE:
         body += _encapsulate(_rle_frame(arr))
+    elif transfer_syntax in (_JPLL, _JPLL_SV1):
+        pred = 1 if transfer_syntax == _JPLL_SV1 else jll_predictor
+        body += _encapsulate(
+            _jpegll_frame(arr.view(np.uint16), predictor=pred, dri=jll_dri),
+            split=jll_split)
     else:
         body += E(0x7FE0, 0x0010, b'OW', arr.astype(arr.dtype).tobytes())
     with open(path, 'wb') as f:
@@ -242,11 +354,117 @@ class TestRLE:
             _rle_decode_frame(frame, 4, 4, 2)
 
 
+class TestJpegLossless:
+    def test_sv1_series_matches_uncompressed(self, tmp_path):
+        """A .70 (process 14 SV1) series must decode to the same volume and
+        geometry as its uncompressed twin."""
+        vol = _series(tmp_path, n=4, dz=2.5, transfer_syntax=_JPLL_SV1)
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+        assert img.spacing == (0.8, 0.7, 2.5)
+        assert img.origin == (5.0, -7.0, 10.0)
+
+    @pytest.mark.parametrize('predictor', [1, 2, 3, 4, 5, 6, 7])
+    def test_all_predictors_roundtrip(self, tmp_path, predictor):
+        """.57 (any selection value): every T.81 predictor decodes
+        losslessly, including the Rb/Rc-dependent recursive ones."""
+        rng = np.random.default_rng(predictor)
+        arr = rng.integers(-1024, 3072, size=(9, 13)).astype(np.int16)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    transfer_syntax=_JPLL, jll_predictor=predictor)
+        sl = read_dicom_file(str(tmp_path / 'a.dcm'))
+        np.testing.assert_array_equal(sl['array'], arr)
+
+    def test_point_transform(self):
+        """Al (point transform) shifts samples down before coding; the
+        decoder re-applies the shift (values quantized to multiples of
+        2^pt)."""
+        from totalsegmentator2d_tpu.io import jpegll
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 4096, size=(8, 8)).astype(np.uint16)
+        out = jpegll.decode(_jpegll_frame(arr, pt=2, precision=12))
+        np.testing.assert_array_equal(out, (arr >> 2) << 2)
+
+    def test_restart_intervals(self, tmp_path):
+        """DRI/RSTn: prediction resets per interval and the samples keep
+        raster order."""
+        rng = np.random.default_rng(4)
+        arr = rng.integers(-500, 2000, size=(10, 12)).astype(np.int16)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    transfer_syntax=_JPLL_SV1, jll_dri=24)  # 2 rows/interval
+        sl = read_dicom_file(str(tmp_path / 'a.dcm'))
+        np.testing.assert_array_equal(sl['array'], arr)
+
+    def test_frame_split_across_fragments(self, tmp_path):
+        """PS3.5 A.4: one frame MAY span several fragments; the reader must
+        concatenate them before decoding."""
+        rng = np.random.default_rng(5)
+        arr = rng.integers(-1024, 3072, size=(16, 16)).astype(np.int16)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    transfer_syntax=_JPLL_SV1, jll_split=40)
+        sl = read_dicom_file(str(tmp_path / 'a.dcm'))
+        np.testing.assert_array_equal(sl['array'], arr)
+
+    def test_rescale_to_hounsfield(self, tmp_path):
+        raw = np.arange(120, dtype=np.uint16).reshape(10, 12)
+        write_slice(str(tmp_path / 'a.dcm'), raw, position=(0, 0, 0),
+                    slope=1, intercept=-1024, transfer_syntax=_JPLL_SV1)
+        sl = read_dicom_file(str(tmp_path / 'a.dcm'))
+        assert sl['array'].dtype == np.int16
+        np.testing.assert_array_equal(sl['array'],
+                                      raw.astype(np.int32) - 1024)
+
+    def test_python_fallback_equals_native(self, monkeypatch):
+        """The pure-Python Huffman loop and the C decoder must agree
+        bit-for-bit (both run against the same stream)."""
+        from totalsegmentator2d_tpu.io import jpegll, native
+        rng = np.random.default_rng(6)
+        arr = rng.integers(0, 65536, size=(12, 17)).astype(np.uint16)
+        frame = _jpegll_frame(arr, predictor=4)
+        out_native = jpegll.decode(frame) if native.native_available() \
+            else None
+        monkeypatch.setattr(native, '_lib', None)
+        monkeypatch.setattr(native, '_checked', True)
+        out_py = jpegll.decode(frame)
+        np.testing.assert_array_equal(out_py, arr)
+        if out_native is not None:
+            np.testing.assert_array_equal(out_native, out_py)
+
+    def test_extreme_diffs(self):
+        """SSSS=16 (diff exactly +32768 mod 2^16) and full-range wraparound
+        survive the mod-65536 arithmetic."""
+        from totalsegmentator2d_tpu.io import jpegll
+        arr = np.array([[0, 32768, 0, 65535],
+                        [65535, 0, 32768, 1]], np.uint16)
+        np.testing.assert_array_equal(jpegll.decode(_jpegll_frame(arr)), arr)
+
+    def test_non_lossless_sof_rejected(self, tmp_path):
+        """A baseline (SOF0) stream must raise informatively, not decode."""
+        from totalsegmentator2d_tpu.io import jpegll
+        frame = bytearray(_jpegll_frame(np.zeros((2, 2), np.uint16)))
+        idx = bytes(frame).index(b'\xff\xc3')
+        frame[idx + 1] = 0xC0
+        with pytest.raises(jpegll.JpegError, match='SOF0'):
+            jpegll.decode(bytes(frame))
+
+    def test_garbage_rejected(self):
+        from totalsegmentator2d_tpu.io import jpegll
+        with pytest.raises(jpegll.JpegError, match='SOI'):
+            jpegll.decode(b'not a jpeg stream')
+
+    def test_8bit_precision(self):
+        from totalsegmentator2d_tpu.io import jpegll
+        rng = np.random.default_rng(8)
+        arr = rng.integers(0, 256, size=(7, 5)).astype(np.uint16)
+        np.testing.assert_array_equal(
+            jpegll.decode(_jpegll_frame(arr, precision=8)), arr)
+
+
 class TestErrors:
     def test_compressed_transfer_syntax_rejected(self, tmp_path):
         arr = np.zeros((4, 4), np.int16)
         write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
-                    transfer_syntax='1.2.840.10008.1.2.4.70')  # JPEG lossless
+                    transfer_syntax='1.2.840.10008.1.2.4.50')  # lossy JPEG
         with pytest.raises(DicomError, match='transfer syntax'):
             read_dicom_file(str(tmp_path / 'a.dcm'))
 

@@ -4,15 +4,17 @@ Neither the reference tool nor nnU-Net reads DICOM directly — users convert
 series to NRRD/NIfTI first. CT data, however, arrives from scanners as
 DICOM, so this build reads the common cases natively: uncompressed
 little-endian transfer syntaxes (implicit 1.2.840.10008.1.2 and explicit
-1.2.840.10008.1.2.1) plus RLE Lossless (1.2.840.10008.1.2.5, the PackBits
-scheme — decoded in _rle_decode_frame), single-frame single-sample slices,
-assembled into one (Z, Y, X) volume with full LPS geometry (DICOM's patient
-coordinate system IS LPS, the framework's world frame — no conversion
-needed).
+1.2.840.10008.1.2.1), RLE Lossless (1.2.840.10008.1.2.5, the PackBits
+scheme — decoded in _rle_decode_frame), and JPEG Lossless
+(1.2.840.10008.1.2.4.57/.70, T.81 process 14 — the dominant compressed CT
+archive syntax, decoded in io/jpegll.py with a native C hot loop),
+single-frame single-sample slices, assembled into one (Z, Y, X) volume
+with full LPS geometry (DICOM's patient coordinate system IS LPS, the
+framework's world frame — no conversion needed).
 
-Deliberately conservative: JPEG-family transfer syntaxes, multi-frame
-files, color images, and non-uniform slice stacks raise informative errors
-rather than guessing. Geometry notes:
+Deliberately conservative: lossy-JPEG transfer syntaxes, JPEG-LS/2000,
+multi-frame files, color images, and non-uniform slice stacks raise
+informative errors rather than guessing. Geometry notes:
  - ImageOrientationPatient (0020,0037) gives the column-axis (x) and
    row-axis (y) direction cosines; the z column of the direction matrix
    comes from the actual slice-position delta (not the cross product), so
@@ -36,6 +38,8 @@ from .image import MedicalImage
 _IMPLICIT_LE = '1.2.840.10008.1.2'
 _EXPLICIT_LE = '1.2.840.10008.1.2.1'
 _RLE_LOSSLESS = '1.2.840.10008.1.2.5'
+_JPEG_LL = '1.2.840.10008.1.2.4.57'      # process 14, any predictor
+_JPEG_LL_SV1 = '1.2.840.10008.1.2.4.70'  # process 14 selection value 1
 
 # VRs whose explicit encoding uses a 2-byte reserved field + 4-byte length
 _LONG_VRS = {b'OB', b'OW', b'OF', b'OD', b'OL', b'SQ', b'UC', b'UR',
@@ -275,18 +279,21 @@ def read_dicom_file(path: str) -> dict:
     with open(path, 'rb') as f:
         buf = f.read()
     pos, ts = _read_file_meta(buf)
-    rle = False
+    rle = jpegll = False
     if ts == _IMPLICIT_LE:
         implicit = True
     elif ts == _EXPLICIT_LE:
         implicit = False
     elif ts == _RLE_LOSSLESS:
         implicit, rle = False, True
+    elif ts in (_JPEG_LL, _JPEG_LL_SV1):
+        implicit, jpegll = False, True
     else:
         raise DicomError(
             f'Unsupported transfer syntax {ts} in {os.path.basename(path)} '
-            f'(uncompressed little endian and RLE lossless are read '
-            f'natively; convert JPEG-compressed series to NRRD/NIfTI)')
+            f'(uncompressed little endian, RLE lossless, and JPEG lossless '
+            f'are read natively; convert lossy-JPEG/JPEG-2000 series to '
+            f'NRRD/NIfTI)')
     el = _parse_dataset(buf, pos, implicit)
     rows, cols = _us(el.get('Rows')), _us(el.get('Columns'))
     if not rows or not cols:
@@ -301,15 +308,30 @@ def read_dicom_file(path: str) -> dict:
              (16, False): np.uint16, (16, True): np.int16}.get((bits, signed))
     if dtype is None:
         raise DicomError(f'Unsupported BitsAllocated={bits}')
-    if rle:
+    if rle or jpegll:
         frags = el.get('PixelDataFragments')
         if not frags:
             raise DicomError(
-                f'{os.path.basename(path)}: RLE file without encapsulated '
-                f'PixelData fragments')
-        # PS3.5 A.4.2: an RLE frame occupies exactly one fragment; with a
-        # single frame the first fragment is the whole frame
-        arr = _rle_decode_frame(frags[0], rows, cols, bits // 8)
+                f'{os.path.basename(path)}: compressed file without '
+                f'encapsulated PixelData fragments')
+        if rle:
+            # PS3.5 A.4.2: an RLE frame occupies exactly one fragment; with
+            # a single frame the first fragment is the whole frame
+            arr = _rle_decode_frame(frags[0], rows, cols, bits // 8)
+        else:
+            # a JPEG frame may be SPLIT across fragments (PS3.5 A.4); with
+            # one frame the full codestream is the fragment concatenation
+            from .jpegll import JpegError, decode as jpegll_decode
+            try:
+                arr = jpegll_decode(b''.join(frags))
+            except JpegError as ex:
+                raise DicomError(
+                    f'{os.path.basename(path)}: {ex}') from ex
+            if arr.shape != (rows, cols):
+                raise DicomError(
+                    f'{os.path.basename(path)}: JPEG frame is '
+                    f'{arr.shape[0]}x{arr.shape[1]}, dataset says '
+                    f'{rows}x{cols}')
         arr = arr.view(dtype) if arr.itemsize == np.dtype(dtype).itemsize \
             else arr.astype(dtype)
     else:

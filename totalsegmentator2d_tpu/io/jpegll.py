@@ -138,27 +138,31 @@ def _find_frame(buf: bytes):
 
 def _entropy_segments(buf: bytes, start: int) -> List[bytes]:
     """Split the entropy-coded data into restart intervals: unstuff FF00,
-    cut at RSTn markers, stop at EOI (or any other marker)."""
+    cut at RSTn markers, stop at EOI (or any other marker).
+
+    0xFF bytes are sparse in entropy data (~1/256 of bytes), so the scan
+    walks only the numpy-located 0xFF positions and unstuffs whole slices
+    with bytes.replace — a per-byte Python loop here cost more than the
+    Huffman decode itself (30.7 vs 3.8 ms on a 512² CT slice)."""
     segs: List[bytes] = []
-    cur = bytearray()
-    pos, n = start, len(buf)
-    while pos < n:
-        b = buf[pos]
-        if b != 0xFF:
-            cur.append(b)
-            pos += 1
+    n = len(buf)
+    ffs = np.flatnonzero(np.frombuffer(buf, np.uint8)[start:] == 0xFF)
+    seg_start = start
+    end = n
+    for off in ffs.tolist():
+        p = start + off
+        if p < seg_start:  # the 00 of a stuffed FF00 already consumed
             continue
-        nxt = buf[pos + 1] if pos + 1 < n else _EOI
-        if nxt == 0x00:
-            cur.append(0xFF)
-            pos += 2
-        elif 0xD0 <= nxt <= 0xD7:  # RSTn
-            segs.append(bytes(cur))
-            cur = bytearray()
-            pos += 2
+        nxt = buf[p + 1] if p + 1 < n else _EOI
+        if nxt == 0x00 or nxt == 0xFF:
+            continue  # stuffed byte / fill byte: stays in the segment
+        if 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(buf[seg_start:p].replace(b'\xff\x00', b'\xff'))
+            seg_start = p + 2
         else:  # EOI or any terminating marker
+            end = p
             break
-    segs.append(bytes(cur))
+    segs.append(buf[seg_start:end].replace(b'\xff\x00', b'\xff'))
     return segs
 
 
@@ -220,7 +224,7 @@ def _reconstruct(diffs: np.ndarray, rows: int, cols: int, precision: int,
         # -> first column is a cumsum down, each row a cumsum across.
         # uint16 cumsum gives exactly the mod-2^16 arithmetic T.81 requires.
         d = diffs.astype(np.uint16)
-        d[0, 0] += default.astype(np.uint16)
+        d[0, 0] = (int(d[0, 0]) + int(default)) & 0xFFFF  # wraps by design
         first_col = np.cumsum(d[:, 0], dtype=np.uint16)
         d[:, 0] = first_col
         np.cumsum(d, axis=1, dtype=np.uint16, out=out)
@@ -229,7 +233,7 @@ def _reconstruct(diffs: np.ndarray, rows: int, cols: int, precision: int,
     if predictor == 2:
         # value[y,x] = value[y-1,x] + d; first row: value[0,x]=value[0,x-1]+d
         d = diffs.astype(np.uint16)
-        d[0, 0] += default.astype(np.uint16)
+        d[0, 0] = (int(d[0, 0]) + int(default)) & 0xFFFF  # wraps by design
         d[0, :] = np.cumsum(d[0, :], dtype=np.uint16)
         np.cumsum(d, axis=0, dtype=np.uint16, out=out)
         return out

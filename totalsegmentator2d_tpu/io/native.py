@@ -51,6 +51,12 @@ def _load():
                     ctypes.c_void_p, ctypes.c_longlong,
                     ctypes.c_longlong, ctypes.c_longlong,
                     ctypes.c_void_p, ctypes.c_void_p]
+            fn = getattr(lib, 'ts2dio_jpegll_decode_diffs', None)
+            if fn is not None:  # absent in pre-decoder builds of the lib
+                fn.restype = ctypes.c_longlong
+                fn.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
             _lib = lib
         except OSError:
             _lib = None
@@ -104,6 +110,28 @@ def zlib_compress(data: bytes, level: int = 1) -> bytes:
         if got >= 0:
             return out.raw[:got]
     return zlib.compress(data, level)
+
+
+def jpegll_decode_diffs(seg: bytes, lut, count: int):
+    """Huffman-decode ``count`` JPEG-lossless differences from one
+    (unstuffed) entropy segment using the native decoder. ``lut`` is the
+    64k-entry uint32 peek table built in io/jpegll.py. Returns an int32
+    array, or None when the native library is absent (the pure-Python
+    fallback in jpegll.py applies)."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    fn = getattr(lib, 'ts2dio_jpegll_decode_diffs', None)
+    if fn is None:  # stale library built before the decoder existed
+        return None
+    lut = np.ascontiguousarray(lut, np.uint32)
+    out = np.empty(count, np.int32)
+    got = fn(seg, len(seg), lut.ctypes.data, out.ctypes.data, count)
+    if got != count:
+        from .jpegll import JpegError
+        raise JpegError('Invalid Huffman code in entropy data')
+    return out
 
 
 def project_max_mean(vol):
