@@ -524,7 +524,8 @@ class TestDynamicBatching:
         try:
             eng.warmup((64, 64))
             key = ('batch', 2, (64, 64),
-                   tuple(round(float(s), 6) for s in (1.5, 1.5)), masked)
+                   tuple(round(float(s), 6) for s in (1.5, 1.5)), masked,
+                   None)
             assert key in eng._cache
         finally:
             eng.close()
@@ -572,3 +573,118 @@ class TestCohortMaskedNorm:
             batched.set_batch_linger(0.0)
         finally:
             batched.close()
+
+
+class TestInt16Wire:
+    """Exactly-integral channels (CT MIP, integer X-rays) upload as int16 —
+    half the wire bytes on remote-attached TPUs (probe12: the 8-scan
+    stacked upload A/Bs 160 -> 125 ms) with BIT-IDENTICAL results (the
+    device casts back to float before normalization)."""
+
+    def test_wire_detect(self, rng):
+        from totalsegmentator2d_tpu.inference.ensemble_engine import \
+            wire_detect
+        integral = rng.integers(-1024, 3072, (6, 5)).astype(np.float32)
+        frac = integral + 0.5
+        big = integral + 40000.0          # exceeds int16
+        nan = integral.copy()
+        nan[0, 0] = np.nan
+        arr = np.stack([integral, frac, big, nan], axis=-1)
+        assert wire_detect(arr) == (True, False, False, False)
+
+    def test_wire_pack_restore_roundtrip(self, rng):
+        """Channel order survives the split even when a float channel
+        precedes an int channel (non-identity permutation)."""
+        import jax
+        from totalsegmentator2d_tpu.inference.ensemble_engine import (
+            _wire_pack, _wire_restore)
+        frac = (rng.standard_normal((4, 3)) * 10).astype(np.float32)
+        ints = rng.integers(-100, 100, (4, 3)).astype(np.float32)
+        arr = np.stack([frac, ints], axis=-1)
+        wire = (False, True)
+        restored = np.asarray(jax.jit(
+            lambda p: _wire_restore(p, wire, np.float32))(
+                _wire_pack(arr, wire)))
+        np.testing.assert_array_equal(restored, arr)
+        # all-int wire: single-element payload
+        wire2 = (True, True)
+        arr2 = np.stack([ints, ints + 1], axis=-1)
+        payload = _wire_pack(arr2, wire2)
+        assert isinstance(payload, tuple) and len(payload) == 1
+        restored2 = np.asarray(jax.jit(
+            lambda p: _wire_restore(p, wire2, np.float32))(payload))
+        np.testing.assert_array_equal(restored2, arr2)
+
+    def test_integral_input_matches_float_wire(self, groups, rng,
+                                               monkeypatch):
+        """A CT-like (integral MIP, fractional AIP) input rides the
+        (int16, f32) wire and must equal the plain-f32-wire result
+        bitwise."""
+        import totalsegmentator2d_tpu.inference.ensemble_engine as ee
+        specs, params = groups
+        eng = EnsembleEngine(specs, params)
+        mip = rng.integers(-1024, 3072, (80, 70)).astype(np.float32)
+        aip = (rng.standard_normal((80, 70)) * 100 + 30).astype(np.float32)
+        arr = np.stack([mip, aip], axis=-1)
+        out_wire = eng.predict_array(arr, (1.5, 1.5))
+        monkeypatch.setattr(ee, 'wire_detect',
+                            lambda a: (False,) * a.shape[-1])
+        out_plain = eng.predict_array(arr, (1.5, 1.5))
+        np.testing.assert_array_equal(out_wire, out_plain)
+
+    def test_wire_through_batcher(self, groups, rng):
+        """Concurrent integral scans coalesce on the int16 wire and match
+        the plain engine."""
+        specs, params = groups
+        plain = EnsembleEngine(specs, params)
+        batched = EnsembleEngine(specs, params, auto_batch=4)
+        try:
+            arrs = []
+            for i in range(3):
+                mip = rng.integers(-500, 2000, (64, 60)).astype(np.float32)
+                aip = (rng.standard_normal((64, 60)) * 50).astype(np.float32)
+                arrs.append(np.stack([mip, aip], axis=-1))
+            handles = [batched.predict_array_async(a, (1.5, 1.5))
+                       for a in arrs]
+            for a, h in zip(arrs, handles):
+                np.testing.assert_array_equal(
+                    batched.finish_array(h),
+                    plain.predict_array(a, (1.5, 1.5)))
+        finally:
+            batched.close()
+
+    def test_mixed_wires_do_not_cobatch(self, groups, rng):
+        """Same-shape scans on different wires run different programs; the
+        batcher must keep them apart (and both must still be right)."""
+        specs, params = groups
+        plain = EnsembleEngine(specs, params)
+        batched = EnsembleEngine(specs, params, auto_batch=4)
+        try:
+            mip = rng.integers(-500, 2000, (64, 60)).astype(np.float32)
+            aip = (rng.standard_normal((64, 60)) * 50).astype(np.float32)
+            a_int = np.stack([mip, aip], axis=-1)      # wire (T, F)
+            a_flt = a_int + 0.25                       # wire (F, F)
+            handles = [batched.predict_array_async(a, (1.5, 1.5))
+                       for a in (a_int, a_flt, a_int, a_flt)]
+            for a, h in zip((a_int, a_flt, a_int, a_flt), handles):
+                np.testing.assert_array_equal(
+                    batched.finish_array(h),
+                    plain.predict_array(a, (1.5, 1.5)))
+        finally:
+            batched.close()
+
+    def test_warmup_wire_variant(self, groups):
+        """warmup(wire=...) pre-compiles the int16-wire programs (solo and
+        batched) and validates the flag count."""
+        specs, params = groups
+        eng = EnsembleEngine(specs, params, auto_batch=2)
+        try:
+            eng.warmup((64, 64), (1.5, 1.5), wire=(True, False))
+            keys = list(eng._cache)
+            assert ((64, 64), (1.5, 1.5), (True, False)) in keys
+            assert ('batch', 2, (64, 64), (1.5, 1.5), False,
+                    (True, False)) in keys
+            with pytest.raises(ValueError, match='channel flags'):
+                eng.warmup((64, 64), (1.5, 1.5), wire=(True,))
+        finally:
+            eng.close()

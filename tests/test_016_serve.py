@@ -227,3 +227,13 @@ class TestMetrics:
             pass
         after = json.loads(_get(server, '/metrics')[1])
         assert after['predict_errors'] == before['predict_errors'] + 1
+
+
+def test_production_wire_from_channel_names():
+    """--warmup warms the int16 wire CT streams will hit: voxel-picking
+    projection channels (max/mip/min/first) are integral, averaging
+    channels are not."""
+    from totalsegmentator2d_tpu.serve import production_wire
+    assert production_wire({0: 'max', 1: 'mean'}) == (True, False)
+    assert production_wire({0: 'xray'}) == (False,)
+    assert production_wire({1: 'mean', 0: 'MIP'}) == (True, False)

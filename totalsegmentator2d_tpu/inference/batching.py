@@ -77,10 +77,15 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(self, cropped: np.ndarray, mask: Optional[np.ndarray],
-               spacing, bbox, full) -> Future:
+               spacing, bbox, full, wire=None) -> Future:
+        if wire is not None and not any(wire):
+            wire = None
         key = (cropped.shape[:2],
                tuple(round(float(s), 6) for s in spacing),
-               mask is not None)
+               mask is not None,
+               # scans on different int16 wires (ensemble_engine.wire_detect)
+               # run different programs and must not co-batch
+               wire)
         import time
         fut: Future = Future()
         item = (cropped, mask, bbox, full, fut)
@@ -204,8 +209,9 @@ class DynamicBatcher:
 
     def _dispatch(self, key, take):
         import jax
+        from .ensemble_engine import _wire_pack
         engine = self.engine
-        _, spacing, has_mask = key
+        _, spacing, has_mask, wire = key
         # claim every future before doing work: a caller that cancelled its
         # handle (e.g. a timed-out request) must neither receive a result
         # nor poison its co-batched siblings with InvalidStateError
@@ -217,8 +223,8 @@ class DynamicBatcher:
             # reuse the single-scan program (no extra compile for the
             # sequential / low-load case)
             cropped, mask, bbox, full, fut = take[0]
-            fn, _ = engine._program(cropped.shape[:2], spacing)
-            args = (engine.params, jax.device_put(cropped))
+            fn, _ = engine._program(cropped.shape[:2], spacing, wire)
+            args = (engine.params, jax.device_put(_wire_pack(cropped, wire)))
             if mask is not None:
                 args += (jax.device_put(mask),)
             fut.set_result((_BatchResult(fn(*args)), None, bbox, full))
@@ -233,9 +239,13 @@ class DynamicBatcher:
             f'borderline pixels — use batching=False / --no-batching for '
             f'bitwise reproducibility', once=True)
         fnb = engine._batched_program(self.max_batch, take[0][0].shape[:2],
-                                      spacing, has_mask)
+                                      spacing, has_mask, wire)
         pad = self.max_batch - B
-        xb = np.stack([it[0] for it in take] + [take[-1][0]] * pad)
+        stacked = np.stack([it[0] for it in take] + [take[-1][0]] * pad)
+        if wire is not None:
+            xb = _wire_pack(stacked, wire)  # splits along the channel axis
+        else:
+            xb = stacked
         args = (engine.params, jax.device_put(xb))
         if has_mask:
             mb = np.stack([it[1] for it in take] + [take[-1][1]] * pad)

@@ -69,6 +69,61 @@ def unpack_bits(packed: np.ndarray, n_labels: int) -> np.ndarray:
     return bits[..., :n_labels]
 
 
+# -- int16 wire: exact-integer channels upload at half width ------------------
+#
+# Host->device transfers are a first-order serving cost on remote-attached
+# TPUs (probe12: ~38 MB/s through the tunnel; the 8-scan stacked upload A/Bs
+# 160 -> 125 ms with the split wire). CT MIP channels — and integer X-ray
+# inputs — hold exactly-integral float values, which an int16 carries
+# losslessly at half the bytes; the device casts back to float before
+# normalization, so results are BIT-IDENTICAL to the float32 wire. The AIP
+# (mean) channel is fractional and stays float32. f16/bf16 wires were
+# rejected: neither represents HU values up to 3071 exactly (+-1 HU error).
+
+def wire_detect(arr: np.ndarray) -> Tuple[bool, ...]:
+    """Per-channel int16 eligibility of a float (H, W, C) array: every
+    value integral and within int16 range. NaN/inf fail the equality and
+    land on the float32 wire."""
+    wire = []
+    for c in range(arr.shape[-1]):
+        ch = arr[..., c]
+        wire.append(bool(ch.size and np.all(np.trunc(ch) == ch)
+                         and ch.min() >= -32768 and ch.max() <= 32767))
+    return tuple(wire)
+
+
+def _wire_pack(arr: np.ndarray, wire) -> object:
+    """Split (H, W, C) float32 into the wire payload: the int16 channels
+    and the float32 channels as two arrays (int channels first). All-float
+    wires return the array unchanged; all-int wires return a 1-tuple."""
+    if wire is None or not any(wire):
+        return np.ascontiguousarray(arr, np.float32)
+    ii = [c for c, w in enumerate(wire) if w]
+    ff = [c for c, w in enumerate(wire) if not w]
+    xi = np.ascontiguousarray(arr[..., ii]).astype(np.int16)
+    if not ff:
+        return (xi,)
+    return (xi, np.ascontiguousarray(arr[..., ff], np.float32))
+
+
+def _wire_restore(payload, wire, dtype) -> jnp.ndarray:
+    """Device-side inverse of _wire_pack: cast, concat, and restore the
+    original channel order (a no-op slice when the int channels already
+    lead, e.g. the (MIP, AIP) = (int16, float32) CT case)."""
+    if wire is None or not any(wire):
+        return payload.astype(dtype)
+    ii = [c for c, w in enumerate(wire) if w]
+    ff = [c for c, w in enumerate(wire) if not w]
+    parts = [payload[0].astype(dtype)]
+    if ff:
+        parts.append(payload[1].astype(dtype))
+    cat = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    perm = np.argsort(np.asarray(ii + ff))
+    if np.array_equal(perm, np.arange(len(perm))):
+        return cat
+    return cat[..., tuple(perm)]
+
+
 class EnsembleEngine:
     """Fused multi-group multi-fold inference.
 
@@ -200,7 +255,7 @@ class EnsembleEngine:
     # -- program construction ----------------------------------------------
 
     def _build(self, in_shape: Tuple[int, int], in_spacing: Tuple[float, float],
-               force_norm_mask: bool = False):
+               force_norm_mask: bool = False, wire=None):
         spec = self.spec
         pre = spec.preprocess
         if force_norm_mask:
@@ -258,7 +313,8 @@ class EnsembleEngine:
         needs_mask = any(pre.use_mask_for_norm)
 
         def program(params, arr, nz_mask=None):
-            work = arr.astype(self.dtype)
+            # arr: (H, W, C) float, or the int16-wire payload (_wire_pack)
+            work = _wire_restore(arr, wire, self.dtype)
             work = normalize_channels(work, pre, nz_mask)
             if any(w is not None for w in w_down):
                 pref = bspline_prefilter(work, [k for k in range(2)
@@ -337,28 +393,36 @@ class EnsembleEngine:
                 'n_mirror': n_mirror, 'needs_mask': needs_mask}
         return jitted, meta
 
-    def _program(self, in_shape, in_spacing):
-        key = (tuple(in_shape), tuple(round(float(s), 6) for s in in_spacing))
+    def _program(self, in_shape, in_spacing, wire=None):
+        if wire is not None and not any(wire):
+            wire = None  # all-float wire == the plain program
+        key = (tuple(in_shape), tuple(round(float(s), 6) for s in in_spacing),
+               wire)
         with self._cache_lock:
             hit = self._cache.get(key)
             if hit is None:
-                hit = self._build(tuple(in_shape), tuple(in_spacing))
+                hit = self._build(tuple(in_shape), tuple(in_spacing),
+                                  wire=wire)
                 self._cache[key] = hit
                 log(f'compiled ensemble program for shape={key[0]} '
                     f'({self.n_groups} groups, {hit[1]["n_tiles"]} tiles, '
-                    f'{hit[1]["n_mirror"]} mirrors, {self.n_folds} folds)')
+                    f'{hit[1]["n_mirror"]} mirrors, {self.n_folds} folds'
+                    + (f', int16 wire {wire}' if wire else '') + ')')
         return hit
 
     def _batched_program(self, batch: int, in_shape, in_spacing,
-                         has_mask: bool):
+                         has_mask: bool, wire=None):
         """vmap of the fused 2D program over a stacked batch of same-shape
         scans (the micro-batching dispatch path)."""
+        if wire is not None and not any(wire):
+            wire = None
         key = ('batch', int(batch), tuple(in_shape),
-               tuple(round(float(s), 6) for s in in_spacing), bool(has_mask))
+               tuple(round(float(s), 6) for s in in_spacing), bool(has_mask),
+               wire)
         with self._cache_lock:
             fn = self._cache.get(key)
             if fn is None:
-                fn2d, _ = self._program(in_shape, in_spacing)
+                fn2d, _ = self._program(in_shape, in_spacing, wire)
                 if has_mask:
                     fn = jax.jit(lambda params, xb, mb: jax.vmap(
                         lambda a, m: fn2d.__wrapped__(params, a, m))(xb, mb))
@@ -789,14 +853,18 @@ class EnsembleEngine:
         needs_mask = any(self.spec.preprocess.use_mask_for_norm)
         mask = nonzero_norm_mask(cropped) if needs_mask else None
         bbox = ((y0, y1), (x0, x1))
+        # exactly-integral channels (CT MIP, integer X-rays) ride the wire
+        # as int16 — half the upload bytes, bit-identical results (the
+        # device casts back before normalization)
+        wire = wire_detect(cropped)
         if self._batcher is not None:
             # micro-batching: the dispatcher thread coalesces concurrent
             # requests of the same shape into one batched device program
             return ('future',
                     self._batcher.submit(cropped, mask, spacing_yx, bbox,
-                                         arr.shape[:2]))
-        fn, _ = self._program(cropped.shape[:2], spacing_yx)
-        args = (self.params, jax.device_put(cropped))
+                                         arr.shape[:2], wire))
+        fn, _ = self._program(cropped.shape[:2], spacing_yx, wire)
+        args = (self.params, jax.device_put(_wire_pack(cropped, wire)))
         if needs_mask:
             args += (jax.device_put(mask),)
         return (fn(*args), bbox, arr.shape[:2])
@@ -832,24 +900,45 @@ class EnsembleEngine:
         return self.finish_array(self.predict_array_async(arr, spacing_yx))
 
     def warmup(self, in_shape: Sequence[int],
-               in_spacing: Optional[Sequence[float]] = None) -> None:
+               in_spacing: Optional[Sequence[float]] = None,
+               wire=None) -> None:
         """Pre-compile the programs for an input shape (an all-zero dummy
         crops to the full extent). With micro-batching enabled this also
         compiles the batched program — otherwise the first concurrent burst
-        would still pay the cold compile warmup exists to avoid."""
+        would still pay the cold compile warmup exists to avoid.
+
+        ``wire`` selects the input-wire variant to warm: None = the plain
+        float32 wire; a per-channel bool tuple = that int16 wire (see
+        wire_detect — requests pick their wire from content, so warm the
+        variant the production stream will hit, e.g. ``(True, False)`` for
+        the (MIP, AIP) CT projection of an integer volume)."""
         if in_spacing is None:
             in_spacing = self.spec.preprocess.spacing
+        if wire is not None and len(wire) != self.spec.arch.in_channels:
+            raise ValueError(f'wire needs {self.spec.arch.in_channels} '
+                             f'channel flags; got {wire}')
         dummy = np.zeros(tuple(in_shape) + (self.spec.arch.in_channels,),
                          np.float32)
-        self.predict_array(dummy, in_spacing)
+        needs_mask = any(self.spec.preprocess.use_mask_for_norm)
+        # drive the programs directly (predict_array would wire-detect the
+        # all-integral dummy and warm the wrong variant)
+        fn, _ = self._program(tuple(in_shape), tuple(in_spacing), wire)
+        args = (self.params, jax.device_put(_wire_pack(dummy, wire)))
+        if needs_mask:
+            args += (jax.device_put(nonzero_norm_mask(dummy)),)
+        jax.block_until_ready(fn(*args))
         if self._batcher is not None:
             # jit is lazy: execute one stacked batch so the batched program
             # actually compiles now
             B = self._batcher.max_batch
-            needs_mask = any(self.spec.preprocess.use_mask_for_norm)
             fn = self._batched_program(B, tuple(in_shape),
-                                       tuple(in_spacing), needs_mask)
-            args = (self.params, jax.device_put(np.stack([dummy] * B)))
+                                       tuple(in_spacing), needs_mask, wire)
+            payload = _wire_pack(dummy, wire)
+            if isinstance(payload, tuple):
+                xb = tuple(np.stack([p] * B) for p in payload)
+            else:
+                xb = np.stack([payload] * B)
+            args = (self.params, jax.device_put(xb))
             if needs_mask:
                 m = nonzero_norm_mask(dummy)
                 args += (jax.device_put(np.stack([m] * B)),)

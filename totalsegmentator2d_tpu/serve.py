@@ -222,6 +222,16 @@ class TS2DServer:
         self.stop()
 
 
+def production_wire(channel_names) -> tuple:
+    """The int16 wire a CT stream will hit (ensemble_engine.wire_detect):
+    projection modes that PICK a voxel of an integer volume (max/min/first/
+    mip) stay exactly integral; averaging modes (mean/avg/std) are
+    fractional and ride float32. --warmup warms this variant alongside the
+    plain float32 wire so the first real request pays no cold compile."""
+    names = [str(n).lower() for _, n in sorted(channel_names.items())]
+    return tuple(n in ('max', 'mip', 'min', 'first') for n in names)
+
+
 def main() -> None:
     import argparse
     from .api import TS2D
@@ -274,9 +284,14 @@ def main() -> None:
         if warmup_shapes and fused is None:
             warn('--warmup requires a fused model set; skipping')
             warmup_shapes = []
+        prod_wire = production_wire(fused.spec.channel_names) \
+            if fused is not None else ()
         for h, w in warmup_shapes:
             log(f'warming up {h}x{w} ...')
             fused.warmup((h, w))
+            if any(prod_wire):
+                log(f'warming up {h}x{w} int16 wire {prod_wire} ...')
+                fused.warmup((h, w), wire=prod_wire)
         server = TS2DServer(
             tool, host=args.host, port=args.port,
             max_body_bytes=args.max_body_mb * 1024 * 1024).start()
