@@ -576,3 +576,309 @@ class TestReviewRegressions:
                     extra_pre_pixel=uid_el(b'9.8.7'))
         with pytest.raises(DicomError, match='series in one directory'):
             read_dicom_series(str(tmp_path))
+
+
+# --- multi-frame fixtures ---------------------------------------------------
+
+def _sq(group, elem, item_bodies, *, implicit=False, defined_seq=False,
+        undef_items=False) -> bytes:
+    """Encode an SQ element from raw item bodies, covering every length
+    encoding the standard allows (defined/undefined sequence x
+    defined/undefined items)."""
+    out = b''
+    for body in item_bodies:
+        if undef_items:
+            out += struct.pack('<HHI', 0xFFFE, 0xE000, 0xFFFFFFFF) + body \
+                + struct.pack('<HHI', 0xFFFE, 0xE00D, 0)
+        else:
+            out += struct.pack('<HHI', 0xFFFE, 0xE000, len(body)) + body
+    if not defined_seq:
+        out += struct.pack('<HHI', 0xFFFE, 0xE0DD, 0)
+    length = len(out) if defined_seq else 0xFFFFFFFF
+    if implicit:
+        return struct.pack('<HHI', group, elem, length) + out
+    return struct.pack('<HH', group, elem) + b'SQ\x00\x00' \
+        + struct.pack('<I', length) + out
+
+
+def _encapsulate_frames(frames, *, bot=False, split=0) -> bytes:
+    """Encapsulated multi-frame PixelData: optional Basic Offset Table,
+    one fragment per frame (or two when ``split`` cuts each frame)."""
+    items = []
+    for fr in frames:
+        if len(fr) % 2:
+            fr += b'\x00'
+        parts = [fr] if not split else [fr[:split], fr[split:]]
+        items.append([p + (b'\x00' if len(p) % 2 else b'') for p in parts])
+    bot_bytes = b''
+    if bot:
+        offs, p = [], 0
+        for parts in items:
+            offs.append(p)
+            for part in parts:
+                p += 8 + len(part)
+        bot_bytes = struct.pack(f'<{len(offs)}I', *offs)
+    out = (struct.pack('<HH', 0x7FE0, 0x0010) + b'OB\x00\x00'
+           + struct.pack('<I', 0xFFFFFFFF)
+           + struct.pack('<HHI', 0xFFFE, 0xE000, len(bot_bytes)) + bot_bytes)
+    for parts in items:
+        for part in parts:
+            out += struct.pack('<HHI', 0xFFFE, 0xE000, len(part)) + part
+    return out + struct.pack('<HHI', 0xFFFE, 0xE0DD, 0)
+
+
+def write_enhanced(path, vol, *, positions, orientation=(1, 0, 0, 0, 1, 0),
+                   pixel_spacing=(0.7, 0.8), slope=None, intercept=None,
+                   transfer_syntax=_EXPLICIT, defined_seq=False,
+                   undef_items=False, jll_split=0,
+                   per_frame_orientations=None, per_frame_rescales=None):
+    """Enhanced-CT-style multi-frame file: geometry lives in the Shared /
+    Per-Frame Functional Groups sequences, not at the top level."""
+    F, rows, cols = vol.shape
+    implicit = transfer_syntax == _IMPLICIT
+    ts = transfer_syntax.encode()
+    meta = _el_explicit(0x0002, 0x0010, b'UI', ts)
+
+    def E(g, e, vr, v):
+        return _el_implicit(g, e, v) if implicit else _el_explicit(g, e, vr, v)
+
+    def SQ(g, e, bodies):
+        return _sq(g, e, bodies, implicit=implicit, defined_seq=defined_seq,
+                   undef_items=undef_items)
+
+    shared = SQ(0x0020, 0x9116, [E(0x0020, 0x0037, b'DS',
+                                   _ds_bytes(*orientation))]) \
+        + SQ(0x0028, 0x9110, [E(0x0028, 0x0030, b'DS',
+                                _ds_bytes(*pixel_spacing))])
+    if slope is not None or intercept is not None:
+        shared += SQ(0x0028, 0x9145,
+                     [E(0x0028, 0x1053, b'DS', _ds_bytes(slope or 1))
+                      + E(0x0028, 0x1052, b'DS', _ds_bytes(intercept or 0))])
+    pf_items = []
+    for i, p in enumerate(positions):
+        item = SQ(0x0020, 0x9113, [E(0x0020, 0x0032, b'DS', _ds_bytes(*p))])
+        if per_frame_orientations is not None:
+            item += SQ(0x0020, 0x9116,
+                       [E(0x0020, 0x0037, b'DS',
+                          _ds_bytes(*per_frame_orientations[i]))])
+        if per_frame_rescales is not None:
+            s, c = per_frame_rescales[i]
+            item += SQ(0x0028, 0x9145,
+                       [E(0x0028, 0x1053, b'DS', _ds_bytes(s))
+                        + E(0x0028, 0x1052, b'DS', _ds_bytes(c))])
+        pf_items.append(item)
+
+    body = b''
+    body += E(0x0020, 0x0013, b'IS', b'1')
+    body += E(0x0028, 0x0002, b'US', struct.pack('<H', 1))
+    body += E(0x0028, 0x0008, b'IS', str(F).encode())
+    body += E(0x0028, 0x0010, b'US', struct.pack('<H', rows))
+    body += E(0x0028, 0x0011, b'US', struct.pack('<H', cols))
+    body += E(0x0028, 0x0100, b'US', struct.pack('<H', 16))
+    body += E(0x0028, 0x0103, b'US',
+              struct.pack('<H', 1 if vol.dtype == np.int16 else 0))
+    body += SQ(0x5200, 0x9229, [shared])
+    body += SQ(0x5200, 0x9230, pf_items)
+    if transfer_syntax == _RLE:
+        body += _encapsulate_frames([_rle_frame(f) for f in vol])
+    elif transfer_syntax in (_JPLL, _JPLL_SV1):
+        frames = [_jpegll_frame(f.view(np.uint16)) for f in vol]
+        body += _encapsulate_frames(frames, bot=bool(jll_split),
+                                    split=jll_split)
+    else:
+        body += E(0x7FE0, 0x0010, b'OW', vol.tobytes())
+    with open(path, 'wb') as f:
+        f.write(b'\x00' * 128 + b'DICM' + meta + body)
+
+
+def write_legacy_multiframe(path, vol, *, position0, dz,
+                            orientation=(1, 0, 0, 0, 1, 0),
+                            pixel_spacing=(0.7, 0.8), use_thickness=False,
+                            transfer_syntax=_IMPLICIT):
+    """Legacy multi-frame file: one top-level ImagePositionPatient, frame
+    spacing from SpacingBetweenSlices (or SliceThickness)."""
+    F, rows, cols = vol.shape
+    implicit = transfer_syntax == _IMPLICIT
+    ts = transfer_syntax.encode()
+    meta = _el_explicit(0x0002, 0x0010, b'UI', ts)
+
+    def E(g, e, vr, v):
+        return _el_implicit(g, e, v) if implicit else _el_explicit(g, e, vr, v)
+
+    body = b''
+    body += E(0x0020, 0x0013, b'IS', b'1')
+    body += E(0x0020, 0x0032, b'DS', _ds_bytes(*position0))
+    body += E(0x0020, 0x0037, b'DS', _ds_bytes(*orientation))
+    body += E(0x0018, 0x0050 if use_thickness else 0x0088, b'DS',
+              _ds_bytes(dz))
+    body += E(0x0028, 0x0002, b'US', struct.pack('<H', 1))
+    body += E(0x0028, 0x0008, b'IS', str(F).encode())
+    body += E(0x0028, 0x0010, b'US', struct.pack('<H', rows))
+    body += E(0x0028, 0x0011, b'US', struct.pack('<H', cols))
+    body += E(0x0028, 0x0030, b'DS', _ds_bytes(*pixel_spacing))
+    body += E(0x0028, 0x0100, b'US', struct.pack('<H', 16))
+    body += E(0x0028, 0x0103, b'US',
+              struct.pack('<H', 1 if vol.dtype == np.int16 else 0))
+    body += E(0x7FE0, 0x0010, b'OW', vol.tobytes())
+    with open(path, 'wb') as f:
+        f.write(b'\x00' * 128 + b'DICM' + meta + body)
+
+
+class TestMultiFrame:
+    """Enhanced-CT and legacy multi-frame files (one file = whole stack)."""
+
+    def _vol(self, n=5):
+        rng = np.random.default_rng(3)
+        return rng.integers(-900, 1500, size=(n, 10, 12)).astype(np.int16)
+
+    def test_enhanced_matches_slice_series(self, tmp_path):
+        """One Enhanced-CT file must read identically to the equivalent
+        single-frame slice series."""
+        vol = self._vol()
+        pos = [(5.0, -7.0, 10.0 + 2.5 * i) for i in range(len(vol))]
+        write_enhanced(str(tmp_path / 'mf.dcm'), vol, positions=pos)
+        img = read_dicom_series(str(tmp_path / 'mf.dcm'))
+        np.testing.assert_array_equal(img.array, vol)
+        assert img.spacing == pytest.approx((0.8, 0.7, 2.5))
+        assert tuple(img.origin) == pytest.approx((5.0, -7.0, 10.0))
+
+    @pytest.mark.parametrize('defined_seq,undef_items',
+                             [(True, False), (False, True), (True, True)])
+    def test_sequence_length_encodings(self, tmp_path, defined_seq,
+                                       undef_items):
+        """Defined/undefined sequence and item lengths all parse (PS3.5
+        7.5 allows any combination)."""
+        vol = self._vol(3)
+        pos = [(0.0, 0.0, 4.0 * i) for i in range(3)]
+        write_enhanced(str(tmp_path / 'mf.dcm'), vol, positions=pos,
+                       defined_seq=defined_seq, undef_items=undef_items)
+        img = read_dicom_series(str(tmp_path / 'mf.dcm'))
+        np.testing.assert_array_equal(img.array, vol)
+        assert img.spacing[2] == pytest.approx(4.0)
+
+    def test_enhanced_implicit_vr(self, tmp_path):
+        vol = self._vol(3)
+        pos = [(0.0, 0.0, 2.0 * i) for i in range(3)]
+        write_enhanced(str(tmp_path / 'mf.dcm'), vol, positions=pos,
+                       transfer_syntax=_IMPLICIT)
+        img = read_dicom_series(str(tmp_path / 'mf.dcm'))
+        np.testing.assert_array_equal(img.array, vol)
+
+    def test_enhanced_functional_group_rescale(self, tmp_path):
+        """Rescale from the shared Pixel Value Transformation sequence
+        produces Hounsfield int16 exactly like top-level rescale."""
+        raw = self._vol().view(np.uint16)  # stored unsigned
+        raw = (raw.view(np.int16).astype(np.int64) + 1024).astype(np.uint16)
+        write_enhanced(str(tmp_path / 'mf.dcm'),
+                       raw.view(np.uint16).astype(np.uint16),
+                       positions=[(0, 0, 2.0 * i) for i in range(len(raw))],
+                       slope=1, intercept=-1024)
+        img = read_dicom_series(str(tmp_path / 'mf.dcm'))
+        assert img.array.dtype == np.int16
+        np.testing.assert_array_equal(
+            img.array, raw.astype(np.int64) - 1024)
+
+    def test_enhanced_rle(self, tmp_path):
+        """RLE multi-frame: one fragment per frame (PS3.5 G.2)."""
+        vol = self._vol(4)
+        pos = [(0, 0, 1.0 * i) for i in range(4)]
+        write_enhanced(str(tmp_path / 'mf.dcm'), vol, positions=pos,
+                       transfer_syntax=_RLE)
+        img = read_dicom_series(str(tmp_path / 'mf.dcm'))
+        np.testing.assert_array_equal(img.array, vol)
+
+    def test_enhanced_jpegll_split_fragments_with_bot(self, tmp_path):
+        """JPEG Lossless frames split across two fragments each are
+        regrouped via the Basic Offset Table."""
+        vol = self._vol(3)
+        pos = [(0, 0, 1.0 * i) for i in range(3)]
+        write_enhanced(str(tmp_path / 'mf.dcm'), vol, positions=pos,
+                       transfer_syntax=_JPLL_SV1, jll_split=40)
+        img = read_dicom_series(str(tmp_path / 'mf.dcm'))
+        np.testing.assert_array_equal(img.array, vol)
+
+    def test_legacy_spacing_between_slices(self, tmp_path):
+        vol = self._vol(4)
+        write_legacy_multiframe(str(tmp_path / 'mf.dcm'), vol,
+                                position0=(1.0, 2.0, -3.0), dz=3.5)
+        img = read_dicom_series(str(tmp_path / 'mf.dcm'))
+        np.testing.assert_array_equal(img.array, vol)
+        assert img.spacing == pytest.approx((0.8, 0.7, 3.5))
+        assert tuple(img.origin) == pytest.approx((1.0, 2.0, -3.0))
+
+    def test_legacy_slice_thickness_fallback(self, tmp_path):
+        vol = self._vol(3)
+        write_legacy_multiframe(str(tmp_path / 'mf.dcm'), vol,
+                                position0=(0, 0, 0), dz=1.25,
+                                use_thickness=True,
+                                transfer_syntax=_EXPLICIT)
+        img = read_dicom_series(str(tmp_path / 'mf.dcm'))
+        assert img.spacing[2] == pytest.approx(1.25)
+
+    def test_multiframe_file_flattens_with_single_frame_slices(
+            self, tmp_path):
+        """A multi-frame file plus single-frame slices of the SAME series
+        flatten into one consistent stack."""
+        vol = self._vol(4)
+        write_enhanced(str(tmp_path / 'a_mf.dcm'), vol[:2],
+                       positions=[(5, -7, 0.0), (5, -7, 2.5)])
+        for i, z in enumerate((2, 3)):
+            write_slice(str(tmp_path / f'b{i}.dcm'), vol[z],
+                        position=(5.0, -7.0, 2.5 * z), instance=i + 3)
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+
+    def test_missing_frame_geometry_rejected(self, tmp_path):
+        """Multi-frame without per-frame positions AND without top-level
+        position+spacing must raise, not guess."""
+        vol = self._vol(3)
+        rows, cols = vol.shape[1:]
+        meta = _el_explicit(0x0002, 0x0010, b'UI', _EXPLICIT.encode())
+        body = b''
+        body += _el_explicit(0x0028, 0x0008, b'IS', b'3')
+        body += _el_explicit(0x0028, 0x0010, b'US', struct.pack('<H', rows))
+        body += _el_explicit(0x0028, 0x0011, b'US', struct.pack('<H', cols))
+        body += _el_explicit(0x0028, 0x0100, b'US', struct.pack('<H', 16))
+        body += _el_explicit(0x0028, 0x0103, b'US', struct.pack('<H', 1))
+        body += _el_explicit(0x7FE0, 0x0010, b'OW', vol.tobytes())
+        with open(tmp_path / 'mf.dcm', 'wb') as f:
+            f.write(b'\x00' * 128 + b'DICM' + meta + body)
+        with pytest.raises(DicomError, match='frame geometry'):
+            read_dicom_series(str(tmp_path / 'mf.dcm'))
+
+    def test_per_frame_orientation_mismatch_rejected(self, tmp_path):
+        vol = self._vol(2)
+        write_enhanced(str(tmp_path / 'mf.dcm'), vol,
+                       positions=[(0, 0, 0), (0, 0, 1)],
+                       per_frame_orientations=[(1, 0, 0, 0, 1, 0),
+                                               (0, 1, 0, 1, 0, 0)])
+        with pytest.raises(DicomError, match='disagree on'):
+            read_dicom_series(str(tmp_path / 'mf.dcm'))
+
+    def test_per_frame_rescale_mismatch_rejected(self, tmp_path):
+        vol = self._vol(2).view(np.uint16)
+        write_enhanced(str(tmp_path / 'mf.dcm'), vol,
+                       positions=[(0, 0, 0), (0, 0, 1)],
+                       per_frame_rescales=[(1, -1024), (2, -1024)])
+        with pytest.raises(DicomError, match='rescale'):
+            read_dicom_series(str(tmp_path / 'mf.dcm'))
+
+    def test_per_frame_rescale_consistent_applied(self, tmp_path):
+        vol = (self._vol(2).astype(np.int64) + 1024).astype(np.uint16)
+        write_enhanced(str(tmp_path / 'mf.dcm'), vol,
+                       positions=[(0, 0, 0), (0, 0, 1)],
+                       per_frame_rescales=[(1, -1024), (1, -1024)])
+        img = read_dicom_series(str(tmp_path / 'mf.dcm'))
+        assert img.array.dtype == np.int16
+        np.testing.assert_array_equal(img.array,
+                                      vol.astype(np.int64) - 1024)
+
+    def test_single_frame_via_file_api_unchanged(self, tmp_path):
+        """read_dicom_file keeps its array/position aliases for
+        single-frame files (frame 0)."""
+        arr = self._vol(1)[0]
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(1, 2, 3))
+        sl = read_dicom_file(str(tmp_path / 'a.dcm'))
+        np.testing.assert_array_equal(sl['array'], arr)
+        assert len(sl['frames']) == 1
+        np.testing.assert_array_equal(sl['frames'][0]['array'], arr)

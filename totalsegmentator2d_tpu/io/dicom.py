@@ -8,12 +8,19 @@ little-endian transfer syntaxes (implicit 1.2.840.10008.1.2 and explicit
 scheme — decoded in _rle_decode_frame), and JPEG Lossless
 (1.2.840.10008.1.2.4.57/.70, T.81 process 14 — the dominant compressed CT
 archive syntax, decoded in io/jpegll.py with a native C hot loop),
-single-frame single-sample slices, assembled into one (Z, Y, X) volume
+single-sample (grayscale) slices, assembled into one (Z, Y, X) volume
 with full LPS geometry (DICOM's patient coordinate system IS LPS, the
 framework's world frame — no conversion needed).
 
+Multi-frame files are supported in both flavors: Enhanced CT (per-frame
+plane positions in the Per-Frame Functional Groups Sequence (5200,9230),
+shared orientation/spacing/rescale in the Shared Functional Groups
+Sequence (5200,9229)) and legacy multi-frame (a single top-level
+ImagePositionPatient advanced along the slice normal by
+SpacingBetweenSlices (0018,0088), falling back to SliceThickness).
+
 Deliberately conservative: lossy-JPEG transfer syntaxes, JPEG-LS/2000,
-multi-frame files, color images, and non-uniform slice stacks raise
+color images, and non-uniform slice stacks raise
 informative errors rather than guessing. Geometry notes:
  - ImageOrientationPatient (0020,0037) gives the column-axis (x) and
    row-axis (y) direction cosines; the z column of the direction matrix
@@ -51,8 +58,11 @@ _SEQ_DELIM = (0xFFFE, 0xE0DD)
 
 DICOM_EXTENSIONS = ('.dcm', '.dicom', '.ima')
 
-# tags we collect (group, element)
+# tags we collect (group, element) — at the top level and inside
+# functional-group items (tag namespaces don't collide across levels)
 _TAGS = {
+    (0x0018, 0x0050): 'SliceThickness',
+    (0x0018, 0x0088): 'SpacingBetweenSlices',
     (0x0020, 0x000E): 'SeriesInstanceUID',
     (0x0020, 0x0013): 'InstanceNumber',
     (0x0020, 0x0032): 'ImagePositionPatient',
@@ -67,6 +77,18 @@ _TAGS = {
     (0x0028, 0x1052): 'RescaleIntercept',
     (0x0028, 0x1053): 'RescaleSlope',
     (0x7FE0, 0x0010): 'PixelData',
+}
+
+# sequences parsed into lists of item dicts (everything else is skipped);
+# the Enhanced-CT functional groups and the per-concept sequences inside
+# their items (PS3.3 C.7.6.16)
+_SEQ_TAGS = {
+    (0x0020, 0x9113): 'PlanePositionSequence',
+    (0x0020, 0x9116): 'PlaneOrientationSequence',
+    (0x0028, 0x9110): 'PixelMeasuresSequence',
+    (0x0028, 0x9145): 'PixelValueTransformationSequence',
+    (0x5200, 0x9229): 'SharedFunctionalGroups',
+    (0x5200, 0x9230): 'PerFrameFunctionalGroups',
 }
 
 
@@ -154,47 +176,104 @@ def _skip_item(buf: bytes, pos: int, implicit: bool) -> int:
             pos = value_at + length
 
 
-def _parse_fragments(buf: bytes, pos: int) -> Tuple[List[bytes], int]:
+def _parse_fragments(buf: bytes, pos: int) -> Tuple[bytes, List[bytes], int]:
     """Parse an encapsulated PixelData value (PS3.5 A.4): a Basic Offset
-    Table item followed by one fragment item per frame, closed by a
-    sequence delimiter. Returns (fragments without the BOT, offset past
+    Table item followed by the frame fragment items, closed by a sequence
+    delimiter. Returns (Basic Offset Table bytes, fragments, offset past
     the delimiter)."""
     frags: List[bytes] = []
+    bot = b''
     first = True
     while True:
         tag, length, value_at = _element_header(buf, pos, implicit=True)
         if tag == _SEQ_DELIM:
-            return frags, value_at + length
+            return bot, frags, value_at + length
         if tag != _ITEM or length == 0xFFFFFFFF:
             raise DicomError('Malformed encapsulated PixelData')
-        if not first:  # the first item is the Basic Offset Table
+        if first:  # the first item is the (possibly empty) BOT
+            bot = buf[value_at:value_at + length]
+        else:
             frags.append(buf[value_at:value_at + length])
         first = False
         pos = value_at + length
 
 
-def _parse_dataset(buf: bytes, pos: int, implicit: bool) -> Dict[str, bytes]:
-    """Collect the raw value bytes of the tags in _TAGS; stop after
-    PixelData."""
-    out: Dict[str, bytes] = {}
+def _collect_one(out: dict, buf: bytes, tag, length: int, value_at: int,
+                 implicit: bool) -> int:
+    """Collect one non-PixelData element into ``out``; returns the offset
+    past its value. Sequences in _SEQ_TAGS recurse into item dicts; other
+    sequences are skipped."""
+    seq_name = _SEQ_TAGS.get(tag)
+    if seq_name is not None:
+        out[seq_name], pos = _parse_seq_items(buf, value_at, length, implicit)
+        return pos
+    if length == 0xFFFFFFFF:
+        return _skip_sequence(buf, value_at, implicit)
+    name = _TAGS.get(tag)
+    if name:
+        out[name] = buf[value_at:value_at + length]
+    return value_at + length
+
+
+def _parse_seq_items(buf: bytes, pos: int, length: int,
+                     implicit: bool) -> Tuple[List[dict], int]:
+    """Parse an SQ value into a list of item dicts (recursively collecting
+    _TAGS/_SEQ_TAGS); handles defined- and undefined-length sequences and
+    items. Returns (items, offset past the sequence)."""
+    items: List[dict] = []
+    end = None if length == 0xFFFFFFFF else pos + length
+    while end is None or pos + 8 <= end:
+        tag, ilen, value_at = _element_header(buf, pos, implicit)
+        if tag == _SEQ_DELIM:
+            return items, value_at + ilen
+        if tag != _ITEM:
+            raise DicomError('Malformed sequence (expected an item)')
+        if ilen == 0xFFFFFFFF:
+            item, pos = _parse_item_undef(buf, value_at, implicit)
+        else:
+            item = _parse_ds_span(buf, value_at, value_at + ilen, implicit)
+            pos = value_at + ilen
+        items.append(item)
+    return items, end
+
+
+def _parse_item_undef(buf: bytes, pos: int,
+                      implicit: bool) -> Tuple[dict, int]:
+    """Parse an undefined-length item body up to its item delimiter."""
+    out: dict = {}
+    while True:
+        tag, length, value_at = _element_header(buf, pos, implicit)
+        if tag == _ITEM_DELIM:
+            return out, value_at + length
+        pos = _collect_one(out, buf, tag, length, value_at, implicit)
+
+
+def _parse_ds_span(buf: bytes, pos: int, end: int, implicit: bool) -> dict:
+    """Parse the data elements of a defined-length item value."""
+    out: dict = {}
+    while pos + 8 <= end:
+        tag, length, value_at = _element_header(buf, pos, implicit)
+        pos = _collect_one(out, buf, tag, length, value_at, implicit)
+    return out
+
+
+def _parse_dataset(buf: bytes, pos: int, implicit: bool) -> Dict[str, object]:
+    """Collect the raw value bytes of the tags in _TAGS (recursing into the
+    functional-group sequences of _SEQ_TAGS); stop after PixelData."""
+    out: Dict[str, object] = {}
     n = len(buf)
     while pos + 8 <= n:
         tag, length, value_at = _element_header(buf, pos, implicit)
-        if length == 0xFFFFFFFF:
-            if tag in _TAGS and _TAGS[tag] == 'PixelData':
-                # encapsulated (compressed) PixelData: collect the raw
-                # fragments; whether the compression is decodable (RLE) is
-                # the caller's decision based on the transfer syntax
-                out['PixelDataFragments'], pos = _parse_fragments(
-                    buf, value_at)
-                return out
-            pos = _skip_sequence(buf, value_at, implicit)
-            continue
-        if tag in _TAGS:
-            out[_TAGS[tag]] = buf[value_at:value_at + length]
-            if _TAGS[tag] == 'PixelData':
-                return out
-        pos = value_at + length
+        if length == 0xFFFFFFFF and _TAGS.get(tag) == 'PixelData':
+            # encapsulated (compressed) PixelData: collect the raw
+            # fragments; whether the compression is decodable is the
+            # caller's decision based on the transfer syntax
+            out['PixelDataBOT'], out['PixelDataFragments'], pos = \
+                _parse_fragments(buf, value_at)
+            return out
+        pos = _collect_one(out, buf, tag, length, value_at, implicit)
+        if 'PixelData' in out:
+            return out
     return out
 
 
@@ -273,9 +352,49 @@ def _rle_decode_frame(frame: bytes, rows: int, cols: int,
     return val.reshape(rows, cols)
 
 
+def _frame_codestreams(frags: List[bytes], bot: bytes, nframes: int,
+                       name: str) -> List[bytes]:
+    """Split the encapsulated fragment list into one JPEG codestream per
+    frame: one fragment per frame when the counts match, else via the
+    Basic Offset Table (each BOT entry is the byte offset of a frame's
+    first fragment item header within the fragment stream, PS3.5 A.4)."""
+    if nframes == 1:
+        return [b''.join(frags)]
+    if len(frags) == nframes:
+        return list(frags)
+    if len(bot) == 4 * nframes:
+        offsets = struct.unpack(f'<{nframes}I', bot)
+        starts, p = {}, 0
+        for i, f in enumerate(frags):
+            starts[p] = i
+            p += 8 + len(f)
+        try:
+            idx = [starts[o] for o in offsets]
+        except KeyError:
+            raise DicomError(f'{name}: Basic Offset Table entries do not '
+                             f'land on fragment boundaries')
+        if idx != sorted(idx) or idx[0] != 0:
+            raise DicomError(f'{name}: malformed Basic Offset Table')
+        bounds = idx + [len(frags)]
+        return [b''.join(frags[bounds[k]:bounds[k + 1]])
+                for k in range(nframes)]
+    raise DicomError(
+        f'{name}: cannot split {len(frags)} fragments into {nframes} '
+        f'frames (no usable Basic Offset Table)')
+
+
+def _first_item(container: dict, seq: str) -> dict:
+    items = container.get(seq)
+    return items[0] if items else {}
+
+
 def read_dicom_file(path: str) -> dict:
-    """Parse one DICOM file into {array (Y, X), position, orientation,
-    pixel_spacing, instance}. Raises DicomError on unsupported encodings."""
+    """Parse one DICOM file into {frames: [{array (Y, X), position}, ...],
+    orientation, pixel_spacing, instance, series_uid} (plus array/position
+    aliases of frame 0). Multi-frame files yield one entry per frame:
+    Enhanced-CT per-frame plane positions, or legacy top-level position +
+    SpacingBetweenSlices. Raises DicomError on unsupported encodings."""
+    name = os.path.basename(path)
     with open(path, 'rb') as f:
         buf = f.read()
     pos, ts = _read_file_meta(buf)
@@ -290,77 +409,172 @@ def read_dicom_file(path: str) -> dict:
         implicit, jpegll = False, True
     else:
         raise DicomError(
-            f'Unsupported transfer syntax {ts} in {os.path.basename(path)} '
+            f'Unsupported transfer syntax {ts} in {name} '
             f'(uncompressed little endian, RLE lossless, and JPEG lossless '
             f'are read natively; convert lossy-JPEG/JPEG-2000 series to '
             f'NRRD/NIfTI)')
     el = _parse_dataset(buf, pos, implicit)
     rows, cols = _us(el.get('Rows')), _us(el.get('Columns'))
     if not rows or not cols:
-        raise DicomError(f'{os.path.basename(path)}: missing Rows/Columns')
+        raise DicomError(f'{name}: missing Rows/Columns')
     if _us(el.get('SamplesPerPixel'), 1) != 1:
         raise DicomError('Only single-sample (grayscale) images are supported')
-    if _int(el.get('NumberOfFrames'), 1) != 1:
-        raise DicomError('Multi-frame DICOM files are not supported')
+    nframes = _int(el.get('NumberOfFrames'), 1)
+    if nframes < 1:
+        raise DicomError(f'{name}: NumberOfFrames={nframes}')
     bits = _us(el.get('BitsAllocated'), 16)
     signed = _us(el.get('PixelRepresentation'), 0) == 1
     dtype = {(8, False): np.uint8, (8, True): np.int8,
              (16, False): np.uint16, (16, True): np.int16}.get((bits, signed))
     if dtype is None:
         raise DicomError(f'Unsupported BitsAllocated={bits}')
+
+    shared = _first_item(el, 'SharedFunctionalGroups')
+    perframe = el.get('PerFrameFunctionalGroups') or []
+    if perframe and len(perframe) != nframes:
+        raise DicomError(
+            f'{name}: {len(perframe)} per-frame functional groups for '
+            f'{nframes} frames')
+
     if rle or jpegll:
         frags = el.get('PixelDataFragments')
         if not frags:
             raise DicomError(
-                f'{os.path.basename(path)}: compressed file without '
-                f'encapsulated PixelData fragments')
+                f'{name}: compressed file without encapsulated PixelData '
+                f'fragments')
         if rle:
-            # PS3.5 A.4.2: an RLE frame occupies exactly one fragment; with
-            # a single frame the first fragment is the whole frame
-            arr = _rle_decode_frame(frags[0], rows, cols, bits // 8)
+            # PS3.5 G.2: an RLE frame occupies exactly one fragment
+            if len(frags) != nframes:
+                raise DicomError(
+                    f'{name}: {len(frags)} RLE fragments for {nframes} '
+                    f'frames (PS3.5 G.2 requires one per frame)')
+            frames = [_rle_decode_frame(f, rows, cols, bits // 8)
+                      for f in frags]
         else:
-            # a JPEG frame may be SPLIT across fragments (PS3.5 A.4); with
-            # one frame the full codestream is the fragment concatenation
+            # a JPEG frame may be SPLIT across fragments (PS3.5 A.4)
             from .jpegll import JpegError, decode as jpegll_decode
-            try:
-                arr = jpegll_decode(b''.join(frags))
-            except JpegError as ex:
-                raise DicomError(
-                    f'{os.path.basename(path)}: {ex}') from ex
-            if arr.shape != (rows, cols):
-                raise DicomError(
-                    f'{os.path.basename(path)}: JPEG frame is '
-                    f'{arr.shape[0]}x{arr.shape[1]}, dataset says '
-                    f'{rows}x{cols}')
-        arr = arr.view(dtype) if arr.itemsize == np.dtype(dtype).itemsize \
-            else arr.astype(dtype)
+            streams = _frame_codestreams(frags, el.get('PixelDataBOT', b''),
+                                         nframes, name)
+            frames = []
+            for cs in streams:
+                try:
+                    arr = jpegll_decode(cs)
+                except JpegError as ex:
+                    raise DicomError(f'{name}: {ex}') from ex
+                if arr.shape != (rows, cols):
+                    raise DicomError(
+                        f'{name}: JPEG frame is {arr.shape[0]}x'
+                        f'{arr.shape[1]}, dataset says {rows}x{cols}')
+                frames.append(arr)
+        frames = [a.view(dtype) if a.itemsize == np.dtype(dtype).itemsize
+                  else a.astype(dtype) for a in frames]
+        vol = np.stack(frames)
     else:
         pix = el.get('PixelData')
         if pix is None:
             if el.get('PixelDataFragments') is not None:
                 raise DicomError(
-                    f'{os.path.basename(path)}: encapsulated PixelData in a '
-                    f'non-RLE transfer syntax is not supported')
-            raise DicomError(f'{os.path.basename(path)}: no PixelData')
-        need = rows * cols * (bits // 8)
+                    f'{name}: encapsulated PixelData in an uncompressed '
+                    f'transfer syntax is not supported')
+            raise DicomError(f'{name}: no PixelData')
+        need = rows * cols * (bits // 8) * nframes
         if len(pix) < need:
-            raise DicomError(f'{os.path.basename(path)}: truncated PixelData')
-        arr = np.frombuffer(pix[:need], dtype=dtype).reshape(rows, cols)
-    slope = (_ds(el.get('RescaleSlope')) or [1.0])[0]
-    inter = (_ds(el.get('RescaleIntercept')) or [0.0])[0]
+            raise DicomError(f'{name}: truncated PixelData')
+        vol = np.frombuffer(pix[:need], dtype=dtype).reshape(
+            nframes, rows, cols)
+
+    # rescale: top level, else the Pixel Value Transformation functional
+    # group (shared, or per-frame when identical across frames)
+    sl_raw, in_raw = el.get('RescaleSlope'), el.get('RescaleIntercept')
+    if sl_raw is None and in_raw is None:
+        pvt = _first_item(shared, 'PixelValueTransformationSequence')
+        if not pvt and perframe:
+            pvts = [_first_item(fg, 'PixelValueTransformationSequence')
+                    for fg in perframe]
+            vals = {(bytes(p.get('RescaleSlope') or b''),
+                     bytes(p.get('RescaleIntercept') or b''))
+                    for p in pvts}
+            if len(vals) > 1:
+                raise DicomError(f'{name}: per-frame rescale transforms '
+                                 f'differ between frames')
+            pvt = pvts[0]
+        sl_raw, in_raw = pvt.get('RescaleSlope'), pvt.get('RescaleIntercept')
+    slope = (_ds(sl_raw) or [1.0])[0]
+    inter = (_ds(in_raw) or [0.0])[0]
     if slope != 1.0 or inter != 0.0:
-        scaled = arr.astype(np.float64) * slope + inter
+        scaled = vol.astype(np.float64) * slope + inter
         if float(slope).is_integer() and float(inter).is_integer() \
                 and scaled.min() >= -32768 and scaled.max() <= 32767:
-            arr = scaled.astype(np.int16)  # CT Hounsfield units
+            vol = scaled.astype(np.int16)  # CT Hounsfield units
         else:
-            arr = scaled.astype(np.float32)
+            vol = scaled.astype(np.float32)
+
+    # orientation: top level, else the Plane Orientation functional group
+    # (shared, or per-frame when identical across frames)
+    iop_raw = el.get('ImageOrientationPatient')
+    orientation = _ds(iop_raw)
+    if not orientation:
+        po = _first_item(shared, 'PlaneOrientationSequence')
+        orientation = _ds(po.get('ImageOrientationPatient'))
+    if perframe:
+        pf_iops = [_ds(_first_item(fg, 'PlaneOrientationSequence')
+                       .get('ImageOrientationPatient')) for fg in perframe]
+        pf_iops = [o for o in pf_iops if o]
+        if pf_iops:
+            if not orientation:
+                orientation = pf_iops[0]
+            for o in pf_iops:
+                if not np.allclose(o, orientation, atol=1e-4):
+                    raise DicomError(
+                        f'{name}: frames disagree on ImageOrientationPatient '
+                        f'(tilted-gantry multi-frame is not supported)')
+
+    # pixel spacing: top level, else the Pixel Measures functional group
+    pixel_spacing = _ds(el.get('PixelSpacing'))
+    pm = _first_item(shared, 'PixelMeasuresSequence') or \
+        (_first_item(perframe[0], 'PixelMeasuresSequence') if perframe
+         else {})
+    if not pixel_spacing:
+        pixel_spacing = _ds(pm.get('PixelSpacing'))
+
+    # per-frame positions: Enhanced-CT plane positions, else legacy
+    # top-level position advanced along the slice normal
+    positions: List[List[float]] = []
+    if perframe:
+        positions = [_ds(_first_item(fg, 'PlanePositionSequence')
+                         .get('ImagePositionPatient')) for fg in perframe]
+        if not all(len(p) == 3 for p in positions):
+            positions = []
+    if not positions:
+        ipp = _ds(el.get('ImagePositionPatient'))
+        if nframes == 1:
+            positions = [ipp]
+        else:
+            dz_raw = el.get('SpacingBetweenSlices') or pm.get(
+                'SpacingBetweenSlices') or el.get('SliceThickness') or \
+                pm.get('SliceThickness')
+            dz = (_ds(dz_raw) or [0.0])[0]
+            if not ipp or dz <= 0:
+                raise DicomError(
+                    f'{name}: multi-frame file without per-frame plane '
+                    f'positions needs ImagePositionPatient and '
+                    f'SpacingBetweenSlices/SliceThickness to derive the '
+                    f'frame geometry')
+            o = orientation or [1, 0, 0, 0, 1, 0]
+            normal = np.cross(np.asarray(o[0:3], float),
+                              np.asarray(o[3:6], float))
+            positions = [list(np.asarray(ipp, float) + i * dz * normal)
+                         for i in range(nframes)]
+
     uid = el.get('SeriesInstanceUID')
+    frames_out = [{'array': vol[i], 'position': positions[i]}
+                  for i in range(nframes)]
     return {
-        'array': arr,
-        'position': _ds(el.get('ImagePositionPatient')),
-        'orientation': _ds(el.get('ImageOrientationPatient')),
-        'pixel_spacing': _ds(el.get('PixelSpacing')),
+        'frames': frames_out,
+        'array': frames_out[0]['array'],
+        'position': frames_out[0]['position'],
+        'orientation': orientation,
+        'pixel_spacing': pixel_spacing,
         'instance': _int(el.get('InstanceNumber')),
         'series_uid': (uid.decode('ascii', 'replace').rstrip('\x00 ').strip()
                        if uid else ''),
@@ -378,16 +592,23 @@ def _series_files(path: str) -> List[str]:
 
 
 def read_dicom_series(path: str) -> MedicalImage:
-    """Read a directory of single-frame DICOM slices (or one file) into a
-    3D MedicalImage with LPS geometry."""
+    """Read a directory of DICOM slice files (or one file, possibly
+    multi-frame) into a 3D MedicalImage with LPS geometry."""
     files = _series_files(path) if os.path.isdir(path) else [path]
-    slices = [read_dicom_file(f) for f in files]
+    parsed = [read_dicom_file(f) for f in files]
 
-    uids = {s['series_uid'] for s in slices if s['series_uid']}
+    uids = {p['series_uid'] for p in parsed if p['series_uid']}
     if len(uids) > 1:
         raise DicomError(
             f'{len(uids)} different series in one directory (mixed '
             f'SeriesInstanceUIDs); separate the series first')
+
+    # flatten multi-frame files into one slice list (geometry tags are
+    # per FILE; every frame of a file inherits them)
+    slices = [{'array': fr['array'], 'position': fr['position'],
+               'orientation': p['orientation'],
+               'pixel_spacing': p['pixel_spacing']}
+              for p in parsed for fr in p['frames']]
 
     first = slices[0]
     # reference tags come from the first slice that HAS them — a missing
