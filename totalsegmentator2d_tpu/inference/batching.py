@@ -56,7 +56,8 @@ class DynamicBatcher:
     resolving to ``(_BatchResult, index | None, bbox, full_shape)``.
     """
 
-    def __init__(self, engine, max_batch: int = 8, linger_ms: float = 0.0):
+    def __init__(self, engine, max_batch: int = 8, linger_ms: float = 0.0,
+                 accumulate_gap_ms: float = 50.0, min_fill: int = 4):
         if max_batch < 1:
             raise ValueError('max_batch must be >= 1')
         self.engine = engine
@@ -65,8 +66,39 @@ class DynamicBatcher:
         # dispatcher holds a partial batch up to this long waiting for it to
         # fill — partial batches pad to max_batch and cost a full program
         # execution, so under sustained load a short linger trades a little
-        # latency for near-2x throughput. Mutable at runtime.
+        # latency for near-2x throughput. Mutable at runtime. When 0 the
+        # arrival-aware policy below applies instead.
         self.linger_ms = float(linger_ms)
+        # arrival-aware coalescing (probe13): JAX dispatch is async —
+        # device_put + the program call return in ~1-8 ms — so a dispatcher
+        # that pops eagerly outruns any realistic arrival rate and every
+        # request rides a SOLO program (24/24 solo observed in the pipelined
+        # bench: ~97 ms/scan against the 43 ms/scan batch-8 device floor).
+        # Batches only form if the dispatcher holds the queue while the
+        # device is busy. Policy: device idle -> dispatch immediately (solo
+        # latency unchanged); device busy -> accumulate while submissions
+        # keep streaming in, dispatch when the head batch FILLS or arrivals
+        # pause for accumulate_gap_ms. Program completion (tracked by a
+        # watcher that pre-fetches the batch to host) is only the
+        # idle-detection signal, never a dispatch gate — through the remote
+        # tunnel completions lag far behind the device queue, and gating on
+        # them starves stragglers (measured 152-186 ms/scan, worse than no
+        # batching at all).
+        self.accumulate_gap_ms = float(accumulate_gap_ms)
+        # a padded partial batch costs the FULL max_batch program (~3.5x the
+        # solo program for the torso shapes) no matter how few scans ride
+        # it; below this occupancy, queued scans go out as individual solo
+        # dispatches instead
+        self.min_fill = int(min_fill)
+        # burst ramp: when the device comes off idle, the first dispatches
+        # go out as solos even if a batch could form — the first results
+        # (and the result-download wire, which IS the pipeline floor
+        # through the remote tunnel, probe14) start moving at solo latency
+        # instead of waiting a full batch-program behind the burst
+        self.ramp_solos = 3
+        self._ramp_left = 0
+        self._inflight = 0
+        self._last_submit = 0.0
         # FIFO of (key, t_enqueued, item);
         # item = (cropped, mask, bbox, full, future)
         self._pending: List[Tuple[tuple, float, tuple]] = []
@@ -97,6 +129,7 @@ class DynamicBatcher:
                 # forever (the caller blocks in fut.result())
                 raise RuntimeError('batcher dispatcher thread died')
             self._pending.append((key, time.monotonic(), item))
+            self._last_submit = time.monotonic()
             self._cv.notify()
         return fut
 
@@ -123,13 +156,15 @@ class DynamicBatcher:
 
     # -- dispatcher ----------------------------------------------------------
 
-    def _take_batch(self):
+    def _take_batch(self, cap: Optional[int] = None):
         """Pop the oldest request plus every queued request with the same
-        (shape, spacing, masked) key, up to max_batch. Caller holds _cv."""
+        (shape, spacing, masked) key, up to ``cap`` (default max_batch).
+        Caller holds _cv."""
         key = self._pending[0][0]
+        cap = self.max_batch if cap is None else cap
         take, rest = [], []
         for entry in self._pending:
-            if entry[0] == key and len(take) < self.max_batch:
+            if entry[0] == key and len(take) < cap:
                 take.append(entry[2])
             else:
                 rest.append(entry)
@@ -197,7 +232,39 @@ class DynamicBatcher:
                         # a ready-full batch of another shape goes first;
                         # key0 keeps its original deadline for next round
                         self._pending.sort(key=lambda e: e[0] != full)
-                key, take = self._take_batch()
+                take_cap = None
+                if linger <= 0 and not self._stopped:
+                    if self._ramp_left <= 0 and self._inflight == 0:
+                        # device went idle: a fresh burst begins
+                        self._ramp_left = self.ramp_solos
+                    if self._ramp_left > 0:
+                        self._ramp_left -= 1
+                        take_cap = 1
+                    else:
+                        # arrival-aware coalescing (see __init__): while
+                        # the device is busy and submissions keep streaming
+                        # in, hold the queue so it fills; dispatch on a
+                        # full head batch or an arrival pause
+                        gap = self.accumulate_gap_ms / 1e3
+                        cnt = 0
+                        while not self._stopped and self._pending:
+                            head = self._pending[0][0]
+                            cnt = sum(1 for k, _, _ in self._pending
+                                      if k == head)
+                            if cnt >= self.max_batch or self._inflight == 0:
+                                break
+                            since = time.monotonic() - self._last_submit
+                            if since >= gap:
+                                break
+                            self._cv.wait(timeout=gap - since + 1e-3)
+                        if not self._pending:
+                            continue
+                        if cnt < self.min_fill:
+                            # a padded partial batch costs the full
+                            # max_batch program; this few scans run
+                            # cheaper as solos
+                            take_cap = 1
+                key, take = self._take_batch(take_cap)
             try:
                 self._dispatch(key, take)
             except BaseException as ex:  # surface to every waiting caller
@@ -206,6 +273,29 @@ class DynamicBatcher:
                         fut.set_exception(ex)
                 if not isinstance(ex, Exception):
                     raise  # fatal (KeyboardInterrupt/SystemExit): die loudly
+
+    def _track(self, br: _BatchResult) -> None:
+        """Count a dispatched program against the in-flight cap and watch
+        for its completion from a side thread. The watcher's signal is the
+        actual host fetch (``br.get``) — ``block_until_ready`` returns
+        early through the remote tunnel — which doubles as a download
+        pre-fetch: by the time a consumer reads the result, the transfer
+        has already happened."""
+        with self._cv:
+            self._inflight += 1
+
+        def watch():
+            try:
+                br.get()
+            except BaseException:
+                pass  # the consumer surfaces fetch errors on its own read
+            finally:
+                with self._cv:
+                    self._inflight -= 1
+                    self._cv.notify()
+
+        threading.Thread(target=watch, daemon=True,
+                         name='ts2d-batch-watch').start()
 
     def _dispatch(self, key, take):
         import jax
@@ -227,7 +317,9 @@ class DynamicBatcher:
             args = (engine.params, jax.device_put(_wire_pack(cropped, wire)))
             if mask is not None:
                 args += (jax.device_put(mask),)
-            fut.set_result((_BatchResult(fn(*args)), None, bbox, full))
+            br = _BatchResult(fn(*args))
+            self._track(br)
+            fut.set_result((br, None, bbox, full))
             return
         # batched-program numerics differ from the solo program's (borderline
         # sigmoid pixels, ~0.06% measured; docs/performance.md): tell the
@@ -250,6 +342,14 @@ class DynamicBatcher:
         if has_mask:
             mb = np.stack([it[1] for it in take] + [take[-1][1]] * pad)
             args += (jax.device_put(mb),)
-        br = _BatchResult(fnb(*args))
+        out = fnb(*args)
+        if B < self.max_batch:
+            # drop the padding rows on DEVICE before the host fetch: the
+            # tunnel's ~20 MB/s download bandwidth is the pipeline floor
+            # (probe14), and a padded batch would ship max_batch/B x the
+            # mask bytes. The slice is a tiny cached device program.
+            out = out[:B]
+        br = _BatchResult(out)
+        self._track(br)
         for i, (_, _, bbox, full, fut) in enumerate(take):
             fut.set_result((br, i, bbox, full))
