@@ -1,0 +1,241 @@
+"""Unit tests for the arrival-aware DynamicBatcher policy
+(totalsegmentator2d_tpu/inference/batching.py) against a fake engine.
+
+The policy under test is the TPU-native replacement for the reference's
+host process pool (reference predictor.py:42-96): device idle -> dispatch
+immediately; device busy -> accumulate while arrivals stream, dispatch on a
+full head batch or an arrival pause; below min_fill queued scans go out as
+solos (a padded partial batch costs the full max_batch program); a burst
+ramp sends the first dispatches after idle as solos; partial batches slice
+their padding rows off before the host fetch.
+
+A fake engine records every dispatched program and its batch size, and a
+SlowArray output simulates the result-download wire (the watcher's fetch)
+taking real time, which is what keeps the device 'busy' for the policy.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from totalsegmentator2d_tpu.inference.batching import DynamicBatcher
+
+
+class SlowArray:
+    """Stands in for a device array whose host fetch (``__array__``) takes
+    ``delay`` seconds — jax.device_get resolves leaves via __array__."""
+
+    def __init__(self, arr, delay):
+        self.arr = np.asarray(arr)
+        self.delay = delay
+        self.fetched = threading.Event()
+
+    def __array__(self, dtype=None, copy=None):
+        time.sleep(self.delay)
+        self.fetched.set()
+        out = self.arr if dtype is None else self.arr.astype(dtype)
+        return np.array(out) if copy else out
+
+    def __getitem__(self, key):
+        # the device-side padding slice in _dispatch
+        sliced = SlowArray(self.arr[key], self.delay)
+        sliced.parent_rows = self.arr.shape[0]
+        return sliced
+
+
+class FakeEngine:
+    """Looks enough like EnsembleEngine for DynamicBatcher: `_program` /
+    `_batched_program` return identity functions over the input stack and
+    record every dispatch's batch size."""
+
+    def __init__(self, fetch_delay=0.0):
+        self.params = {'w': np.zeros(1)}
+        self.fetch_delay = fetch_delay
+        self.dispatches = []      # list of (kind, program_rows)
+        self.outputs = []         # SlowArray handed back per dispatch
+        self._lock = threading.Lock()
+
+    def _program(self, shape, spacing, wire=None):
+        def fn(params, x, mask=None):
+            arr = np.asarray(x)[None]  # (1, H, W, C): solo program
+            out = SlowArray(arr, self.fetch_delay)
+            with self._lock:
+                self.dispatches.append(('solo', 1))
+                self.outputs.append(out)
+            return out
+        return fn, None
+
+    def _batched_program(self, max_batch, shape, spacing, has_mask,
+                         wire=None):
+        def fnb(params, xb, mb=None):
+            arr = np.asarray(xb)
+            assert arr.shape[0] == max_batch, 'batch pads to max_batch'
+            out = SlowArray(arr, self.fetch_delay)
+            with self._lock:
+                self.dispatches.append(('batch', arr.shape[0]))
+                self.outputs.append(out)
+            return out
+        return fnb
+
+
+def _mk(i, shape=(16, 12)):
+    """A scan whose content encodes its submission index."""
+    return np.full(shape + (2,), float(i), np.float32)
+
+
+def _submit_locked(b, items):
+    """Queue every item before the dispatcher can run (the Condition lock
+    is an RLock, so submit() re-enters it)."""
+    futs = []
+    with b._cv:
+        for it in items:
+            futs.append(b.submit(it, None, (1.5, 1.5), (0, 0), it.shape))
+    return futs
+
+
+def _drain(futs, timeout=30):
+    return [f.result(timeout=timeout) for f in futs]
+
+
+class TestArrivalAwarePolicy:
+    def test_idle_device_dispatches_solo_immediately(self):
+        eng = FakeEngine()
+        b = DynamicBatcher(eng, max_batch=8)
+        try:
+            t0 = time.monotonic()
+            fut = b.submit(_mk(0), None, (1.5, 1.5), (0, 0), (16, 12))
+            br, idx, bbox, full = fut.result(timeout=10)
+            # no accumulate_gap wait on an idle device
+            assert time.monotonic() - t0 < 0.5 * b.accumulate_gap_ms / 1e3 + 1
+            assert idx is None
+            assert eng.dispatches == [('solo', 1)]
+            np.testing.assert_array_equal(br.get()[0], _mk(0))
+        finally:
+            b.stop()
+
+    def test_burst_ramp_then_full_batch(self):
+        # 12 scans queued at once against a slow download wire: the policy
+        # must send ramp_solos=3 solos first (results start moving at solo
+        # latency), then coalesce 8 into one batch, then the 1 leftover as
+        # a solo (below min_fill).
+        eng = FakeEngine(fetch_delay=1.0)
+        b = DynamicBatcher(eng, max_batch=8, accumulate_gap_ms=30.0)
+        try:
+            futs = _submit_locked(b, [_mk(i) for i in range(12)])
+            res = _drain(futs)
+            sizes = [d for d in eng.dispatches]
+            assert sizes == [('solo', 1)] * 3 + [('batch', 8)] + \
+                [('solo', 1)], sizes
+            # every scan got its own content back through its (br, idx)
+            for i, (br, idx, _, _) in enumerate(res):
+                row = br.get()[0 if idx is None else idx]
+                np.testing.assert_array_equal(row, _mk(i))
+        finally:
+            b.stop()
+
+    def test_below_min_fill_goes_solo(self):
+        eng = FakeEngine(fetch_delay=1.0)
+        b = DynamicBatcher(eng, max_batch=8, min_fill=4,
+                           accumulate_gap_ms=20.0)
+        b.ramp_solos = 0
+        try:
+            futs = _submit_locked(b, [_mk(i) for i in range(3)])
+            _drain(futs)
+            assert eng.dispatches == [('solo', 1)] * 3
+        finally:
+            b.stop()
+
+    def test_partial_batch_slices_padding_before_fetch(self):
+        eng = FakeEngine()
+        b = DynamicBatcher(eng, max_batch=8, min_fill=4)
+        b.ramp_solos = 0
+        try:
+            futs = _submit_locked(b, [_mk(i) for i in range(5)])
+            res = _drain(futs)
+            # one batched program padded to 8 ...
+            assert eng.dispatches == [('batch', 8)]
+            for i, (br, idx, _, _) in enumerate(res):
+                assert idx == i
+                np.testing.assert_array_equal(br.get()[idx], _mk(i))
+            # ... but the fetched array was the device-side [:5] slice of
+            # the 8-row program output, not the padded batch
+            fetched = res[0][0].get()
+            assert fetched.shape[0] == 5
+        finally:
+            b.stop()
+
+    def test_different_keys_never_co_batch(self):
+        eng = FakeEngine()
+        b = DynamicBatcher(eng, max_batch=8, min_fill=2)
+        b.ramp_solos = 0
+        try:
+            a = [_mk(i, shape=(16, 12)) for i in range(4)]
+            c = [_mk(10 + i, shape=(20, 12)) for i in range(4)]
+            futs = _submit_locked(b, a + c)
+            res = _drain(futs)
+            assert eng.dispatches == [('batch', 8), ('batch', 8)]
+            # shapes stayed uniform within each dispatched program
+            assert eng.outputs[0].arr.shape[1:3] == (16, 12)
+            assert eng.outputs[1].arr.shape[1:3] == (20, 12)
+            for i, (br, idx, _, _) in enumerate(res[:4]):
+                np.testing.assert_array_equal(br.get()[idx], a[i])
+            for i, (br, idx, _, _) in enumerate(res[4:]):
+                np.testing.assert_array_equal(br.get()[idx], c[i])
+        finally:
+            b.stop()
+
+    def test_watcher_prefetches_and_clears_inflight(self):
+        eng = FakeEngine(fetch_delay=0.2)
+        b = DynamicBatcher(eng, max_batch=8)
+        try:
+            fut = b.submit(_mk(0), None, (1.5, 1.5), (0, 0), (16, 12))
+            fut.result(timeout=10)
+            # the watcher thread fetches the result without any consumer
+            assert eng.outputs[0].fetched.wait(timeout=5)
+            deadline = time.monotonic() + 5
+            while time.monotonic() < deadline:
+                with b._cv:
+                    if b._inflight == 0:
+                        break
+                time.sleep(0.01)
+            assert b._inflight == 0
+        finally:
+            b.stop()
+
+    def test_arrival_pause_flushes_partial_as_solos(self):
+        # device busy, 2 queued, arrivals stop: after accumulate_gap_ms the
+        # queue flushes (as solos, below min_fill) instead of waiting for a
+        # batch that will never fill.
+        eng = FakeEngine(fetch_delay=1.0)
+        b = DynamicBatcher(eng, max_batch=8, accumulate_gap_ms=40.0)
+        b.ramp_solos = 1
+        try:
+            futs = _submit_locked(b, [_mk(i) for i in range(3)])
+            t0 = time.monotonic()
+            _drain(futs)
+            took = time.monotonic() - t0
+            assert eng.dispatches == [('solo', 1)] * 3
+            # flushed after ~one gap, not after the 1 s fetch completes
+            assert took < 0.9, took
+        finally:
+            b.stop()
+
+
+class TestCancellation:
+    def test_cancelled_future_skips_dispatch(self):
+        eng = FakeEngine(fetch_delay=0.5)
+        b = DynamicBatcher(eng, max_batch=8, min_fill=2)
+        b.ramp_solos = 0
+        try:
+            with b._cv:
+                futs = [b.submit(_mk(i), None, (1.5, 1.5), (0, 0), (16, 12))
+                        for i in range(4)]
+                assert futs[2].cancel()
+            res = [f.result(timeout=10) for f in futs if not f.cancelled()]
+            assert len(res) == 3
+            for want, (br, idx, _, _) in zip([0, 1, 3], res):
+                np.testing.assert_array_equal(br.get()[idx], _mk(want))
+        finally:
+            b.stop()
