@@ -182,6 +182,12 @@ class TestServer:
                 assert solo_status == 200
                 with cf.ThreadPoolExecutor(max_workers=4) as pool:
                     results = list(pool.map(post, range(4)))
+                # with batching on, /metrics exposes dispatch occupancy
+                metrics = json.loads(_get(srv, '/metrics')[1])
+                assert metrics['batch_scans'] == 5  # 1 solo + 4 concurrent
+                assert metrics['batch_programs'] >= 1
+                assert sum(metrics['batch_occupancy']) == \
+                    metrics['batch_programs']
         assert all(status == 200 for status, _ in results)
 
         def to_seg(body, name):

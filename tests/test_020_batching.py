@@ -132,6 +132,14 @@ class TestArrivalAwarePolicy:
             for i, (br, idx, _, _) in enumerate(res):
                 row = br.get()[0 if idx is None else idx]
                 np.testing.assert_array_equal(row, _mk(i))
+            # occupancy counters reflect the dispatch pattern (/metrics)
+            st = b.stats()
+            assert st['batch_occupancy'][0] == 4   # 3 ramp solos + leftover
+            assert st['batch_occupancy'][7] == 1   # the full batch
+            assert st['batch_programs'] == 5
+            assert st['batch_scans'] == 12
+            assert st['batch_scans_coalesced'] == 8
+            assert st['batch_mean_occupancy'] == pytest.approx(12 / 5)
         finally:
             b.stop()
 

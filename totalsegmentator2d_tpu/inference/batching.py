@@ -99,6 +99,11 @@ class DynamicBatcher:
         self._ramp_left = 0
         self._inflight = 0
         self._last_submit = 0.0
+        # occupancy accounting for /metrics: whether coalescing actually
+        # engages under production load is invisible from latency alone
+        # (probe13 found it silently never did) — count every dispatched
+        # program by how many real scans rode it
+        self._occupancy = [0] * self.max_batch
         # FIFO of (key, t_enqueued, item);
         # item = (cropped, mask, bbox, full, future)
         self._pending: List[Tuple[tuple, float, tuple]] = []
@@ -132,6 +137,22 @@ class DynamicBatcher:
             self._last_submit = time.monotonic()
             self._cv.notify()
         return fut
+
+    def stats(self) -> dict:
+        """Dispatch-occupancy counters: ``occupancy[i]`` programs carried
+        ``i+1`` real scans. Derived totals make the batching behavior
+        observable at /metrics (serve.py)."""
+        with self._cv:
+            occ = list(self._occupancy)
+        programs = sum(occ)
+        scans = sum((i + 1) * c for i, c in enumerate(occ))
+        return {
+            'batch_occupancy': occ,
+            'batch_programs': programs,
+            'batch_scans': scans,
+            'batch_scans_coalesced': scans - occ[0] if occ else 0,
+            'batch_mean_occupancy': (scans / programs) if programs else 0.0,
+        }
 
     def stop(self, timeout: float = 10.0) -> bool:
         """Signal the dispatcher to drain and wait for it to exit.
@@ -319,6 +340,8 @@ class DynamicBatcher:
                 args += (jax.device_put(mask),)
             br = _BatchResult(fn(*args))
             self._track(br)
+            with self._cv:
+                self._occupancy[0] += 1
             fut.set_result((br, None, bbox, full))
             return
         # batched-program numerics differ from the solo program's (borderline
@@ -351,5 +374,7 @@ class DynamicBatcher:
             out = out[:B]
         br = _BatchResult(out)
         self._track(br)
+        with self._cv:
+            self._occupancy[B - 1] += 1
         for i, (_, _, bbox, full, fut) in enumerate(take):
             fut.set_result((br, i, bbox, full))

@@ -74,6 +74,14 @@ class TS2DServer:
         ok = m['predict_requests'] - m['predict_errors']
         m['predict_seconds_mean'] = (m['predict_seconds_total'] / ok
                                      if ok else 0.0)
+        # micro-batching occupancy (inference/batching.py): whether
+        # concurrent requests actually coalesce is invisible from latency
+        # alone, and coalesced programs have load-dependent borderline
+        # pixels — operators need to see it happening
+        fused = getattr(self.tool, '_fused', None)
+        batcher = getattr(fused, '_batcher', None) if fused else None
+        if batcher is not None:
+            m.update(batcher.stats())
         return 200, 'application/json', json.dumps(m).encode()
 
     # -- request handling --------------------------------------------------
