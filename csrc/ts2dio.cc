@@ -226,4 +226,81 @@ long long ts2dio_jpegll_decode_diffs(const char* seg, size_t seg_len,
   return count;
 }
 
+// ---------------------------------------------------------------------------
+// Sequential-DCT JPEG (T.81 processes 1-2) block decoder: the serial
+// Huffman hot loop of io/jpegdct.py. ``dc_lut``/``ac_lut`` are 64k-entry
+// peek tables (lut[next16bits] = (symbol << 5) | code_length) built on the
+// Python side; ``seg`` is one unstuffed entropy segment. ``out`` is an
+// (nblocks, 64) int32 array, ZEROED by the caller, receiving quantized
+// coefficients in zigzag order with DC prediction applied. Returns
+// ``nblocks`` on success, -2 on an invalid Huffman code, -3 on an AC run
+// past the end of a block. Dequantization/IDCT stay in numpy — vectorized
+// over all blocks at once.
+
+long long ts2dio_jpegdct_decode_blocks(const char* seg, size_t seg_len,
+                                       const uint32_t* dc_lut,
+                                       const uint32_t* ac_lut, int32_t* out,
+                                       long long nblocks) {
+  const unsigned char* s = reinterpret_cast<const unsigned char*>(seg);
+  uint64_t acc = 0;
+  int nbits = 0;
+  size_t pos = 0;
+  int32_t pred = 0;
+  for (long long b = 0; b < nblocks; ++b) {
+    int32_t* row = out + b * 64;
+    // DC coefficient: category + extend
+    while (nbits < 32) {
+      acc = (acc << 8) | (pos < seg_len ? s[pos++] : 0);
+      nbits += 8;
+    }
+    uint32_t entry = dc_lut[(acc >> (nbits - 16)) & 0xFFFF];
+    int len = static_cast<int>(entry & 0x1F);
+    if (len == 0) return -2;
+    int ssss = static_cast<int>(entry >> 5);
+    nbits -= len;
+    if (ssss) {
+      uint32_t extra =
+          static_cast<uint32_t>((acc >> (nbits - ssss)) & ((1u << ssss) - 1));
+      nbits -= ssss;
+      pred += (extra < (1u << (ssss - 1)))
+                  ? static_cast<int32_t>(extra) - ((1 << ssss) - 1)
+                  : static_cast<int32_t>(extra);
+    }
+    row[0] = pred;
+    // AC coefficients: (run, size) pairs until EOB or k = 63
+    int k = 1;
+    while (k < 64) {
+      while (nbits < 32) {
+        acc = (acc << 8) | (pos < seg_len ? s[pos++] : 0);
+        nbits += 8;
+      }
+      entry = ac_lut[(acc >> (nbits - 16)) & 0xFFFF];
+      len = static_cast<int>(entry & 0x1F);
+      if (len == 0) return -2;
+      int sym = static_cast<int>(entry >> 5);
+      nbits -= len;
+      int run = sym >> 4;
+      int size = sym & 0x0F;
+      if (size == 0) {
+        if (run == 15) {  // ZRL: sixteen zeros
+          k += 16;
+          continue;
+        }
+        break;  // EOB
+      }
+      k += run;
+      if (k > 63) return -3;
+      uint32_t extra =
+          static_cast<uint32_t>((acc >> (nbits - size)) & ((1u << size) - 1));
+      nbits -= size;
+      row[k] = (extra < (1u << (size - 1)))
+                   ? static_cast<int32_t>(extra) - ((1 << size) - 1)
+                   : static_cast<int32_t>(extra);
+      ++k;
+    }
+    acc &= (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1);
+  }
+  return nblocks;
+}
+
 }  // extern "C"

@@ -16,6 +16,8 @@ _IMPLICIT = '1.2.840.10008.1.2'
 _RLE = '1.2.840.10008.1.2.5'
 _JPLL = '1.2.840.10008.1.2.4.57'      # JPEG Lossless, any predictor
 _JPLL_SV1 = '1.2.840.10008.1.2.4.70'  # JPEG Lossless, selection value 1
+_JPB = '1.2.840.10008.1.2.4.50'       # JPEG baseline (8-bit, lossy)
+_JPE = '1.2.840.10008.1.2.4.51'       # JPEG extended (12-bit, lossy)
 
 
 def _packbits(data: bytes) -> bytes:
@@ -179,6 +181,100 @@ def _jpegll_frame(arr, predictor=1, pt=0, precision=16, dri=0) -> bytes:
     return head + sof + sos + bytes(data) + b'\xff\xd9'
 
 
+# --- sequential-DCT JPEG (T.81 processes 1-2) reference encoder -----------
+
+def _jpegdct_frame(arr, precision=8, q=16, dri=0) -> bytes:
+    """Encode a (rows, cols) uint8/uint16 array as one sequential-DCT JPEG
+    codestream (SOF0 for 8-bit, SOF1 for 12-bit): flat quantization table
+    ``q``, flat Huffman tables (DC: 16 codes of length 5; AC: 256 codes of
+    length 9 — Kraft-valid canonical tables where code == symbol), optional
+    restart interval ``dri`` in blocks."""
+    from totalsegmentator2d_tpu.io.jpegdct import _IDCT_M, _ZIGZAG
+    vals = np.asarray(arr, np.int64)
+    rows, cols = vals.shape
+    bh, bw_ = (rows + 7) // 8, (cols + 7) // 8
+    padded = np.pad(vals, ((0, bh * 8 - rows), (0, bw_ * 8 - cols)),
+                    mode='edge')
+    blocks = padded.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3).reshape(
+        -1, 8, 8).astype(np.float64)
+    blocks -= 1 << (precision - 1)
+    # forward DCT is the transpose pair of the decoder's idct2 = M @ X @ M.T
+    fdct = np.einsum('ux,nxy,yv->nuv', _IDCT_M.T, blocks, _IDCT_M)
+    # zigzag stream order: the i-th transmitted coefficient is the natural
+    # (raster) coefficient at index _ZIGZAG[i]
+    coefs = np.rint(fdct.reshape(-1, 64) / q).astype(np.int64)[:, _ZIGZAG]
+
+    bw = _BitWriter()
+    data = bytearray()
+
+    def put_mag(v, s):
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+
+    pred = 0
+    rst = 0
+    for b, zz in enumerate(coefs):
+        if dri and b and b % dri == 0:
+            bw.flush()
+            data += bw.out
+            bw.out = bytearray()
+            data += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            pred = 0
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = int(abs(diff)).bit_length()
+        bw.put(s, 5)
+        if s:
+            put_mag(diff, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.put(0xF0, 9)  # ZRL
+                run -= 16
+            s = int(abs(v)).bit_length()
+            bw.put((run << 4) | s, 9)
+            put_mag(v, s)
+            run = 0
+        if run:
+            bw.put(0x00, 9)  # EOB
+    bw.flush()
+    data += bw.out
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack('>H', len(payload) + 2) \
+            + payload
+
+    qt = np.full(64, q, np.int64)
+    if q < 256:
+        dqt = seg(0xDB, bytes([0x00]) + bytes(qt.astype(np.uint8)))
+    else:
+        dqt = seg(0xDB, bytes([0x10]) + qt.astype('>u2').tobytes())
+    # AC table: the DHT counts field is one byte per code length, so 256
+    # symbols cannot all sit at length 9 — use 255 codes of length 9 plus
+    # one of length 10 (Kraft: 255/512 + 1/1024 <= 1). Canonical codes of
+    # the length-9 symbols equal the symbol value, which is what the
+    # encoder emits; symbol 255 (run 15, size 15) never occurs.
+    ac_counts = [0] * 16
+    ac_counts[8] = 255
+    ac_counts[9] = 1
+    dht = (seg(0xC4, bytes([0x00]) + bytes(
+               [0, 0, 0, 0, 16] + [0] * 11) + bytes(range(16)))
+           + seg(0xC4, bytes([0x10]) + bytes(ac_counts)
+                 + bytes(range(256))))
+    sof_marker = 0xC0 if precision == 8 else 0xC1
+    sof = seg(sof_marker, bytes([precision]) + struct.pack('>HH', rows, cols)
+              + bytes([1, 1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    head = b'\xff\xd8' + dqt + dht
+    if dri:
+        head += seg(0xDD, struct.pack('>H', dri))
+    return head + sof + sos + bytes(data) + b'\xff\xd9'
+
+
 def _el_explicit(group, elem, vr, value: bytes) -> bytes:
     if len(value) % 2:
         value += b'\x00' if vr not in (b'US', b'SS') else b''
@@ -202,8 +298,10 @@ def write_slice(path, arr, *, position, orientation=(1, 0, 0, 0, 1, 0),
                 pixel_spacing=(0.7, 0.8), instance=1, slope=None,
                 intercept=None, transfer_syntax=_EXPLICIT,
                 extra_pre_pixel=None, jll_predictor=1, jll_dri=0,
-                jll_split=0):
-    """Minimal single-frame CT slice. arr: (rows, cols) int16/uint16."""
+                jll_split=0, codestream=None):
+    """Minimal single-frame CT slice. arr: (rows, cols) int16/uint16 (or
+    uint8 for the 8-bit lossy-JPEG syntax). ``codestream`` supplies the
+    pre-encoded JPEG bytes for the _JPB/_JPE transfer syntaxes."""
     rows, cols = arr.shape
     ts = transfer_syntax.encode()
     meta = _el_explicit(0x0002, 0x0010, b'UI', ts)
@@ -220,7 +318,8 @@ def write_slice(path, arr, *, position, orientation=(1, 0, 0, 0, 1, 0),
     body += E(0x0028, 0x0010, b'US', struct.pack('<H', rows))
     body += E(0x0028, 0x0011, b'US', struct.pack('<H', cols))
     body += E(0x0028, 0x0030, b'DS', _ds_bytes(*pixel_spacing))
-    body += E(0x0028, 0x0100, b'US', struct.pack('<H', 16))
+    body += E(0x0028, 0x0100, b'US',
+              struct.pack('<H', arr.dtype.itemsize * 8))
     body += E(0x0028, 0x0103, b'US',
               struct.pack('<H', 1 if arr.dtype == np.int16 else 0))
     if intercept is not None:
@@ -231,6 +330,8 @@ def write_slice(path, arr, *, position, orientation=(1, 0, 0, 0, 1, 0),
         body += extra_pre_pixel
     if transfer_syntax == _RLE:
         body += _encapsulate(_rle_frame(arr))
+    elif transfer_syntax in (_JPB, _JPE):
+        body += _encapsulate(codestream, split=jll_split)
     elif transfer_syntax in (_JPLL, _JPLL_SV1):
         pred = 1 if transfer_syntax == _JPLL_SV1 else jll_predictor
         body += _encapsulate(
@@ -464,7 +565,7 @@ class TestErrors:
     def test_compressed_transfer_syntax_rejected(self, tmp_path):
         arr = np.zeros((4, 4), np.int16)
         write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
-                    transfer_syntax='1.2.840.10008.1.2.4.50')  # lossy JPEG
+                    transfer_syntax='1.2.840.10008.1.2.4.90')  # JPEG 2000
         with pytest.raises(DicomError, match='transfer syntax'):
             read_dicom_file(str(tmp_path / 'a.dcm'))
 
@@ -882,3 +983,168 @@ class TestMultiFrame:
         np.testing.assert_array_equal(sl['array'], arr)
         assert len(sl['frames']) == 1
         np.testing.assert_array_equal(sl['frames'][0]['array'], arr)
+
+
+def _pil_jpeg(arr, **kw) -> bytes:
+    """Encode a uint8 grayscale array with Pillow/libjpeg (the independent
+    oracle encoder for the baseline-JPEG tests)."""
+    import io as _io
+    from PIL import Image
+    b = _io.BytesIO()
+    Image.fromarray(arr, 'L').save(b, 'JPEG', **kw)
+    return b.getvalue()
+
+
+def _pil_decode(data: bytes):
+    import io as _io
+    from PIL import Image
+    return np.asarray(Image.open(_io.BytesIO(data)))
+
+
+def _xray8(shape=(317, 253), seed=0):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:shape[0], 0:shape[1]]
+    img = (120 + 60 * np.sin(x / 40.0) + 50 * np.cos(y / 30.0)
+           + rng.normal(0, 8, x.shape))
+    return img.clip(0, 255).astype(np.uint8)
+
+
+class TestJpegDct:
+    """Sequential-DCT JPEG decoder (io/jpegdct.py) for the DICOM lossy
+    syntaxes 1.2.840.10008.1.2.4.50/.51."""
+
+    @pytest.mark.parametrize('quality', [95, 75, 50])
+    def test_decoder_matches_libjpeg(self, quality):
+        """libjpeg (via Pillow) is the independent oracle; its integer
+        IDCT is specified accurate to +/-1 of the exact float IDCT
+        (T.83 compliance), so decoded samples must agree within 1."""
+        from totalsegmentator2d_tpu.io.jpegdct import decode
+        data = _pil_jpeg(_xray8(), quality=quality)
+        ours = decode(data)
+        ref = _pil_decode(data)
+        assert ours.shape == ref.shape and ours.dtype == np.uint8
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+    def test_decoder_matches_libjpeg_restart_intervals(self):
+        from totalsegmentator2d_tpu.io.jpegdct import decode
+        data = _pil_jpeg(_xray8(seed=1), quality=80, restart_marker_rows=2)
+        assert b'\xff\xdd' in data  # DRI actually present
+        ours = decode(data)
+        ref = _pil_decode(data)
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+    def test_optimized_huffman_tables(self):
+        """PIL optimize=True emits image-specific Huffman tables."""
+        from totalsegmentator2d_tpu.io.jpegdct import decode
+        data = _pil_jpeg(_xray8(seed=2), quality=70, optimize=True)
+        ours = decode(data)
+        ref = _pil_decode(data)
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+    def test_12bit_extended_matches_independent_idct(self):
+        """The 12-bit SOF1 path, checked against an independent scipy
+        reconstruction of the encoder's own quantized coefficients."""
+        import scipy.fft
+        from totalsegmentator2d_tpu.io.jpegdct import (_IDCT_M, _ZIGZAG,
+                                                       decode)
+        rng = np.random.default_rng(3)
+        y, x = np.mgrid[0:41, 0:29]
+        img = (2048 + 900 * np.sin(x / 10.0) + 800 * np.cos(y / 7.0)
+               + rng.normal(0, 40, x.shape)).clip(0, 4095).astype(np.uint16)
+        q = 16
+        frame = _jpegdct_frame(img, precision=12, q=q)
+        ours = decode(frame)
+        assert ours.dtype == np.uint16
+
+        # independent reconstruction: re-derive the quantized coefficients
+        # exactly as the encoder did, then IDCT with scipy (norm='ortho'
+        # type-II inverse == the T.81 IDCT up to the same scaling)
+        rows, cols = img.shape
+        bh, bw_ = (rows + 7) // 8, (cols + 7) // 8
+        padded = np.pad(img.astype(np.float64),
+                        ((0, bh * 8 - rows), (0, bw_ * 8 - cols)),
+                        mode='edge')
+        blocks = padded.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+        blocks = blocks.reshape(-1, 8, 8) - 2048
+        fdct = np.einsum('ux,nxy,yv->nuv', _IDCT_M.T, blocks, _IDCT_M)
+        deq = np.rint(fdct / q) * q
+        pix = scipy.fft.idctn(deq, axes=(1, 2), norm='ortho')
+        ref = np.clip(np.rint(pix + 2048), 0, 4095)
+        ref = ref.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(
+            bh * 8, bw_ * 8)[:rows, :cols]
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+    def test_12bit_restart_intervals(self):
+        from totalsegmentator2d_tpu.io.jpegdct import decode
+        img = (np.arange(48 * 24).reshape(48, 24) % 4096).astype(np.uint16)
+        plain = decode(_jpegdct_frame(img, precision=12, q=8))
+        with_rst = decode(_jpegdct_frame(img, precision=12, q=8, dri=5))
+        np.testing.assert_array_equal(plain, with_rst)
+
+    def test_progressive_rejected(self):
+        from totalsegmentator2d_tpu.io.jpegdct import JpegError, decode
+        data = _pil_jpeg(_xray8(), quality=80, progressive=True)
+        with pytest.raises(JpegError, match='progressive'):
+            decode(data)
+
+    def test_color_rejected(self):
+        import io as _io
+        from PIL import Image
+        from totalsegmentator2d_tpu.io.jpegdct import JpegError, decode
+        rgb = np.dstack([_xray8()] * 3)
+        b = _io.BytesIO()
+        Image.fromarray(rgb, 'RGB').save(b, 'JPEG', quality=80)
+        with pytest.raises(JpegError, match='component'):
+            decode(b.getvalue())
+
+    def test_dicom_baseline_file(self, tmp_path):
+        """A .50 single-frame X-ray file decodes to libjpeg's pixels."""
+        img = _xray8(seed=4)
+        data = _pil_jpeg(img, quality=90)
+        write_slice(str(tmp_path / 'xr.dcm'), img, position=(0, 0, 0),
+                    transfer_syntax=_JPB, codestream=data)
+        out = read_dicom_file(str(tmp_path / 'xr.dcm'))
+        ref = _pil_decode(data)
+        assert out['array'].dtype == np.uint8
+        assert np.abs(out['array'].astype(int) - ref.astype(int)).max() <= 1
+
+    def test_dicom_baseline_split_fragments(self, tmp_path):
+        img = _xray8(seed=5)
+        data = _pil_jpeg(img, quality=90)
+        write_slice(str(tmp_path / 'xr.dcm'), img, position=(0, 0, 0),
+                    transfer_syntax=_JPB, codestream=data,
+                    jll_split=len(data) // 2)
+        out = read_dicom_file(str(tmp_path / 'xr.dcm'))
+        ref = _pil_decode(data)
+        assert np.abs(out['array'].astype(int) - ref.astype(int)).max() <= 1
+
+    def test_dicom_extended_12bit_with_rescale(self, tmp_path):
+        """A .51 12-bit file (uint16 wire) with a rescale to Hounsfield."""
+        img = (np.arange(40 * 32).reshape(40, 32) % 4096).astype(np.uint16)
+        frame = _jpegdct_frame(img, precision=12, q=1)
+        write_slice(str(tmp_path / 'ct.dcm'), img, position=(0, 0, 0),
+                    transfer_syntax=_JPE, codestream=frame,
+                    slope=1, intercept=-1024)
+        out = read_dicom_file(str(tmp_path / 'ct.dcm'))
+        from totalsegmentator2d_tpu.io.jpegdct import decode
+        want = decode(frame).astype(np.int64) - 1024
+        np.testing.assert_array_equal(out['array'], want)
+
+    def test_size_mismatch_rejected(self, tmp_path):
+        img = _xray8(seed=6)
+        data = _pil_jpeg(img[:100, :100], quality=90)
+        write_slice(str(tmp_path / 'xr.dcm'), img, position=(0, 0, 0),
+                    transfer_syntax=_JPB, codestream=data)
+        with pytest.raises(DicomError, match='dataset says'):
+            read_dicom_file(str(tmp_path / 'xr.dcm'))
+
+    def test_python_fallback_equals_native(self, monkeypatch):
+        """When the native decoder is present both paths must agree
+        bit-for-bit; without it this degenerates to self-consistency."""
+        from totalsegmentator2d_tpu.io import jpegdct, native
+        data = _pil_jpeg(_xray8(seed=7), quality=85)
+        out_default = jpegdct.decode(data)
+        monkeypatch.setattr(native, 'jpegdct_decode_blocks',
+                            lambda *a, **k: None)
+        out_py = jpegdct.decode(data)
+        np.testing.assert_array_equal(out_default, out_py)

@@ -5,12 +5,14 @@ series to NRRD/NIfTI first. CT data, however, arrives from scanners as
 DICOM, so this build reads the common cases natively: uncompressed
 little-endian transfer syntaxes (implicit 1.2.840.10008.1.2 and explicit
 1.2.840.10008.1.2.1), RLE Lossless (1.2.840.10008.1.2.5, the PackBits
-scheme — decoded in _rle_decode_frame), and JPEG Lossless
+scheme — decoded in _rle_decode_frame), JPEG Lossless
 (1.2.840.10008.1.2.4.57/.70, T.81 process 14 — the dominant compressed CT
-archive syntax, decoded in io/jpegll.py with a native C hot loop),
-single-sample (grayscale) slices, assembled into one (Z, Y, X) volume
-with full LPS geometry (DICOM's patient coordinate system IS LPS, the
-framework's world frame — no conversion needed).
+archive syntax, decoded in io/jpegll.py with a native C hot loop), and
+sequential lossy JPEG (1.2.840.10008.1.2.4.50/.51, baseline 8-bit and
+extended 12-bit — what CR/DX X-ray archives emit, decoded in
+io/jpegdct.py), single-sample (grayscale) slices, assembled into one
+(Z, Y, X) volume with full LPS geometry (DICOM's patient coordinate
+system IS LPS, the framework's world frame — no conversion needed).
 
 Multi-frame files are supported in both flavors: Enhanced CT (per-frame
 plane positions in the Per-Frame Functional Groups Sequence (5200,9230),
@@ -19,7 +21,7 @@ Sequence (5200,9229)) and legacy multi-frame (a single top-level
 ImagePositionPatient advanced along the slice normal by
 SpacingBetweenSlices (0018,0088), falling back to SliceThickness).
 
-Deliberately conservative: lossy-JPEG transfer syntaxes, JPEG-LS/2000,
+Deliberately conservative: progressive-JPEG streams, JPEG-LS/2000,
 color images, and non-uniform slice stacks raise
 informative errors rather than guessing. Geometry notes:
  - ImageOrientationPatient (0020,0037) gives the column-axis (x) and
@@ -47,6 +49,8 @@ _EXPLICIT_LE = '1.2.840.10008.1.2.1'
 _RLE_LOSSLESS = '1.2.840.10008.1.2.5'
 _JPEG_LL = '1.2.840.10008.1.2.4.57'      # process 14, any predictor
 _JPEG_LL_SV1 = '1.2.840.10008.1.2.4.70'  # process 14 selection value 1
+_JPEG_BASE = '1.2.840.10008.1.2.4.50'    # baseline (process 1, 8-bit, lossy)
+_JPEG_EXT = '1.2.840.10008.1.2.4.51'     # extended (process 2/4, 12-bit)
 
 # VRs whose explicit encoding uses a 2-byte reserved field + 4-byte length
 _LONG_VRS = {b'OB', b'OW', b'OF', b'OD', b'OL', b'SQ', b'UC', b'UR',
@@ -398,7 +402,8 @@ def read_dicom_file(path: str) -> dict:
     with open(path, 'rb') as f:
         buf = f.read()
     pos, ts = _read_file_meta(buf)
-    rle = jpegll = False
+    rle = False
+    jpeg_decode = None  # codestream -> (rows, cols) array, for jpeg syntaxes
     if ts == _IMPLICIT_LE:
         implicit = True
     elif ts == _EXPLICIT_LE:
@@ -406,13 +411,17 @@ def read_dicom_file(path: str) -> dict:
     elif ts == _RLE_LOSSLESS:
         implicit, rle = False, True
     elif ts in (_JPEG_LL, _JPEG_LL_SV1):
-        implicit, jpegll = False, True
+        from .jpegll import decode as jpeg_decode
+        implicit = False
+    elif ts in (_JPEG_BASE, _JPEG_EXT):
+        from .jpegdct import decode as jpeg_decode
+        implicit = False
     else:
         raise DicomError(
             f'Unsupported transfer syntax {ts} in {name} '
-            f'(uncompressed little endian, RLE lossless, and JPEG lossless '
-            f'are read natively; convert lossy-JPEG/JPEG-2000 series to '
-            f'NRRD/NIfTI)')
+            f'(uncompressed little endian, RLE lossless, JPEG lossless, and '
+            f'sequential lossy JPEG are read natively; convert JPEG-2000 '
+            f'series to NRRD/NIfTI)')
     el = _parse_dataset(buf, pos, implicit)
     rows, cols = _us(el.get('Rows')), _us(el.get('Columns'))
     if not rows or not cols:
@@ -436,7 +445,7 @@ def read_dicom_file(path: str) -> dict:
             f'{name}: {len(perframe)} per-frame functional groups for '
             f'{nframes} frames')
 
-    if rle or jpegll:
+    if rle or jpeg_decode is not None:
         frags = el.get('PixelDataFragments')
         if not frags:
             raise DicomError(
@@ -452,13 +461,13 @@ def read_dicom_file(path: str) -> dict:
                       for f in frags]
         else:
             # a JPEG frame may be SPLIT across fragments (PS3.5 A.4)
-            from .jpegll import JpegError, decode as jpegll_decode
+            from .jpegll import JpegError
             streams = _frame_codestreams(frags, el.get('PixelDataBOT', b''),
                                          nframes, name)
             frames = []
             for cs in streams:
                 try:
-                    arr = jpegll_decode(cs)
+                    arr = jpeg_decode(cs)
                 except JpegError as ex:
                     raise DicomError(f'{name}: {ex}') from ex
                 if arr.shape != (rows, cols):

@@ -57,6 +57,13 @@ def _load():
                 fn.argtypes = [
                     ctypes.c_char_p, ctypes.c_size_t,
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
+            fn = getattr(lib, 'ts2dio_jpegdct_decode_blocks', None)
+            if fn is not None:  # absent in pre-decoder builds of the lib
+                fn.restype = ctypes.c_longlong
+                fn.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_longlong]
             _lib = lib
         except OSError:
             _lib = None
@@ -131,6 +138,34 @@ def jpegll_decode_diffs(seg: bytes, lut, count: int):
     if got != count:
         from .jpegll import JpegError
         raise JpegError('Invalid Huffman code in entropy data')
+    return out
+
+
+def jpegdct_decode_blocks(seg: bytes, dc_lut, ac_lut, nblocks: int):
+    """Huffman-decode ``nblocks`` 8x8 coefficient blocks (zigzag order, DC
+    prediction applied) from one (unstuffed) sequential-DCT entropy segment
+    using the native decoder. ``dc_lut``/``ac_lut`` are the 64k-entry uint32
+    peek tables built in io/jpegdct.py. Returns an (nblocks, 64) int32
+    array, or None when the native library is absent (the pure-Python
+    fallback in jpegdct.py applies)."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    fn = getattr(lib, 'ts2dio_jpegdct_decode_blocks', None)
+    if fn is None:  # stale library built before the decoder existed
+        return None
+    dc_lut = np.ascontiguousarray(dc_lut, np.uint32)
+    ac_lut = np.ascontiguousarray(ac_lut, np.uint32)
+    out = np.zeros((nblocks, 64), np.int32)
+    got = fn(seg, len(seg), dc_lut.ctypes.data, ac_lut.ctypes.data,
+             out.ctypes.data, nblocks)
+    if got != nblocks:
+        from .jpegll import JpegError
+        raise JpegError('Invalid Huffman code in entropy data'
+                        if got == -2 else
+                        'AC run past end of block' if got == -3 else
+                        f'native JPEG decode failed (code {got})')
     return out
 
 
