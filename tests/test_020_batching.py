@@ -212,6 +212,60 @@ class TestArrivalAwarePolicy:
         finally:
             b.stop()
 
+    def test_small_max_batch_still_coalesces(self):
+        # max_batch below the default min_fill: min_fill must clamp to
+        # max_batch, else FULL batches dispatch as solos and coalescing
+        # silently never engages (the regression the occupancy metric
+        # exists to catch).
+        eng = FakeEngine()
+        b = DynamicBatcher(eng, max_batch=2)
+        assert b.min_fill == 2
+        b.ramp_solos = 0
+        try:
+            futs = _submit_locked(b, [_mk(i) for i in range(4)])
+            res = _drain(futs)
+            assert eng.dispatches == [('batch', 2)] * 2
+            for i, (br, idx, _, _) in enumerate(res):
+                np.testing.assert_array_equal(br.get()[idx], _mk(i))
+        finally:
+            b.stop()
+
+    def test_full_batch_of_other_key_skips_minority_head(self):
+        # device busy, a lone minority-shape request heads the queue and a
+        # FULL batch of another shape is queued behind it: the full batch
+        # must dispatch immediately (the head keeps FIFO priority within
+        # its own shape), not wait out the arrival gap / in-flight drain.
+        eng = FakeEngine(fetch_delay=1.0)
+        b = DynamicBatcher(eng, max_batch=4, min_fill=2,
+                           accumulate_gap_ms=2000.0)
+        b.ramp_solos = 0
+        try:
+            # make the device busy first
+            warm = b.submit(_mk(99), None, (1.5, 1.5), (0, 0), (16, 12))
+            warm.result(timeout=10)
+            a = _mk(0, shape=(16, 12))
+            c = [_mk(10 + i, shape=(20, 12)) for i in range(4)]
+            futs = _submit_locked(b, [a] + c)
+            t0 = time.monotonic()
+            deadline = t0 + 10
+            while time.monotonic() < deadline:
+                with eng._lock:
+                    if ('batch', 4) in eng.dispatches:
+                        break
+                time.sleep(0.005)
+            waited = time.monotonic() - t0
+            assert ('batch', 4) in eng.dispatches
+            # dispatched well before the 2 s gap or the 1 s fetch drain
+            assert waited < 0.5, waited
+            res = _drain(futs)
+            for i, (br, idx, _, _) in enumerate(res[1:]):
+                np.testing.assert_array_equal(br.get()[idx], c[i])
+            br, idx, _, _ = res[0]
+            np.testing.assert_array_equal(
+                br.get()[0 if idx is None else idx], a)
+        finally:
+            b.stop()
+
     def test_arrival_pause_flushes_partial_as_solos(self):
         # device busy, 2 queued, arrivals stop: after accumulate_gap_ms the
         # queue flushes (as solos, below min_fill) instead of waiting for a

@@ -88,8 +88,10 @@ class DynamicBatcher:
         # a padded partial batch costs the FULL max_batch program (~3.5x the
         # solo program for the torso shapes) no matter how few scans ride
         # it; below this occupancy, queued scans go out as individual solo
-        # dispatches instead
-        self.min_fill = int(min_fill)
+        # dispatches instead. Clamped to max_batch: otherwise a small
+        # max_batch (< the default min_fill) would dispatch even FULL
+        # batches as solos and coalescing could never engage.
+        self.min_fill = max(1, min(int(min_fill), self.max_batch))
         # burst ramp: when the device comes off idle, the first dispatches
         # go out as solos even if a batch could form — the first results
         # (and the result-download wire, which IS the pipeline floor
@@ -267,12 +269,23 @@ class DynamicBatcher:
                         # in, hold the queue so it fills; dispatch on a
                         # full head batch or an arrival pause
                         gap = self.accumulate_gap_ms / 1e3
+
+                        def _acc_full_key():
+                            counts: dict = {}
+                            for k, _, _ in self._pending:
+                                counts[k] = counts.get(k, 0) + 1
+                                if counts[k] >= self.max_batch:
+                                    return k
+                            return None
+
                         cnt = 0
                         while not self._stopped and self._pending:
                             head = self._pending[0][0]
                             cnt = sum(1 for k, _, _ in self._pending
                                       if k == head)
-                            if cnt >= self.max_batch or self._inflight == 0:
+                            if (cnt >= self.max_batch
+                                    or self._inflight == 0
+                                    or _acc_full_key() is not None):
                                 break
                             since = time.monotonic() - self._last_submit
                             if since >= gap:
@@ -280,6 +293,18 @@ class DynamicBatcher:
                             self._cv.wait(timeout=gap - since + 1e-3)
                         if not self._pending:
                             continue
+                        full = _acc_full_key()
+                        if full is not None and full != self._pending[0][0]:
+                            # a ready-full batch of another key must not
+                            # wait behind a minority-shape head: under
+                            # mixed-shape streaming arrivals neither break
+                            # above would fire for the head's own batch and
+                            # the device would idle on a full queue. Stable
+                            # sort preserves FIFO within each key; the head
+                            # request keeps its place among its own key for
+                            # the next round.
+                            self._pending.sort(key=lambda e: e[0] != full)
+                            cnt = self.max_batch
                         if cnt < self.min_fill:
                             # a padded partial batch costs the full
                             # max_batch program; this few scans run
