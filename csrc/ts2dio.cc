@@ -189,7 +189,9 @@ long long ts2dio_project_max_mean_i16(const int16_t* vol, long long nz,
 // resolved, RSTn removed). Returns ``count`` on success, -1 on an invalid
 // code. Reconstruction (predictors/cumsum) stays in numpy — it is already
 // vectorized there and depends on scan parameters this function need not
-// know about.
+// know about. Returns -4 when the segment ends before ``count`` samples
+// are coded (zero-pad bits, pushed only after the real bytes ran out, got
+// consumed — decoding them would fabricate pixels from a truncated file).
 
 long long ts2dio_jpegll_decode_diffs(const char* seg, size_t seg_len,
                                      const uint32_t* lut, int32_t* out,
@@ -197,10 +199,16 @@ long long ts2dio_jpegll_decode_diffs(const char* seg, size_t seg_len,
   const unsigned char* s = reinterpret_cast<const unsigned char*>(seg);
   uint64_t acc = 0;
   int nbits = 0;
+  int pad_bits = 0;
   size_t pos = 0;
   for (long long i = 0; i < count; ++i) {
     while (nbits < 32) {
-      acc = (acc << 8) | (pos < seg_len ? s[pos++] : 0);
+      if (pos < seg_len) {
+        acc = (acc << 8) | s[pos++];
+      } else {
+        acc <<= 8;
+        pad_bits += 8;
+      }
       nbits += 8;
     }
     uint32_t entry = lut[(acc >> (nbits - 16)) & 0xFFFF];
@@ -223,6 +231,7 @@ long long ts2dio_jpegll_decode_diffs(const char* seg, size_t seg_len,
     }
     acc &= (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1);
   }
+  if (pad_bits > nbits) return -4;  // truncated entropy segment
   return count;
 }
 
@@ -234,7 +243,8 @@ long long ts2dio_jpegll_decode_diffs(const char* seg, size_t seg_len,
 // (nblocks, 64) int32 array, ZEROED by the caller, receiving quantized
 // coefficients in zigzag order with DC prediction applied. Returns
 // ``nblocks`` on success, -2 on an invalid Huffman code, -3 on an AC run
-// past the end of a block. Dequantization/IDCT stay in numpy — vectorized
+// past the end of a block, -4 on a truncated entropy segment (zero-pad
+// bits got consumed). Dequantization/IDCT stay in numpy — vectorized
 // over all blocks at once.
 
 long long ts2dio_jpegdct_decode_blocks(const char* seg, size_t seg_len,
@@ -244,13 +254,19 @@ long long ts2dio_jpegdct_decode_blocks(const char* seg, size_t seg_len,
   const unsigned char* s = reinterpret_cast<const unsigned char*>(seg);
   uint64_t acc = 0;
   int nbits = 0;
+  int pad_bits = 0;
   size_t pos = 0;
   int32_t pred = 0;
   for (long long b = 0; b < nblocks; ++b) {
     int32_t* row = out + b * 64;
     // DC coefficient: category + extend
     while (nbits < 32) {
-      acc = (acc << 8) | (pos < seg_len ? s[pos++] : 0);
+      if (pos < seg_len) {
+        acc = (acc << 8) | s[pos++];
+      } else {
+        acc <<= 8;
+        pad_bits += 8;
+      }
       nbits += 8;
     }
     uint32_t entry = dc_lut[(acc >> (nbits - 16)) & 0xFFFF];
@@ -271,7 +287,12 @@ long long ts2dio_jpegdct_decode_blocks(const char* seg, size_t seg_len,
     int k = 1;
     while (k < 64) {
       while (nbits < 32) {
-        acc = (acc << 8) | (pos < seg_len ? s[pos++] : 0);
+        if (pos < seg_len) {
+          acc = (acc << 8) | s[pos++];
+        } else {
+          acc <<= 8;
+          pad_bits += 8;
+        }
         nbits += 8;
       }
       entry = ac_lut[(acc >> (nbits - 16)) & 0xFFFF];
@@ -300,6 +321,7 @@ long long ts2dio_jpegdct_decode_blocks(const char* seg, size_t seg_len,
     }
     acc &= (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1);
   }
+  if (pad_bits > nbits) return -4;  // truncated entropy segment
   return nblocks;
 }
 

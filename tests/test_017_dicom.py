@@ -560,6 +560,44 @@ class TestJpegLossless:
         np.testing.assert_array_equal(
             jpegll.decode(_jpegll_frame(arr, precision=8)), arr)
 
+    @pytest.mark.parametrize('force_py', [False, True])
+    def test_truncated_entropy_rejected(self, monkeypatch, force_py):
+        """A stream cut mid-entropy-segment must raise, not zero-pad its
+        way to garbage HU values (both the C and the Python decoder)."""
+        from totalsegmentator2d_tpu.io import jpegll, native
+        if force_py:
+            monkeypatch.setattr(native, '_lib', None)
+            monkeypatch.setattr(native, '_checked', True)
+        rng = np.random.default_rng(9)
+        arr = rng.integers(0, 65536, size=(16, 16)).astype(np.uint16)
+        frame = _jpegll_frame(arr)
+        body = frame[:-2]  # strip EOI
+        cut = body[:len(body) - (len(body) - 40) // 2] + b'\xff\xd9'
+        with pytest.raises(jpegll.JpegError,
+                           match='Truncated entropy|Invalid Huffman'):
+            jpegll.decode(cut)
+
+    def test_rst_without_dri_rejected(self):
+        """RSTn markers in the entropy data with the DRI segment missing
+        must raise instead of decoding only the first interval."""
+        from totalsegmentator2d_tpu.io import jpegll
+        rng = np.random.default_rng(10)
+        arr = rng.integers(0, 65536, size=(8, 6)).astype(np.uint16)
+        frame = _jpegll_frame(arr, dri=12)  # two rows per restart interval
+        import struct as _struct
+        dri_seg = bytes([0xFF, 0xDD, 0x00, 0x04]) + _struct.pack('>H', 12)
+        assert dri_seg in frame
+        with pytest.raises(jpegll.JpegError, match='DRI'):
+            jpegll.decode(frame.replace(dri_seg, b''))
+
+    def test_oversubscribed_dht_rejected(self):
+        """Three codes of length 1 overflow the canonical code space; the
+        LUT builder must raise instead of silently writing no-op slices."""
+        from totalsegmentator2d_tpu.io.jpegll import JpegError, _parse_dht
+        seg = bytes([0x00]) + bytes([3] + [0] * 15) + bytes([0, 1, 2])
+        with pytest.raises(JpegError, match='Over-subscribed'):
+            _parse_dht(seg, {})
+
 
 class TestErrors:
     def test_compressed_transfer_syntax_rejected(self, tmp_path):
@@ -732,7 +770,8 @@ def write_enhanced(path, vol, *, positions, orientation=(1, 0, 0, 0, 1, 0),
                    pixel_spacing=(0.7, 0.8), slope=None, intercept=None,
                    transfer_syntax=_EXPLICIT, defined_seq=False,
                    undef_items=False, jll_split=0,
-                   per_frame_orientations=None, per_frame_rescales=None):
+                   per_frame_orientations=None, per_frame_rescales=None,
+                   per_frame_spacings=None):
     """Enhanced-CT-style multi-frame file: geometry lives in the Shared /
     Per-Frame Functional Groups sequences, not at the top level."""
     F, rows, cols = vol.shape
@@ -748,9 +787,10 @@ def write_enhanced(path, vol, *, positions, orientation=(1, 0, 0, 0, 1, 0),
                    undef_items=undef_items)
 
     shared = SQ(0x0020, 0x9116, [E(0x0020, 0x0037, b'DS',
-                                   _ds_bytes(*orientation))]) \
-        + SQ(0x0028, 0x9110, [E(0x0028, 0x0030, b'DS',
-                                _ds_bytes(*pixel_spacing))])
+                                   _ds_bytes(*orientation))])
+    if pixel_spacing is not None:
+        shared += SQ(0x0028, 0x9110, [E(0x0028, 0x0030, b'DS',
+                                        _ds_bytes(*pixel_spacing))])
     if slope is not None or intercept is not None:
         shared += SQ(0x0028, 0x9145,
                      [E(0x0028, 0x1053, b'DS', _ds_bytes(slope or 1))
@@ -767,6 +807,10 @@ def write_enhanced(path, vol, *, positions, orientation=(1, 0, 0, 0, 1, 0),
             item += SQ(0x0028, 0x9145,
                        [E(0x0028, 0x1053, b'DS', _ds_bytes(s))
                         + E(0x0028, 0x1052, b'DS', _ds_bytes(c))])
+        if per_frame_spacings is not None:
+            item += SQ(0x0028, 0x9110,
+                       [E(0x0028, 0x0030, b'DS',
+                          _ds_bytes(*per_frame_spacings[i]))])
         pf_items.append(item)
 
     body = b''
@@ -964,6 +1008,35 @@ class TestMultiFrame:
         with pytest.raises(DicomError, match='rescale'):
             read_dicom_series(str(tmp_path / 'mf.dcm'))
 
+    def test_per_frame_spacing_mismatch_rejected(self, tmp_path):
+        """PS3.3 C.7.6.16 allows per-frame PixelMeasures; frames at
+        different resolutions cannot share one volume geometry."""
+        vol = self._vol(2)
+        write_enhanced(str(tmp_path / 'mf.dcm'), vol,
+                       positions=[(0, 0, 0), (0, 0, 1)],
+                       pixel_spacing=None,
+                       per_frame_spacings=[(0.7, 0.8), (0.9, 0.8)])
+        with pytest.raises(DicomError, match='PixelSpacing'):
+            read_dicom_series(str(tmp_path / 'mf.dcm'))
+
+    def test_per_frame_spacing_consistent_used(self, tmp_path):
+        vol = self._vol(2)
+        write_enhanced(str(tmp_path / 'mf.dcm'), vol,
+                       positions=[(0, 0, 0), (0, 0, 1)],
+                       pixel_spacing=None,
+                       per_frame_spacings=[(0.7, 0.8), (0.7, 0.8)])
+        sl = read_dicom_file(str(tmp_path / 'mf.dcm'))
+        assert sl['pixel_spacing'] == [0.7, 0.8]
+
+    def test_per_frame_spacing_shared_conflict_rejected(self, tmp_path):
+        vol = self._vol(2)
+        write_enhanced(str(tmp_path / 'mf.dcm'), vol,
+                       positions=[(0, 0, 0), (0, 0, 1)],
+                       pixel_spacing=(0.5, 0.5),
+                       per_frame_spacings=[(0.7, 0.8), (0.7, 0.8)])
+        with pytest.raises(DicomError, match='PixelSpacing'):
+            read_dicom_series(str(tmp_path / 'mf.dcm'))
+
     def test_per_frame_rescale_consistent_applied(self, tmp_path):
         vol = (self._vol(2).astype(np.int64) + 1024).astype(np.uint16)
         write_enhanced(str(tmp_path / 'mf.dcm'), vol,
@@ -1148,3 +1221,40 @@ class TestJpegDct:
                             lambda *a, **k: None)
         out_py = jpegdct.decode(data)
         np.testing.assert_array_equal(out_default, out_py)
+
+    @pytest.mark.parametrize('force_py', [False, True])
+    def test_truncated_entropy_rejected(self, monkeypatch, force_py):
+        """A stream cut mid-entropy-segment must raise, not zero-pad its
+        way to fabricated blocks (both the C and the Python decoder)."""
+        from totalsegmentator2d_tpu.io import jpegdct, native
+        if force_py:
+            monkeypatch.setattr(native, 'jpegdct_decode_blocks',
+                                lambda *a, **k: None)
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+        frame = _jpegdct_frame(img, precision=8, q=1)
+        body = frame[:-2]  # strip EOI
+        cut = body[:len(body) - (len(body) - 120) // 2] + b'\xff\xd9'
+        with pytest.raises(jpegdct.JpegError,
+                           match='Truncated entropy|Invalid Huffman|AC run'):
+            jpegdct.decode(cut)
+
+    def test_rst_without_dri_rejected(self):
+        """RSTn markers in the entropy data with the DRI segment missing
+        must raise instead of decoding only the first interval."""
+        from totalsegmentator2d_tpu.io import jpegdct
+        img = (np.arange(24 * 24).reshape(24, 24) % 256).astype(np.uint8)
+        frame = _jpegdct_frame(img, precision=8, q=8, dri=3)
+        dri_seg = bytes([0xFF, 0xDD, 0x00, 0x04]) + struct.pack('>H', 3)
+        assert dri_seg in frame
+        with pytest.raises(jpegdct.JpegError, match='DRI'):
+            jpegdct.decode(frame.replace(dri_seg, b''))
+
+    def test_truncated_dqt_raises_jpeg_error(self):
+        """A short DQT must raise JpegError (translated to DicomError by
+        the reader), not numpy's uncontextualized ValueError."""
+        from totalsegmentator2d_tpu.io import jpegdct
+        seg = bytes([0xFF, 0xDB, 0x00, 0x21]) + bytes([0x00]) + bytes(30)
+        buf = b'\xff\xd8' + seg + b'\xff\xd9'
+        with pytest.raises(jpegdct.JpegError, match='Truncated DQT'):
+            jpegdct.decode(buf)

@@ -539,12 +539,27 @@ def read_dicom_file(path: str) -> dict:
                         f'(tilted-gantry multi-frame is not supported)')
 
     # pixel spacing: top level, else the Pixel Measures functional group
+    # (shared, or per-frame when identical across frames — differing
+    # per-frame spacings would silently build wrong physical geometry, so
+    # they raise like the orientation/rescale disagreements above)
     pixel_spacing = _ds(el.get('PixelSpacing'))
     pm = _first_item(shared, 'PixelMeasuresSequence') or \
         (_first_item(perframe[0], 'PixelMeasuresSequence') if perframe
          else {})
     if not pixel_spacing:
         pixel_spacing = _ds(pm.get('PixelSpacing'))
+    if perframe:
+        pf_ps = [_ds(_first_item(fg, 'PixelMeasuresSequence')
+                     .get('PixelSpacing')) for fg in perframe]
+        pf_ps = [p for p in pf_ps if p]
+        if pf_ps:
+            if not pixel_spacing:
+                pixel_spacing = pf_ps[0]
+            for p in pf_ps:
+                if not np.allclose(p, pixel_spacing, atol=1e-6):
+                    raise DicomError(
+                        f'{name}: frames disagree on PixelSpacing '
+                        f'(mixed-resolution multi-frame is not supported)')
 
     # per-frame positions: Enhanced-CT plane positions, else legacy
     # top-level position advanced along the slice normal

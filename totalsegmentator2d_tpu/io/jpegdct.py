@@ -31,7 +31,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from .jpegll import JpegError, _entropy_segments
+from .jpegll import JpegError, _build_peek_lut, _entropy_segments
 
 # markers (the ones jpegll.py does not already name)
 _SOI = 0xD8
@@ -99,20 +99,13 @@ def _parse_dht(seg: bytes, dc: Dict[int, np.ndarray],
         pos += 17 + nsym
         if tc > 1:
             raise JpegError(f'Invalid DHT class {tc}')
-        lut = np.zeros(1 << 16, np.uint32)
-        code = 0
-        k = 0
-        for ln in range(1, 17):
-            for _ in range(counts[ln - 1]):
-                sym = symbols[k]
-                k += 1
-                if tc == 0 and sym > 15:
-                    raise JpegError(f'Invalid DC category symbol {sym}')
-                base = code << (16 - ln)
-                span = 1 << (16 - ln)
-                lut[base:base + span] = (sym << 5) | ln
-                code += 1
-            code <<= 1
+
+        def _check_dc(sym: int) -> None:
+            if sym > 15:
+                raise JpegError(f'Invalid DC category symbol {sym}')
+
+        lut = _build_peek_lut(counts, symbols,
+                              _check_dc if tc == 0 else lambda sym: None)
         (dc if tc == 0 else ac)[th] = lut
 
 
@@ -123,15 +116,17 @@ def _parse_dqt(seg: bytes, tables: Dict[int, np.ndarray]) -> None:
         pq, tq = pq_tq >> 4, pq_tq & 0x0F
         pos += 1
         if pq == 0:
+            if len(seg) - pos < 64:
+                raise JpegError('Truncated DQT segment')
             vals = np.frombuffer(seg, np.uint8, 64, pos).astype(np.int32)
             pos += 64
         elif pq == 1:
+            if len(seg) - pos < 128:
+                raise JpegError('Truncated DQT segment')
             vals = np.frombuffer(seg, '>u2', 64, pos).astype(np.int32)
             pos += 128
         else:
             raise JpegError(f'Invalid DQT precision {pq}')
-        if len(vals) < 64:
-            raise JpegError('Truncated DQT segment')
         tables[tq] = vals  # zigzag order
 
 
@@ -220,6 +215,7 @@ def _decode_blocks_py(seg: bytes, dc_lut: np.ndarray, ac_lut: np.ndarray,
     nbits = 0
     pos = 0
     n = len(seg)
+    pad_bits = 0
     pred = 0
     for b in range(nblocks):
         row = out[b]
@@ -229,7 +225,8 @@ def _decode_blocks_py(seg: bytes, dc_lut: np.ndarray, ac_lut: np.ndarray,
                 acc = (acc << 8) | seg[pos]
                 pos += 1
             else:
-                acc <<= 8  # pad: valid streams never consume these bits
+                acc <<= 8  # pad: consuming any of these bits is an error
+                pad_bits += 8
             nbits += 8
         entry = int(dc_lut[(acc >> (nbits - 16)) & 0xFFFF])
         ln = entry & 0x1F
@@ -252,6 +249,7 @@ def _decode_blocks_py(seg: bytes, dc_lut: np.ndarray, ac_lut: np.ndarray,
                     pos += 1
                 else:
                     acc <<= 8
+                    pad_bits += 8
                 nbits += 8
             entry = int(ac_lut[(acc >> (nbits - 16)) & 0xFFFF])
             ln = entry & 0x1F
@@ -274,6 +272,12 @@ def _decode_blocks_py(seg: bytes, dc_lut: np.ndarray, ac_lut: np.ndarray,
                       if extra < (1 << (s - 1)) else extra)
             k += 1
         acc &= (1 << nbits) - 1
+    # zero-pad bytes are pushed only after the segment's real bytes ran
+    # out, so they are the LAST nbits of the stream; any of them consumed
+    # means the entropy data ended before ``nblocks`` blocks were coded
+    if pad_bits > nbits:
+        raise JpegError('Truncated entropy segment (stream ended '
+                        'mid-block)')
     return out
 
 
@@ -319,6 +323,9 @@ def decode(buf: bytes) -> np.ndarray:
     bh = (rows + 7) // 8
     total = bw * bh
     segs = _entropy_segments(buf, entropy_at)
+    if len(segs) > 1 and dri <= 0:
+        raise JpegError('RSTn markers in entropy data but no restart '
+                        'interval defined (missing/zero DRI)')
 
     if dri <= 0 or len(segs) == 1:
         coefs = _decode_blocks(segs[0], dc_lut, ac_lut, total)

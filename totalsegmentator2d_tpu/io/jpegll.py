@@ -50,6 +50,34 @@ class _Frame:
     __slots__ = ('precision', 'rows', 'cols', 'n_components')
 
 
+def _build_peek_lut(counts, symbols, check_symbol) -> np.ndarray:
+    """Build the canonical-Huffman 16-bit peek LUT shared by the lossless
+    and sequential-DCT decoders: lut[next16] = (symbol << 5) | code_length.
+    ``check_symbol(sym)`` raises JpegError on symbols the caller's table
+    class forbids."""
+    lut = np.zeros(1 << 16, np.uint32)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            sym = symbols[k]
+            k += 1
+            check_symbol(sym)
+            if code >= (1 << ln):
+                raise JpegError('Over-subscribed DHT code counts')
+            base = code << (16 - ln)
+            span = 1 << (16 - ln)
+            lut[base:base + span] = (sym << 5) | ln
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _check_ssss(sym: int) -> None:
+    if sym > 16:
+        raise JpegError(f'Invalid lossless SSSS symbol {sym}')
+
+
 def _parse_dht(seg: bytes, tables: Dict[int, 'tuple']):
     """Parse one DHT segment (may hold several tables). Builds, per table
     id, a 16-bit peek LUT: lut[next16] = (symbol << 5) | code_length."""
@@ -67,21 +95,7 @@ def _parse_dht(seg: bytes, tables: Dict[int, 'tuple']):
         pos += 17 + nsym
         if tc != 0:
             continue  # AC tables are illegal in lossless; ignore
-        lut = np.zeros(1 << 16, np.uint32)
-        code = 0
-        k = 0
-        for ln in range(1, 17):
-            for _ in range(counts[ln - 1]):
-                sym = symbols[k]
-                k += 1
-                if sym > 16:
-                    raise JpegError(f'Invalid lossless SSSS symbol {sym}')
-                base = code << (16 - ln)
-                span = 1 << (16 - ln)
-                lut[base:base + span] = (sym << 5) | ln
-                code += 1
-            code <<= 1
-        tables[th] = lut
+        tables[th] = _build_peek_lut(counts, symbols, _check_ssss)
 
 
 def _find_frame(buf: bytes):
@@ -174,6 +188,7 @@ def _decode_diffs_py(seg: bytes, lut: np.ndarray, count: int) -> np.ndarray:
     nbits = 0
     pos = 0
     n = len(seg)
+    pad_bits = 0
     lut_l = lut  # local
     for i in range(count):
         while nbits < 32:
@@ -182,7 +197,8 @@ def _decode_diffs_py(seg: bytes, lut: np.ndarray, count: int) -> np.ndarray:
                 pos += 1
                 nbits += 8
             else:
-                acc <<= 8  # pad with zero bits (valid streams won't use them)
+                acc <<= 8  # pad with zero bits; consuming any is an error
+                pad_bits += 8
                 nbits += 8
         entry = int(lut_l[(acc >> (nbits - 16)) & 0xFFFF])
         ln = entry & 0x1F
@@ -200,6 +216,12 @@ def _decode_diffs_py(seg: bytes, lut: np.ndarray, count: int) -> np.ndarray:
             # T.81 "extend": low half of the category codes negatives
             out[i] = extra - ((1 << s) - 1) if extra < (1 << (s - 1)) else extra
         acc &= (1 << nbits) - 1
+    # zero-pad bytes are pushed only after the segment's real bytes ran
+    # out, so they are the LAST nbits of the stream; any of them consumed
+    # means the entropy data ended before ``count`` samples were coded
+    if pad_bits > nbits:
+        raise JpegError('Truncated entropy segment (stream ended '
+                        'mid-sample)')
     return out
 
 
@@ -294,6 +316,9 @@ def decode(buf: bytes) -> np.ndarray:
         raise JpegError('Empty JPEG frame')
     total = rows * cols
     segs = _entropy_segments(buf, entropy_at)
+    if len(segs) > 1 and dri <= 0:
+        raise JpegError('RSTn markers in entropy data but no restart '
+                        'interval defined (missing/zero DRI)')
 
     if dri <= 0 or len(segs) == 1:
         diffs = _decode_diffs(segs[0], lut, total).reshape(rows, cols)

@@ -137,7 +137,9 @@ def jpegll_decode_diffs(seg: bytes, lut, count: int):
     got = fn(seg, len(seg), lut.ctypes.data, out.ctypes.data, count)
     if got != count:
         from .jpegll import JpegError
-        raise JpegError('Invalid Huffman code in entropy data')
+        raise JpegError('Truncated entropy segment (stream ended '
+                        'mid-sample)' if got == -4 else
+                        'Invalid Huffman code in entropy data')
     return out
 
 
@@ -165,6 +167,8 @@ def jpegdct_decode_blocks(seg: bytes, dc_lut, ac_lut, nblocks: int):
         raise JpegError('Invalid Huffman code in entropy data'
                         if got == -2 else
                         'AC run past end of block' if got == -3 else
+                        'Truncated entropy segment (stream ended '
+                        'mid-block)' if got == -4 else
                         f'native JPEG decode failed (code {got})')
     return out
 
