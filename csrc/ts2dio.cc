@@ -9,6 +9,7 @@
 // All functions return -1 on failure, otherwise the number of bytes written.
 
 #include <cstdint>
+#include <algorithm>
 #include <cstring>
 #include <vector>
 #include <zlib.h>
@@ -323,6 +324,342 @@ long long ts2dio_jpegdct_decode_blocks(const char* seg, size_t seg_len,
   }
   if (pad_bits > nbits) return -4;  // truncated entropy segment
   return nblocks;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG 2000 Tier-1 (EBCOT) code-block decoder: the serial MQ/coding-pass
+// hot loop of io/jpeg2k.py -- a byte-exact port of that file's
+// _MQDecoder/_BlockDecoder (T.800 Annexes C and D). Packet parsing,
+// dequantization and the inverse DWT stay in numpy. The significance
+// context table row (75 entries, for this block's subband orientation)
+// and the 9-pair sign LUT are built on the Python side and passed in.
+
+namespace j2k {
+
+struct MQTableRow {
+  uint16_t qe;
+  uint8_t nmps, nlps, sw;
+};
+
+static const MQTableRow kMQ[47] = {
+    {0x5601, 1, 1, 1},   {0x3401, 2, 6, 0},   {0x1801, 3, 9, 0},
+    {0x0AC1, 4, 12, 0},  {0x0521, 5, 29, 0},  {0x0221, 38, 33, 0},
+    {0x5601, 7, 6, 1},   {0x5401, 8, 14, 0},  {0x4801, 9, 14, 0},
+    {0x3801, 10, 14, 0}, {0x3001, 11, 17, 0}, {0x2401, 12, 18, 0},
+    {0x1C01, 13, 20, 0}, {0x1601, 29, 21, 0}, {0x5601, 15, 14, 1},
+    {0x5401, 16, 14, 0}, {0x5101, 17, 15, 0}, {0x4801, 18, 16, 0},
+    {0x3801, 19, 17, 0}, {0x3401, 20, 18, 0}, {0x3001, 21, 19, 0},
+    {0x2801, 22, 19, 0}, {0x2401, 23, 20, 0}, {0x2201, 24, 21, 0},
+    {0x1C01, 25, 22, 0}, {0x1801, 26, 23, 0}, {0x1601, 27, 24, 0},
+    {0x1401, 28, 25, 0}, {0x1201, 29, 26, 0}, {0x1101, 30, 27, 0},
+    {0x0AC1, 31, 28, 0}, {0x09C1, 32, 29, 0}, {0x08A1, 33, 30, 0},
+    {0x0521, 34, 31, 0}, {0x0441, 35, 32, 0}, {0x02A1, 36, 33, 0},
+    {0x0221, 37, 34, 0}, {0x0141, 38, 35, 0}, {0x0111, 39, 36, 0},
+    {0x0085, 40, 37, 0}, {0x0049, 41, 38, 0}, {0x0025, 42, 39, 0},
+    {0x0015, 43, 40, 0}, {0x0009, 44, 41, 0}, {0x0005, 45, 42, 0},
+    {0x0001, 45, 43, 0}, {0x5601, 46, 46, 0},
+};
+
+enum { kCtxRL = 17, kCtxUNI = 18, kNCtx = 19 };
+
+struct MQDecoder {
+  const unsigned char* data;
+  size_t len, bp;
+  uint32_t c, a;
+  int ct;
+
+  void bytein() {
+    unsigned b = bp < len ? data[bp] : 0xFF;
+    if (b == 0xFF) {
+      unsigned b1 = bp + 1 < len ? data[bp + 1] : 0xFF;
+      if (b1 > 0x8F) {
+        c += 0xFF00;
+        ct = 8;
+      } else {
+        bp += 1;
+        c += b1 << 9;
+        ct = 7;
+      }
+    } else {
+      bp += 1;
+      unsigned b1 = bp < len ? data[bp] : 0xFF;
+      c += b1 << 8;
+      ct = 8;
+    }
+  }
+
+  void init(const unsigned char* d, size_t n) {
+    data = d;
+    len = n;
+    bp = 0;
+    c = static_cast<uint32_t>(n ? d[0] : 0xFF) << 16;
+    bytein();
+    c <<= 7;
+    ct -= 7;
+    a = 0x8000;
+  }
+
+  int decode(uint8_t* st) {  // st = {state, mps}
+    const MQTableRow& row = kMQ[st[0]];
+    uint32_t qe = row.qe;
+    a -= qe;
+    int d;
+    if (((c >> 16) & 0xFFFF) < qe) {
+      if (a < qe) {  // LPS exchange
+        d = st[1];
+        st[0] = row.nmps;
+      } else {
+        d = 1 - st[1];
+        if (row.sw) st[1] ^= 1;
+        st[0] = row.nlps;
+      }
+      a = qe;
+    } else {
+      c -= qe << 16;
+      if (a & 0x8000) return st[1];
+      if (a < qe) {  // MPS exchange
+        d = 1 - st[1];
+        if (row.sw) st[1] ^= 1;
+        st[0] = row.nlps;
+      } else {
+        d = st[1];
+        st[0] = row.nmps;
+      }
+    }
+    do {
+      if (ct == 0) bytein();
+      a <<= 1;
+      c <<= 1;
+      ct -= 1;
+    } while (!(a & 0x8000));
+    return d;
+  }
+};
+
+struct T1 {
+  long long w, h;
+  int style;
+  const uint8_t* sig_tab;   // 75 entries for this orientation
+  const uint8_t* sign_lut;  // 9 x (ctx, xor)
+  std::vector<uint8_t> sig, sgn;  // (h+2) x (w+2), padded borders
+  std::vector<uint8_t> vis, ref;  // h x w
+  int32_t* mag;
+  int32_t* lastp;
+  uint8_t ctx[kNCtx][2];
+
+  T1(long long w_, long long h_, int style_, const uint8_t* st,
+     const uint8_t* sl, int32_t* m, int32_t* lp)
+      : w(w_), h(h_), style(style_), sig_tab(st), sign_lut(sl),
+        sig((h_ + 2) * (w_ + 2), 0), sgn((h_ + 2) * (w_ + 2), 0),
+        vis(h_ * w_, 0), ref(h_ * w_, 0), mag(m), lastp(lp) {
+    fresh_contexts();
+  }
+
+  void fresh_contexts() {
+    for (int i = 0; i < kNCtx; ++i) {
+      ctx[i][0] = 0;
+      ctx[i][1] = 0;
+    }
+    ctx[kCtxUNI][0] = 46;
+    ctx[kCtxRL][0] = 3;
+    ctx[0][0] = 4;
+  }
+
+  uint8_t& S(long long y, long long x) { return sig[(y + 1) * (w + 2) + x + 1]; }
+  uint8_t& N(long long y, long long x) { return sgn[(y + 1) * (w + 2) + x + 1]; }
+
+  int sig_ctx(long long y, long long x) {
+    int below = ((style & 0x08) && ((y & 3) == 3)) ? 0 : 1;
+    int hh = S(y, x - 1) + S(y, x + 1);
+    int vv = S(y - 1, x) + (below ? S(y + 1, x) : 0);
+    int dd = S(y - 1, x - 1) + S(y - 1, x + 1) +
+             (below ? S(y + 1, x - 1) + S(y + 1, x + 1) : 0);
+    return sig_tab[hh * 25 + vv * 5 + dd];
+  }
+
+  int decode_sign(MQDecoder& mq, long long y, long long x) {
+    int below = ((style & 0x08) && ((y & 3) == 3)) ? 0 : 1;
+    auto contrib = [&](long long sy, long long sx, int use) -> int {
+      if (!use || !S(sy, sx)) return 0;
+      return N(sy, sx) ? -1 : 1;
+    };
+    int hc = contrib(y, x - 1, 1) + contrib(y, x + 1, 1);
+    int vc = contrib(y - 1, x, 1) + contrib(y + 1, x, below);
+    hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
+    vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
+    const uint8_t* e = sign_lut + 2 * ((hc + 1) * 3 + (vc + 1));
+    return mq.decode(ctx[e[0]]) ^ e[1];
+  }
+
+  void pass_sig(MQDecoder& mq, int p) {
+    int32_t bit = 1 << p;
+    for (long long y0 = 0; y0 < h; y0 += 4)
+      for (long long x = 0; x < w; ++x)
+        for (long long y = y0; y < y0 + 4 && y < h; ++y) {
+          if (S(y, x)) continue;
+          int cx = sig_ctx(y, x);
+          if (cx == 0) continue;
+          vis[y * w + x] = 1;
+          if (mq.decode(ctx[cx])) {
+            S(y, x) = 1;
+            mag[y * w + x] |= bit;
+            lastp[y * w + x] = p;
+            N(y, x) = static_cast<uint8_t>(decode_sign(mq, y, x));
+          }
+        }
+  }
+
+  void pass_ref(MQDecoder& mq, int p) {
+    int32_t bit = 1 << p;
+    for (long long y0 = 0; y0 < h; y0 += 4)
+      for (long long x = 0; x < w; ++x)
+        for (long long y = y0; y < y0 + 4 && y < h; ++y) {
+          if (!S(y, x) || vis[y * w + x]) continue;
+          int cx;
+          if (ref[y * w + x]) {
+            cx = 16;
+          } else {
+            int below = ((style & 0x08) && ((y & 3) == 3)) ? 0 : 1;
+            bool any_n =
+                S(y, x - 1) || S(y, x + 1) || S(y - 1, x) || S(y - 1, x - 1) ||
+                S(y - 1, x + 1) ||
+                (below && (S(y + 1, x) || S(y + 1, x - 1) || S(y + 1, x + 1)));
+            cx = any_n ? 15 : 14;
+            ref[y * w + x] = 1;
+          }
+          lastp[y * w + x] = p;
+          if (mq.decode(ctx[cx])) mag[y * w + x] |= bit;
+        }
+  }
+
+  // returns 0, or -3 on a segmentation-symbol mismatch
+  int pass_cleanup(MQDecoder& mq, int p) {
+    int32_t bit = 1 << p;
+    for (long long y0 = 0; y0 < h; y0 += 4)
+      for (long long x = 0; x < w; ++x) {
+        long long y = y0;
+        long long stripe = h - y0 < 4 ? h - y0 : 4;
+        if (stripe == 4) {
+          bool rl = true;
+          for (long long yy = y0; yy < y0 + 4; ++yy)
+            if (vis[yy * w + x] || S(yy, x) || sig_ctx(yy, x) != 0) {
+              rl = false;
+              break;
+            }
+          if (rl) {
+            if (!mq.decode(ctx[kCtxRL])) {
+              for (long long yy = y0; yy < y0 + 4; ++yy) vis[yy * w + x] = 0;
+              continue;
+            }
+            int r = (mq.decode(ctx[kCtxUNI]) << 1) | mq.decode(ctx[kCtxUNI]);
+            y = y0 + r;
+            S(y, x) = 1;
+            mag[y * w + x] |= bit;
+            lastp[y * w + x] = p;
+            N(y, x) = static_cast<uint8_t>(decode_sign(mq, y, x));
+            y += 1;
+          }
+        }
+        for (long long yy = y; yy < y0 + stripe; ++yy) {
+          if (vis[yy * w + x] || S(yy, x)) {
+            vis[yy * w + x] = 0;
+            continue;
+          }
+          int cx = sig_ctx(yy, x);
+          if (mq.decode(ctx[cx])) {
+            S(yy, x) = 1;
+            mag[yy * w + x] |= bit;
+            lastp[yy * w + x] = p;
+            N(yy, x) = static_cast<uint8_t>(decode_sign(mq, yy, x));
+          }
+        }
+      }
+    std::fill(vis.begin(), vis.end(), 0);
+    if (style & 0x20) {  // segmentation symbols: 1010 in the UNI context
+      int sym = 0;
+      for (int i = 0; i < 4; ++i) sym = (sym << 1) | mq.decode(ctx[kCtxUNI]);
+      if (sym != 0x0A) return -3;
+    }
+    return 0;
+  }
+};
+
+}  // namespace j2k
+
+extern "C" {
+
+// Decodes one code block's coding passes. ``data`` holds the
+// concatenated codeword-segment bytes; ``seg_lens``/``seg_passes``
+// (nsegs entries) split it exactly as io/jpeg2k.py's _BlockDecoder.run
+// receives them (already merged across quality layers unless the
+// termination-on-each-pass style bit is set). ``sig_tab`` is the
+// 75-entry significance-context row for the block's subband
+// orientation; ``sign_lut`` the 9 x (context, xor) sign table. ``mag``,
+// ``lastp`` (both int32, zeroed) and ``signs`` (uint8, zeroed) are h*w
+// outputs. Returns the number of passes decoded, -2 when the stream
+// signals more passes than bit planes, -3 on a segmentation-symbol
+// mismatch. The fresh-block state (contexts, significance) matches
+// _BlockDecoder exactly; selective arithmetic bypass is rejected on the
+// Python side before this is called.
+long long ts2dio_j2k_t1_decode(const unsigned char* data,
+                               const long long* seg_lens,
+                               const long long* seg_passes, long long nsegs,
+                               long long w, long long h, long long style,
+                               long long start_plane,
+                               const unsigned char* sig_tab,
+                               const unsigned char* sign_lut, int32_t* mag,
+                               int32_t* lastp, uint8_t* signs) {
+  j2k::T1 t1(w, h, static_cast<int>(style), sig_tab, sign_lut, mag, lastp);
+  const bool term_each = style & 0x04;
+  const bool reset = style & 0x02;
+  long long total = 0;
+  for (long long i = 0; i < nsegs; ++i) total += seg_passes[i];
+  j2k::MQDecoder mq;
+  bool mq_live = false;
+  const unsigned char* seg_ptr = data;
+  long long seg_i = 0, seg_left = 0;
+  int plane = static_cast<int>(start_plane);
+  long long passes_done = 0;
+  for (long long k = 0; k < total; ++k) {
+    if (seg_left == 0) {
+      if (reset && mq_live) t1.fresh_contexts();
+      mq.init(seg_ptr, static_cast<size_t>(seg_lens[seg_i]));
+      mq_live = true;
+      seg_ptr += seg_lens[seg_i];
+      seg_left = seg_passes[seg_i];
+      seg_i += 1;
+    } else if (term_each) {
+      return -10;  // termination bookkeeping out of sync
+    }
+    if (plane < 0) return -2;
+    if (passes_done == 0) {
+      int rc = t1.pass_cleanup(mq, plane);
+      if (rc) return rc;
+      plane -= 1;
+    } else {
+      switch ((passes_done - 1) % 3) {
+        case 0:
+          t1.pass_sig(mq, plane);
+          break;
+        case 1:
+          t1.pass_ref(mq, plane);
+          break;
+        default: {
+          int rc = t1.pass_cleanup(mq, plane);
+          if (rc) return rc;
+          plane -= 1;
+        }
+      }
+    }
+    passes_done += 1;
+    seg_left -= 1;
+    if (reset && seg_left) t1.fresh_contexts();
+  }
+  for (long long y = 0; y < h; ++y)
+    for (long long x = 0; x < w; ++x) signs[y * w + x] = t1.N(y, x);
+  return passes_done;
 }
 
 }  // extern "C"

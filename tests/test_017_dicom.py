@@ -18,6 +18,8 @@ _JPLL = '1.2.840.10008.1.2.4.57'      # JPEG Lossless, any predictor
 _JPLL_SV1 = '1.2.840.10008.1.2.4.70'  # JPEG Lossless, selection value 1
 _JPB = '1.2.840.10008.1.2.4.50'       # JPEG baseline (8-bit, lossy)
 _JPE = '1.2.840.10008.1.2.4.51'       # JPEG extended (12-bit, lossy)
+_J2KLL = '1.2.840.10008.1.2.4.90'     # JPEG 2000, lossless only
+_J2K = '1.2.840.10008.1.2.4.91'       # JPEG 2000 (lossy allowed)
 
 
 def _packbits(data: bytes) -> bytes:
@@ -330,7 +332,7 @@ def write_slice(path, arr, *, position, orientation=(1, 0, 0, 0, 1, 0),
         body += extra_pre_pixel
     if transfer_syntax == _RLE:
         body += _encapsulate(_rle_frame(arr))
-    elif transfer_syntax in (_JPB, _JPE):
+    elif transfer_syntax in (_JPB, _JPE, _J2KLL, _J2K):
         body += _encapsulate(codestream, split=jll_split)
     elif transfer_syntax in (_JPLL, _JPLL_SV1):
         pred = 1 if transfer_syntax == _JPLL_SV1 else jll_predictor
@@ -599,11 +601,196 @@ class TestJpegLossless:
             _parse_dht(seg, {})
 
 
+def _j2k_encode(arr, signed=False, **kw):
+    """Encode a (rows, cols) uint8/uint16/int16 array as one raw JPEG 2000
+    codestream via the Pillow/openjpeg oracle. Pillow cannot emit signed
+    components, so int16 input is level-shifted to uint16 and the SIZ
+    Ssiz byte is patched to signed-16 afterwards — an exactly equivalent
+    codestream, because the encoder's DC level shift for unsigned data
+    mirrors the signed representation (T.800 B.1/G.1)."""
+    Image = pytest.importorskip('PIL.Image')
+    if arr.dtype == np.int16 or signed:
+        u = (arr.astype(np.int32) + 32768).astype(np.uint16)
+        data = _j2k_encode(u, **kw)
+        assert data[:4] == b'\xff\x4f\xff\x51'
+        patched = bytearray(data)
+        patched[42] = 0x8F  # Ssiz: signed, 16-bit
+        return bytes(patched)
+    kw.setdefault('irreversible', False)
+    if arr.dtype == np.uint8:
+        im = Image.fromarray(arr)
+    else:
+        im = Image.frombytes('I;16', (arr.shape[1], arr.shape[0]),
+                             arr.astype('<u2').tobytes())
+    import io as _io
+    buf = _io.BytesIO()
+    im.save(buf, 'JPEG2000', no_jp2=True, **kw)
+    return buf.getvalue()
+
+
+def _pillow_decode(codestream: bytes):
+    Image = pytest.importorskip('PIL.Image')
+    import io as _io
+    im = Image.open(_io.BytesIO(codestream))
+    im.load()
+    return np.array(im)
+
+
+class TestJpeg2000:
+    """The from-scratch T.800 decoder (io/jpeg2k.py) against the
+    Pillow/openjpeg oracle and through the DICOM reader."""
+
+    def test_lossless_series_matches_uncompressed(self, tmp_path):
+        rng = np.random.default_rng(0)
+        vol = rng.integers(-900, 1500, size=(3, 10, 12)).astype(np.int16)
+        for i in range(3):
+            write_slice(str(tmp_path / f's{i:03d}.dcm'), vol[i],
+                        position=(5.0, -7.0, 10.0 + 2.5 * i), instance=i + 1,
+                        transfer_syntax=_J2KLL,
+                        codestream=_j2k_encode(vol[i]))
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+        assert img.spacing == (0.8, 0.7, 2.5)
+
+    def test_signed_component(self):
+        """CT pixel data is signed; the patched-Ssiz fixture exercises the
+        decoder's signed reconstruction (no DC level shift, int32 out)."""
+        from totalsegmentator2d_tpu.io import jpeg2k
+        rng = np.random.default_rng(1)
+        arr = rng.integers(-1024, 3072, size=(19, 23)).astype(np.int16)
+        out = jpeg2k.decode(_j2k_encode(arr))
+        assert out.dtype == np.int32
+        np.testing.assert_array_equal(out, arr)
+
+    @pytest.mark.parametrize('kw', [
+        dict(),                                      # 5 resolution levels
+        dict(num_resolutions=1),                     # no wavelet at all
+        dict(codeblock_size=(32, 16)),               # non-square blocks
+        dict(tile_size=(16, 16)),                    # many tiles
+        dict(precinct_size=(32, 32),
+             codeblock_size=(16, 16)),               # real precinct grids
+        dict(progression='RLCP'),
+        dict(progression='RPCL'),
+        dict(quality_mode='rates',
+             quality_layers=[20, 5, 1]),             # multi-layer packets
+    ])
+    def test_lossless_configs_roundtrip(self, kw):
+        from totalsegmentator2d_tpu.io import jpeg2k
+        rng = np.random.default_rng(2)
+        arr = rng.integers(0, 4096, size=(45, 37)).astype(np.uint16)
+        data = _j2k_encode(arr, **kw)
+        out = jpeg2k.decode(data)
+        np.testing.assert_array_equal(out, _pillow_decode(data))
+        if 'tile_size' not in kw:  # Pillow's >8-bit tile ENCODE is lossy
+            np.testing.assert_array_equal(out, arr)
+
+    def test_irreversible_97_matches_oracle(self):
+        """Lossy 9/7: decoder-vs-decoder within 1 (float32-vs-float64
+        lifting); openjpeg's midpoint reconstruction convention must be
+        matched or truncated layers drift by hundreds of HU."""
+        from totalsegmentator2d_tpu.io import jpeg2k
+        rng = np.random.default_rng(3)
+        base = rng.normal(0, 800, (8, 8))
+        arr = np.clip(np.kron(base, np.ones((8, 8))) + 1024,
+                      0, 4095).astype(np.uint16)
+        for kw in (dict(), dict(quality_mode='rates', quality_layers=[10])):
+            data = _j2k_encode(arr, irreversible=True, **kw)
+            out = jpeg2k.decode(data)
+            ref = _pillow_decode(data)
+            assert np.abs(out.astype(np.int64)
+                          - ref.astype(np.int64)).max() <= 1
+
+    def test_jp2_container_accepted(self):
+        Image = pytest.importorskip('PIL.Image')
+        import io as _io
+        from totalsegmentator2d_tpu.io import jpeg2k
+        rng = np.random.default_rng(4)
+        arr = rng.integers(0, 256, size=(9, 11)).astype(np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, 'JPEG2000', irreversible=False)
+        data = buf.getvalue()
+        assert data[4:8] == b'jP  '  # really a JP2 box container
+        np.testing.assert_array_equal(jpeg2k.decode(data), arr)
+
+    def test_python_fallback_equals_native(self, monkeypatch):
+        """The pure-Python Tier-1 loop and the C decoder must agree
+        bit-for-bit (both run against the same stream)."""
+        from totalsegmentator2d_tpu.io import jpeg2k, native
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 65536, size=(40, 33)).astype(np.uint16)
+        data = _j2k_encode(arr, quality_mode='rates', quality_layers=[8, 1])
+        out_native = jpeg2k.decode(data) if native.native_available() \
+            else None
+        monkeypatch.setattr(native, '_lib', None)
+        monkeypatch.setattr(native, '_checked', True)
+        out_py = jpeg2k.decode(data)
+        np.testing.assert_array_equal(out_py, arr)
+        if out_native is not None:
+            np.testing.assert_array_equal(out_native, out_py)
+
+    def test_frame_split_across_fragments(self, tmp_path):
+        rng = np.random.default_rng(6)
+        arr = rng.integers(-200, 200, size=(16, 16)).astype(np.int16)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    transfer_syntax=_J2KLL, codestream=_j2k_encode(arr),
+                    jll_split=34)
+        out = read_dicom_file(str(tmp_path / 'a.dcm'))
+        np.testing.assert_array_equal(out['array'], arr)
+
+    def test_rescale_to_hounsfield(self, tmp_path):
+        rng = np.random.default_rng(7)
+        raw = rng.integers(0, 3000, size=(8, 9)).astype(np.uint16)
+        write_slice(str(tmp_path / 'a.dcm'), raw, position=(0, 0, 0),
+                    transfer_syntax=_J2KLL, codestream=_j2k_encode(raw),
+                    slope=1, intercept=-1024)
+        out = read_dicom_file(str(tmp_path / 'a.dcm'))
+        assert out['array'].dtype == np.int16
+        np.testing.assert_array_equal(
+            out['array'], raw.astype(np.int32) - 1024)
+
+    def test_multicomponent_rejected(self):
+        Image = pytest.importorskip('PIL.Image')
+        import io as _io
+        from totalsegmentator2d_tpu.io import jpeg2k
+        rng = np.random.default_rng(8)
+        rgb = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(rgb).save(buf, 'JPEG2000', no_jp2=True,
+                                  irreversible=False)
+        with pytest.raises(jpeg2k.Jpeg2kError, match='grayscale'):
+            jpeg2k.decode(buf.getvalue())
+
+    def test_garbage_rejected(self):
+        from totalsegmentator2d_tpu.io import jpeg2k
+        with pytest.raises(jpeg2k.Jpeg2kError, match='SOC'):
+            jpeg2k.decode(b'definitely not a codestream')
+
+    @pytest.mark.parametrize('force_py', [False, True])
+    def test_corrupt_entropy_rejected_or_contained(self, monkeypatch,
+                                                   force_py):
+        """Corrupting entropy bytes must never crash or hang — either an
+        informative Jpeg2kError or a decoded (wrong-valued) array of the
+        right shape is acceptable."""
+        from totalsegmentator2d_tpu.io import jpeg2k, native
+        if force_py:
+            monkeypatch.setattr(native, '_lib', None)
+            monkeypatch.setattr(native, '_checked', True)
+        rng = np.random.default_rng(9)
+        arr = rng.integers(0, 4096, size=(24, 24)).astype(np.uint16)
+        data = bytearray(_j2k_encode(arr))
+        data[len(data) // 2] ^= 0xFF
+        try:
+            out = jpeg2k.decode(bytes(data))
+            assert out.shape == arr.shape
+        except jpeg2k.Jpeg2kError:
+            pass
+
+
 class TestErrors:
     def test_compressed_transfer_syntax_rejected(self, tmp_path):
         arr = np.zeros((4, 4), np.int16)
         write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
-                    transfer_syntax='1.2.840.10008.1.2.4.90')  # JPEG 2000
+                    transfer_syntax='1.2.840.10008.1.2.4.80')  # JPEG-LS
         with pytest.raises(DicomError, match='transfer syntax'):
             read_dicom_file(str(tmp_path / 'a.dcm'))
 

@@ -64,6 +64,15 @@ def _load():
                     ctypes.c_char_p, ctypes.c_size_t,
                     ctypes.c_void_p, ctypes.c_void_p,
                     ctypes.c_void_p, ctypes.c_longlong]
+            fn = getattr(lib, 'ts2dio_j2k_t1_decode', None)
+            if fn is not None:  # absent in pre-decoder builds of the lib
+                fn.restype = ctypes.c_longlong
+                fn.argtypes = [
+                    ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_char_p, ctypes.c_char_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             _lib = lib
         except OSError:
             _lib = None
@@ -171,6 +180,45 @@ def jpegdct_decode_blocks(seg: bytes, dc_lut, ac_lut, nblocks: int):
                         'mid-block)' if got == -4 else
                         f'native JPEG decode failed (code {got})')
     return out
+
+
+def j2k_t1_decode(segments, w: int, h: int, style: int, start_plane: int,
+                  sig_tab, sign_lut):
+    """Run a JPEG 2000 code block's Tier-1 coding passes in the native
+    decoder. ``segments`` is the [(bytes, n_passes), ...] list exactly as
+    io/jpeg2k.py's _BlockDecoder.run receives it (already merged across
+    layers unless termination-on-each-pass is set); ``sig_tab`` the
+    75-entry uint8 significance-context row for the block's orientation;
+    ``sign_lut`` the (9, 2) uint8 sign table. Returns (mag, lastp, signs)
+    arrays, or None when the native library is absent (the pure-Python
+    Tier-1 in jpeg2k.py applies). Raises Jpeg2kError on corrupt streams,
+    mirroring the Python loop's errors."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    fn = getattr(lib, 'ts2dio_j2k_t1_decode', None)
+    if fn is None:  # stale library built before the decoder existed
+        return None
+    data = b''.join(d for d, _ in segments)
+    seg_lens = np.array([len(d) for d, _ in segments], np.int64)
+    seg_passes = np.array([n for _, n in segments], np.int64)
+    sig_tab = np.ascontiguousarray(sig_tab, np.uint8)
+    sign_lut = np.ascontiguousarray(sign_lut, np.uint8)
+    mag = np.zeros((h, w), np.int32)
+    lastp = np.zeros((h, w), np.int32)
+    signs = np.zeros((h, w), np.uint8)
+    got = fn(data, seg_lens.ctypes.data, seg_passes.ctypes.data,
+             len(segments), w, h, style, start_plane,
+             sig_tab.tobytes(), sign_lut.tobytes(),
+             mag.ctypes.data, lastp.ctypes.data, signs.ctypes.data)
+    if got < 0:
+        from .jpeg2k import Jpeg2kError
+        raise Jpeg2kError(
+            'More coding passes than bit planes' if got == -2 else
+            'Segmentation symbol mismatch (corrupt entropy data)'
+            if got == -3 else f'native Tier-1 decode failed (code {got})')
+    return mag, lastp, signs
 
 
 def project_max_mean(vol):
