@@ -300,69 +300,13 @@ class _TagTree:
 # (magnitude refinement).
 
 def _sig_ctx_tables():
-    """ctx = table[orient][h*25 + v*5 + d] with h,v in 0..2 (clamped
-    significant horizontal/vertical neighbor counts) and d in 0..4."""
+    """Significance-coding contexts, T.800 Table D.1: ctx =
+    table[orient][h*25 + v*5 + d] with h, v the significant
+    horizontal/vertical neighbor counts (0..2) and d the diagonal count
+    (0..4). Row 0 serves LL and LH; HL (row 1) swaps the roles of h and
+    v; HH (row 2) is keyed on (d, h+v)."""
     out = np.zeros((3, 75), np.uint8)
-    for h in range(3):
-        for v in range(3):
-            for d in range(5):
-                # LL and LH orientation (table D.1 first column group)
-                if h == 2:
-                    c = 8
-                elif h == 1:
-                    c = 7 if v >= 1 else (6 if d >= 1 else 5)
-                else:
-                    c = 4 if v == 2 else (3 if v == 1 else
-                                          (2 if d >= 2 else d))
-                out[0, h * 25 + v * 5 + d] = c
-                # HL: swap the roles of h and v
-                if v == 2:
-                    c = 8
-                elif v == 1:
-                    c = 7 if h >= 1 else (6 if d >= 1 else 5)
-                else:
-                    c = 4 if h == 2 else (3 if h == 1 else
-                                          (2 if d >= 2 else d))
-                out[1, h * 25 + v * 5 + d] = c
-                # HH: diagonal-first
-                hv = h + v
-                if d >= 3:
-                    c = 8
-                elif d == 2:
-                    c = 7 if hv >= 1 else 6
-                elif d == 1:
-                    c = 5 if hv == 0 else (4 if hv == 1 else 4)
-                    if hv >= 2:
-                        c = 4
-                    elif hv == 1:
-                        c = 4
-                    else:
-                        c = 5
-                    # table D.1: d=1: hv=0 -> 5? (see note below)
-                else:
-                    c = 3 if hv >= 2 else (2 if hv == 1 else
-                                           (1 if hv == 1 else hv))
-                out[2, h * 25 + v * 5 + d] = c
-    # HH column of table D.1, stated directly to avoid the branching above
-    # getting it wrong: rows are (sum h+v, d) -> context
-    hh = {}
-    for hv in range(5):
-        for d in range(5):
-            if d >= 3:
-                c = 8
-            elif d == 2:
-                c = 7 if hv >= 1 else 6
-            elif d == 1:
-                c = 6 if hv == 0 else (5 if hv == 1 else 5)
-                c = {0: 5, 1: 5, 2: 5}.get(min(hv, 2), 5)
-                # T.800 D.1 HH: d=1: hv=0 -> 3? see direct table below
-            hh[(hv, d)] = c
-    # Direct transcription of T.800 Table D.1, HH orientation:
-    #   d  hv  ctx        d  hv  ctx
-    #  >=3  x   8          1  >=2  7 is wrong; the real table:
-    #   sumH+V: 0 1 >=2  for each d
-    direct = {
-        # (d, hv) -> ctx
+    hh_ctx = {  # (min(d, 2), min(h+v, 2)) -> context
         (0, 0): 0, (0, 1): 1, (0, 2): 2,
         (1, 0): 3, (1, 1): 4, (1, 2): 5,
         (2, 0): 6, (2, 1): 7, (2, 2): 7,
@@ -370,13 +314,27 @@ def _sig_ctx_tables():
     for h in range(3):
         for v in range(3):
             for d in range(5):
-                hv = min(h + v, 2)
-                dd = min(d, 2)
-                if d >= 3:
+                i = h * 25 + v * 5 + d
+                # LL/LH column group of Table D.1
+                if h == 2:
                     c = 8
+                elif h == 1:
+                    c = 7 if v >= 1 else (6 if d >= 1 else 5)
                 else:
-                    c = direct[(dd, hv)]
-                out[2, h * 25 + v * 5 + d] = c
+                    c = 4 if v == 2 else (3 if v == 1 else
+                                          (2 if d >= 2 else d))
+                out[0, i] = c
+                # HL: h and v swapped
+                if v == 2:
+                    c = 8
+                elif v == 1:
+                    c = 7 if h >= 1 else (6 if d >= 1 else 5)
+                else:
+                    c = 4 if h == 2 else (3 if h == 1 else
+                                          (2 if d >= 2 else d))
+                out[1, i] = c
+                # HH: diagonal-first
+                out[2, i] = 8 if d >= 3 else hh_ctx[(d, min(h + v, 2))]
     return out
 
 
@@ -742,7 +700,7 @@ class _Band:
 
 class _CodeBlock:
     __slots__ = ('x0', 'y0', 'x1', 'y1', 'included', 'lblock', 'zbp',
-                 'decoder', 'segments', 'pending_passes')
+                 'decoder', 'segments')
 
     def __init__(self, x0, y0, x1, y1):
         self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
@@ -755,7 +713,7 @@ class _CodeBlock:
 
 class _Resolution:
     __slots__ = ('r', 'x0', 'y0', 'x1', 'y1', 'bands', 'ppx', 'ppy',
-                 'npx', 'npy', 'incl_trees', 'zbp_trees')
+                 'npx', 'npy', 'xcb', 'ycb', 'incl_trees', 'zbp_trees')
 
 
 def _band_rect(tcx0, tcy0, tcx1, tcy1, nb, xob, yob):
@@ -803,12 +761,9 @@ def _build_resolutions(tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,
             # quantization exponent/mantissa for this band
             band_index = 0 if r == 0 else 3 * (r - 1) + bi + 1
             if quant.style == 1:
-                e0, m0 = quant.values[0]
-                band.eps = e0 - levels + max(
-                    0, levels - (0 if r == 0 else r - 1)) \
-                    if False else e0  # placeholder, fixed below
                 # scalar derived (E-5): eps_b = eps_0 - NL + nb
-                band.eps = e0 - levels + nb if r else e0 - levels + nb
+                e0, m0 = quant.values[0]
+                band.eps = e0 - levels + nb
                 band.mantissa = m0
             else:
                 e, m = quant.values[band_index]
@@ -818,10 +773,11 @@ def _build_resolutions(tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,
         res.bands = bands
         out.append(res)
     # code blocks per band, partitioned on the precinct-constrained grid
+    # (code-block spans never cross precinct boundaries: B.7)
     for res in out:
         r = res.r
-        xcb = min(cod.xcb, res.ppx if r == 0 else res.ppx - 1)
-        ycb = min(cod.ycb, res.ppy if r == 0 else res.ppy - 1)
+        res.xcb = xcb = min(cod.xcb, res.ppx if r == 0 else res.ppx - 1)
+        res.ycb = ycb = min(cod.ycb, res.ppy if r == 0 else res.ppy - 1)
         for band in res.bands:
             blocks: Dict[Tuple[int, int, int, int], _CodeBlock] = {}
             band.blocks = blocks
@@ -856,18 +812,12 @@ def _precinct_blocks(res: _Resolution, band: _Band, p: int):
     py1 = py0 + (1 << res.ppy)
     # map to band coords: for r>0 halve (bands live on the half grid)
     if r > 0:
-        bx0, by0 = _ceil_div(px0, 2), _ceil_div(py0, 2)
-        bx1, by1 = _ceil_div(px1, 2), _ceil_div(py1, 2)
-        # precinct boundaries are powers of two; floor-div keeps alignment
+        # precinct boundaries are powers of two (>= 2 for r > 0), so the
+        # halving onto the band grid is exact
         bx0, by0, bx1, by1 = px0 >> 1, py0 >> 1, px1 >> 1, py1 >> 1
     else:
         bx0, by0, bx1, by1 = px0, py0, px1, py1
-    xcb = min((res.x0 and 0) + 0 + 0 + 0 or 0, 0)  # unused; clarity below
-    # block shift inside this band
-    ppx = res.ppx if r == 0 else res.ppx - 1
-    ppy = res.ppy if r == 0 else res.ppy - 1
-    xcb = min(_cb_xcb(res), ppx)
-    ycb = min(_cb_ycb(res), ppy)
+    xcb, ycb = res.xcb, res.ycb
     gx0 = max(band.x0, bx0) >> xcb
     gy0 = max(band.y0, by0) >> ycb
     gx1 = _ceil_div(min(band.x1, bx1), 1 << xcb)
@@ -881,27 +831,6 @@ def _precinct_blocks(res: _Resolution, band: _Band, p: int):
             if cb is not None:
                 blocks.append(((bx - gx0, by - gy0), cb))
     return blocks, gx1 - gx0, gy1 - gy0, (gx0, gy0)
-
-
-# code-block shifts are needed both at build and packet time; stash them
-# on the resolution via the coding style used to build it
-_CB_SHIFTS: Dict[int, Tuple[int, int]] = {}
-
-
-def _cb_xcb(res: _Resolution) -> int:
-    return _CB_SHIFTS[id(res)][0]
-
-
-def _cb_ycb(res: _Resolution) -> int:
-    return _CB_SHIFTS[id(res)][1]
-
-
-def _register_shifts(resolutions: List[_Resolution], cod: _CodingStyle):
-    for res in resolutions:
-        r = res.r
-        xcb = min(cod.xcb, res.ppx if r == 0 else res.ppx - 1)
-        ycb = min(cod.ycb, res.ppy if r == 0 else res.ppy - 1)
-        _CB_SHIFTS[id(res)] = (xcb, ycb)
 
 
 def _n_passes(rd: _HeaderBits) -> int:
@@ -1107,63 +1036,58 @@ def _decode_tile(data: bytes, tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,
                  quant: _Quant, depth: int) -> np.ndarray:
     resolutions = _build_resolutions(tcx0, tcy0, tcx1, tcy1, cod, quant,
                                      depth)
-    _register_shifts(resolutions, cod)
-    try:
-        pos = 0
-        for layer, res, p in _iter_packets(cod, resolutions):
-            if pos >= len(data):
-                break  # truncated stream: decode what arrived
-            rd = _HeaderBits(data, pos)
-            pos = _decode_packet(rd, res, layer, p, cod.cbstyle,
-                                 cod.sop, cod.eph, data)
-        # Tier-1 over every included code block, then assemble bands
-        reversible = cod.transform == 1
-        ll: Optional[np.ndarray] = None
-        for res in resolutions:
-            arrays = []
-            for band in res.bands:
-                bw = band.x1 - band.x0
-                bh = band.y1 - band.y0
-                coeffs = np.zeros((max(bh, 0), max(bw, 0)),
-                                  np.int64 if reversible else np.float64)
-                mb = quant.guard + band.eps - 1
-                for cb in band.blocks.values():
-                    if not cb.segments:
-                        continue
-                    cw, ch = cb.x1 - cb.x0, cb.y1 - cb.y0
-                    dec = _BlockDecoder(cw, ch, band.orient, cod.cbstyle)
-                    if cod.cbstyle & 0x01:
-                        raise Jpeg2kError(
-                            'Selective arithmetic bypass (code-block style '
-                            'bit 0) is not supported')
-                    segs = _merge_segments(cb.segments, cod.cbstyle)
-                    nat = native.j2k_t1_decode(
-                        segs, cw, ch, cod.cbstyle, mb - 1 - cb.zbp,
-                        _SIG_CTX[dec.orient], _SIGN_LUT)
-                    if nat is not None:
-                        dec.mag, dec.lastp, nsigns = nat
-                        dec.signs[1:-1, 1:-1] = nsigns.astype(bool)
-                    else:
-                        dec.run(segs, mb - 1 - cb.zbp)
-                    vals = dec.values(reversible)
-                    if not reversible:
-                        # dequantize (E-3): delta = 2^(Rb - eps) (1+mu/2^11)
-                        rb = depth + band.gain
-                        delta = (2.0 ** (rb - band.eps)
-                                 * (1.0 + band.mantissa / 2048.0))
-                        vals = vals.astype(np.float64) * delta
-                    coeffs[cb.y0 - band.y0:cb.y1 - band.y0,
-                           cb.x0 - band.x0:cb.x1 - band.x0] = vals
-                arrays.append(coeffs)
-            if res.r == 0:
-                ll = arrays[0]
-            else:
-                ll = _idwt_level(ll, arrays[0], arrays[1], arrays[2],
-                                 res.x0, res.y0, res.x1, res.y1, reversible)
-        return ll
-    finally:
-        for res in resolutions:
-            _CB_SHIFTS.pop(id(res), None)
+    pos = 0
+    for layer, res, p in _iter_packets(cod, resolutions):
+        if pos >= len(data):
+            break  # truncated stream: decode what arrived
+        rd = _HeaderBits(data, pos)
+        pos = _decode_packet(rd, res, layer, p, cod.cbstyle,
+                             cod.sop, cod.eph, data)
+    # Tier-1 over every included code block, then assemble bands
+    reversible = cod.transform == 1
+    ll: Optional[np.ndarray] = None
+    for res in resolutions:
+        arrays = []
+        for band in res.bands:
+            bw = band.x1 - band.x0
+            bh = band.y1 - band.y0
+            coeffs = np.zeros((max(bh, 0), max(bw, 0)),
+                              np.int64 if reversible else np.float64)
+            mb = quant.guard + band.eps - 1
+            for cb in band.blocks.values():
+                if not cb.segments:
+                    continue
+                cw, ch = cb.x1 - cb.x0, cb.y1 - cb.y0
+                dec = _BlockDecoder(cw, ch, band.orient, cod.cbstyle)
+                if cod.cbstyle & 0x01:
+                    raise Jpeg2kError(
+                        'Selective arithmetic bypass (code-block style '
+                        'bit 0) is not supported')
+                segs = _merge_segments(cb.segments, cod.cbstyle)
+                nat = native.j2k_t1_decode(
+                    segs, cw, ch, cod.cbstyle, mb - 1 - cb.zbp,
+                    _SIG_CTX[dec.orient], _SIGN_LUT)
+                if nat is not None:
+                    dec.mag, dec.lastp, nsigns = nat
+                    dec.signs[1:-1, 1:-1] = nsigns.astype(bool)
+                else:
+                    dec.run(segs, mb - 1 - cb.zbp)
+                vals = dec.values(reversible)
+                if not reversible:
+                    # dequantize (E-3): delta = 2^(Rb - eps) (1+mu/2^11)
+                    rb = depth + band.gain
+                    delta = (2.0 ** (rb - band.eps)
+                             * (1.0 + band.mantissa / 2048.0))
+                    vals = vals.astype(np.float64) * delta
+                coeffs[cb.y0 - band.y0:cb.y1 - band.y0,
+                       cb.x0 - band.x0:cb.x1 - band.x0] = vals
+            arrays.append(coeffs)
+        if res.r == 0:
+            ll = arrays[0]
+        else:
+            ll = _idwt_level(ll, arrays[0], arrays[1], arrays[2],
+                             res.x0, res.y0, res.x1, res.y1, reversible)
+    return ll
 
 
 # ---------------------------------------------------------------------------
@@ -1186,7 +1110,11 @@ def _strip_jp2(buf: bytes) -> bytes:
                     (xl,) = struct.unpack_from('>Q', buf, pos + 8)
                     return buf[pos + 16:pos + xl]
                 return buf[pos + 8:pos + ln]
-            pos += ln if ln > 0 else len(buf)
+            if ln == 1:  # XLBox: 64-bit length follows the type
+                (xl,) = struct.unpack_from('>Q', buf, pos + 8)
+                pos += xl
+            else:
+                pos += ln if ln > 0 else len(buf)
         raise Jpeg2kError('JP2 container without a codestream box')
     raise Jpeg2kError('Not a JPEG 2000 codestream (missing SOC/SIZ)')
 
@@ -1200,6 +1128,8 @@ def decode(buf: bytes) -> np.ndarray:
     cod: Optional[_CodingStyle] = None
     quant: Optional[_Quant] = None
     tiles: Dict[int, bytearray] = {}
+    tile_cod: Dict[int, _CodingStyle] = {}   # first-tile-part COD overrides
+    tile_quant: Dict[int, _Quant] = {}       # first-tile-part QCD overrides
     n = len(buf)
     while pos + 4 <= n:
         (marker,) = struct.unpack_from('>H', buf, pos)
@@ -1229,14 +1159,19 @@ def decode(buf: bytes) -> np.ndarray:
                     if m2 == _RGN:
                         raise Jpeg2kError('ROI shifts (RGN) are not '
                                           'supported')
-                    if tpsot == 0 and m2 in (_COD, _QCD):
+                    if m2 in (_COC, _QCC):
+                        raise Jpeg2kError(
+                            'Per-component coding/quantization overrides '
+                            '(COC/QCC) are not supported')
+                    if tpsot == 0:
                         body = buf[hp + 4:hp + 2
                                    + struct.unpack_from('>H', buf, hp + 2)[0]]
                         if m2 == _COD:
-                            cod = _parse_cod(body)
+                            tile_cod[isot] = _parse_cod(body)
                         else:
-                            quant = _parse_qcd(
-                                body, cod.levels if cod else 0)
+                            base = tile_cod.get(isot, cod)
+                            tile_quant[isot] = _parse_qcd(
+                                body, base.levels if base else 0)
                 (l2,) = struct.unpack_from('>H', buf, hp + 2)
                 hp += 2 + l2
             else:
@@ -1255,6 +1190,9 @@ def decode(buf: bytes) -> np.ndarray:
             cod = _parse_cod(body)
         elif marker == _QCD:
             quant = _parse_qcd(body, cod.levels if cod else 0)
+        elif marker in (_COC, _QCC):
+            raise Jpeg2kError('Per-component coding/quantization overrides '
+                              '(COC/QCC) are not supported')
         elif marker == _PPM:
             raise Jpeg2kError('Packed packet headers (PPM) are not '
                               'supported')
@@ -1290,8 +1228,13 @@ def decode(buf: bytes) -> np.ndarray:
         if tx1 <= tx0 or ty1 <= ty0:
             continue
         data = bytes(tiles.get(t, b''))
-        vals = _decode_tile(data, tx0, ty0, tx1, ty1, cod, quant, siz.depth)
-        if cod.transform == 0:
+        tcod = tile_cod.get(t, cod)
+        tquant = tile_quant.get(t, quant)
+        if tquant.style == 0 and len(tquant.values) < 3 * tcod.levels + 1:
+            raise Jpeg2kError('Truncated tile QCD segment')
+        vals = _decode_tile(data, tx0, ty0, tx1, ty1, tcod, tquant,
+                            siz.depth)
+        if tcod.transform == 0:
             vals = np.rint(vals)
         vals = np.clip(vals + shift, lo if siz.signed else 0, hi)
         img[ty0 - siz.y0:ty1 - siz.y0, tx0 - siz.x0:tx1 - siz.x0] = \
