@@ -444,16 +444,26 @@ struct T1 {
   const uint8_t* sig_tab;   // 75 entries for this orientation
   const uint8_t* sign_lut;  // 9 x (ctx, xor)
   std::vector<uint8_t> sig, sgn;  // (h+2) x (w+2), padded borders
+  // Incrementally maintained neighborhood index h*25 + v*5 + d per
+  // coefficient (padded like sig): updated once when a neighbor becomes
+  // significant instead of re-reading 8 neighbors per visit. The counts
+  // have natural maxima (2 horizontal, 2 vertical, 4 diagonal
+  // neighbors), so plain adds never overflow a slot. Not usable with
+  // the vertically-causal style, whose context must EXCLUDE the row
+  // below on stripe row 3 — causal blocks take the recompute path.
+  std::vector<uint8_t> nbr;
   std::vector<uint8_t> vis, ref;  // h x w
   int32_t* mag;
   int32_t* lastp;
+  bool causal;
   uint8_t ctx[kNCtx][2];
 
   T1(long long w_, long long h_, int style_, const uint8_t* st,
      const uint8_t* sl, int32_t* m, int32_t* lp)
       : w(w_), h(h_), style(style_), sig_tab(st), sign_lut(sl),
         sig((h_ + 2) * (w_ + 2), 0), sgn((h_ + 2) * (w_ + 2), 0),
-        vis(h_ * w_, 0), ref(h_ * w_, 0), mag(m), lastp(lp) {
+        nbr((h_ + 2) * (w_ + 2), 0), vis(h_ * w_, 0), ref(h_ * w_, 0),
+        mag(m), lastp(lp), causal((style_ & 0x08) != 0) {
     fresh_contexts();
   }
 
@@ -469,14 +479,33 @@ struct T1 {
 
   uint8_t& S(long long y, long long x) { return sig[(y + 1) * (w + 2) + x + 1]; }
   uint8_t& N(long long y, long long x) { return sgn[(y + 1) * (w + 2) + x + 1]; }
+  uint8_t& NB(long long y, long long x) { return nbr[(y + 1) * (w + 2) + x + 1]; }
 
-  int sig_ctx(long long y, long long x) {
-    int below = ((style & 0x08) && ((y & 3) == 3)) ? 0 : 1;
+  // neighborhood index for context formation: incremental in the common
+  // case, recomputed (with the row below masked on stripe row 3) for
+  // vertically-causal blocks
+  int nb_index(long long y, long long x) {
+    if (!causal) return NB(y, x);
+    int below = ((y & 3) == 3) ? 0 : 1;
     int hh = S(y, x - 1) + S(y, x + 1);
     int vv = S(y - 1, x) + (below ? S(y + 1, x) : 0);
     int dd = S(y - 1, x - 1) + S(y - 1, x + 1) +
              (below ? S(y + 1, x - 1) + S(y + 1, x + 1) : 0);
-    return sig_tab[hh * 25 + vv * 5 + dd];
+    return hh * 25 + vv * 5 + dd;
+  }
+
+  void mark_significant(long long y, long long x) {
+    S(y, x) = 1;
+    uint8_t* c = &NB(y, x);
+    const long long row = w + 2;
+    c[-1] += 25;        // left/right neighbors gain a horizontal count
+    c[+1] += 25;
+    c[-row] += 5;       // up/down gain a vertical count
+    c[+row] += 5;
+    c[-row - 1] += 1;   // diagonals
+    c[-row + 1] += 1;
+    c[+row - 1] += 1;
+    c[+row + 1] += 1;
   }
 
   int decode_sign(MQDecoder& mq, long long y, long long x) {
@@ -493,25 +522,31 @@ struct T1 {
     return mq.decode(ctx[e[0]]) ^ e[1];
   }
 
-  void pass_sig(MQDecoder& mq, int p) {
+  void pass_sig(MQDecoder& mq_io, int p) {
+    // by-value MQ copy: the coder registers (c/a/ct) live in machine
+    // registers for the whole pass instead of being spilled around every
+    // uint8_t context-state write (which may alias struct members)
+    MQDecoder mq = mq_io;
     int32_t bit = 1 << p;
     for (long long y0 = 0; y0 < h; y0 += 4)
       for (long long x = 0; x < w; ++x)
         for (long long y = y0; y < y0 + 4 && y < h; ++y) {
           if (S(y, x)) continue;
-          int cx = sig_ctx(y, x);
-          if (cx == 0) continue;
+          int ni = nb_index(y, x);
+          if (ni == 0) continue;  // no significant neighbor: cleanup's job
           vis[y * w + x] = 1;
-          if (mq.decode(ctx[cx])) {
-            S(y, x) = 1;
+          if (mq.decode(ctx[sig_tab[ni]])) {
+            mark_significant(y, x);
             mag[y * w + x] |= bit;
             lastp[y * w + x] = p;
             N(y, x) = static_cast<uint8_t>(decode_sign(mq, y, x));
           }
         }
+    mq_io = mq;
   }
 
-  void pass_ref(MQDecoder& mq, int p) {
+  void pass_ref(MQDecoder& mq_io, int p) {
+    MQDecoder mq = mq_io;
     int32_t bit = 1 << p;
     for (long long y0 = 0; y0 < h; y0 += 4)
       for (long long x = 0; x < w; ++x)
@@ -521,21 +556,18 @@ struct T1 {
           if (ref[y * w + x]) {
             cx = 16;
           } else {
-            int below = ((style & 0x08) && ((y & 3) == 3)) ? 0 : 1;
-            bool any_n =
-                S(y, x - 1) || S(y, x + 1) || S(y - 1, x) || S(y - 1, x - 1) ||
-                S(y - 1, x + 1) ||
-                (below && (S(y + 1, x) || S(y + 1, x - 1) || S(y + 1, x + 1)));
-            cx = any_n ? 15 : 14;
+            cx = nb_index(y, x) ? 15 : 14;
             ref[y * w + x] = 1;
           }
           lastp[y * w + x] = p;
           if (mq.decode(ctx[cx])) mag[y * w + x] |= bit;
         }
+    mq_io = mq;
   }
 
   // returns 0, or -3 on a segmentation-symbol mismatch
-  int pass_cleanup(MQDecoder& mq, int p) {
+  int pass_cleanup(MQDecoder& mq_io, int p) {
+    MQDecoder mq = mq_io;
     int32_t bit = 1 << p;
     for (long long y0 = 0; y0 < h; y0 += 4)
       for (long long x = 0; x < w; ++x) {
@@ -544,7 +576,7 @@ struct T1 {
         if (stripe == 4) {
           bool rl = true;
           for (long long yy = y0; yy < y0 + 4; ++yy)
-            if (vis[yy * w + x] || S(yy, x) || sig_ctx(yy, x) != 0) {
+            if (vis[yy * w + x] || S(yy, x) || nb_index(yy, x) != 0) {
               rl = false;
               break;
             }
@@ -555,7 +587,7 @@ struct T1 {
             }
             int r = (mq.decode(ctx[kCtxUNI]) << 1) | mq.decode(ctx[kCtxUNI]);
             y = y0 + r;
-            S(y, x) = 1;
+            mark_significant(y, x);
             mag[y * w + x] |= bit;
             lastp[y * w + x] = p;
             N(y, x) = static_cast<uint8_t>(decode_sign(mq, y, x));
@@ -567,9 +599,9 @@ struct T1 {
             vis[yy * w + x] = 0;
             continue;
           }
-          int cx = sig_ctx(yy, x);
-          if (mq.decode(ctx[cx])) {
-            S(yy, x) = 1;
+          int ni = nb_index(yy, x);
+          if (mq.decode(ctx[sig_tab[ni]])) {
+            mark_significant(yy, x);
             mag[yy * w + x] |= bit;
             lastp[yy * w + x] = p;
             N(yy, x) = static_cast<uint8_t>(decode_sign(mq, yy, x));
@@ -582,6 +614,7 @@ struct T1 {
       for (int i = 0; i < 4; ++i) sym = (sym << 1) | mq.decode(ctx[kCtxUNI]);
       if (sym != 0x0A) return -3;
     }
+    mq_io = mq;
     return 0;
   }
 };
