@@ -696,3 +696,279 @@ long long ts2dio_j2k_t1_decode(const unsigned char* data,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG-LS (T.87 / LOCO-I) scan decoder: the serial per-sample hot loop of
+// io/jpegls.py — a sample-exact port of that file's _decode_scan_py
+// (gradient contexts, MED prediction with bias correction, limited
+// Golomb coding, run mode with interruption coding). Header parsing and
+// parameter resolution stay in Python.
+
+namespace jls {
+
+static const int kJ[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                           2, 3, 3, 3, 3, 4, 4, 5, 5, 6, 6,
+                           7, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+struct BitReader {
+  const unsigned char* data;
+  size_t len, pos;
+  uint32_t buf;
+  int nbits;
+  bool last_ff, truncated;
+
+  void fill() {
+    if (pos >= len) {
+      truncated = true;
+      buf = 0;
+      nbits = 8;  // keep running; caller checks `truncated` at the end
+      return;
+    }
+    unsigned b = data[pos];
+    if (last_ff) {
+      if (b & 0x80) {  // a marker: scan data is over
+        truncated = true;
+        buf = 0;
+        nbits = 8;
+        return;
+      }
+      buf = b;
+      nbits = 7;
+    } else {
+      buf = b;
+      nbits = 8;
+    }
+    pos += 1;
+    last_ff = (b == 0xFF);
+  }
+
+  int bit() {
+    if (nbits == 0) fill();
+    nbits -= 1;
+    return (buf >> nbits) & 1;
+  }
+
+  int32_t bits(int n) {
+    int32_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | bit();
+    return v;
+  }
+};
+
+struct Decoder {
+  BitReader rd;
+  int32_t maxval, near, t1, t2, t3, reset;
+  int32_t range, qbpp, limit;
+  int64_t rge;  // range * (2*near + 1)
+  int32_t A[367], B[365], C[365], N[367], Nn[2];
+  int run_index;
+
+  int quantize(int32_t d) const {
+    if (d <= -t3) return -4;
+    if (d <= -t2) return -3;
+    if (d <= -t1) return -2;
+    if (d < -near) return -1;
+    if (d <= near) return 0;
+    if (d < t1) return 1;
+    if (d < t2) return 2;
+    if (d < t3) return 3;
+    return 4;
+  }
+
+  int32_t golomb(int k, int32_t lim) {
+    int32_t q = 0;
+    while (rd.bit() == 0) {
+      q += 1;
+      if (q > lim) return -1;  // corrupt: unary beyond any legal code
+    }
+    if (q < lim - qbpp - 1) return (q << k) | rd.bits(k);
+    return rd.bits(qbpp) + 1;
+  }
+
+  int32_t fix(int64_t rx) const {
+    if (rx < -near)
+      rx += rge;
+    else if (rx > maxval + near)
+      rx -= rge;
+    return rx < 0 ? 0 : (rx > maxval ? maxval : static_cast<int32_t>(rx));
+  }
+
+  int32_t decode_ri(int32_t ra, int32_t rb, bool* err) {
+    int ritype = (ra - rb <= near && rb - ra <= near) ? 1 : 0;
+    int ctx = 365 + ritype;
+    int32_t temp = A[ctx] + (ritype ? (N[ctx] >> 1) : 0);
+    int k = 0;
+    while ((N[ctx] << k) < temp) k += 1;
+    int32_t emerr = golomb(k, limit - kJ[run_index] - 1);
+    if (emerr < 0) {
+      *err = true;
+      return 0;
+    }
+    int32_t tval = emerr + ritype;
+    int mapv = tval & 1;
+    int32_t errabs = (tval + mapv) / 2;
+    int32_t errval =
+        (((k != 0 || 2 * Nn[ritype] >= N[ctx]) ? 1 : 0) == mapv) ? -errabs
+                                                                 : errabs;
+    if (errval < 0) Nn[ritype] += 1;
+    A[ctx] += (emerr + 1 - ritype) >> 1;
+    if (N[ctx] == reset) {
+      A[ctx] >>= 1;
+      N[ctx] >>= 1;
+      Nn[ritype] >>= 1;
+    }
+    N[ctx] += 1;
+    int32_t px, sign;
+    if (ritype) {
+      px = ra;
+      sign = 1;
+    } else {
+      px = rb;
+      sign = rb < ra ? -1 : 1;
+    }
+    return fix(px + static_cast<int64_t>(sign) * errval * (2 * near + 1));
+  }
+};
+
+}  // namespace jls
+
+extern "C" {
+
+// Decodes one single-component, ILV-0 JPEG-LS scan. ``data`` is the
+// entropy data (everything after the SOS header); the coding parameters
+// are resolved on the Python side (io/jpegls.py _Params). ``out`` is an
+// (h, w) int32 array. Returns h*w on success, -4 on a truncated entropy
+// segment, -5 when a run overruns its line, -6 on a corrupt Golomb code.
+long long ts2dio_jpegls_decode(const unsigned char* data, size_t len,
+                               long long w, long long h, long long maxval,
+                               long long near_, long long t1, long long t2,
+                               long long t3, long long reset, int32_t* out) {
+  jls::Decoder d;
+  d.rd = {data, len, 0, 0, 0, false, false};
+  d.maxval = static_cast<int32_t>(maxval);
+  d.near = static_cast<int32_t>(near_);
+  d.t1 = static_cast<int32_t>(t1);
+  d.t2 = static_cast<int32_t>(t2);
+  d.t3 = static_cast<int32_t>(t3);
+  d.reset = static_cast<int32_t>(reset);
+  d.range = static_cast<int32_t>((maxval + 2 * near_) / (2 * near_ + 1) + 1);
+  d.qbpp = 1;
+  while ((1 << d.qbpp) < d.range) d.qbpp += 1;
+  {
+    int bpp = 2;
+    while ((1LL << bpp) < maxval + 1) bpp += 1;
+    d.limit = 2 * (bpp + (bpp > 8 ? bpp : 8));
+  }
+  d.rge = static_cast<int64_t>(d.range) * (2 * d.near + 1);
+  int32_t a_init = (d.range + 32) / 64;
+  if (a_init < 2) a_init = 2;
+  for (int i = 0; i < 367; ++i) {
+    d.A[i] = a_init;
+    d.N[i] = 1;
+  }
+  std::memset(d.B, 0, sizeof(d.B));
+  std::memset(d.C, 0, sizeof(d.C));
+  d.Nn[0] = d.Nn[1] = 0;
+  d.run_index = 0;
+
+  // padded line buffers: index i+1 holds sample i (see _decode_scan_py)
+  std::vector<int32_t> buf0(w + 2, 0), buf1(w + 2, 0);
+  int32_t* prev = buf0.data();
+  int32_t* cur = buf1.data();
+  const int32_t twonear1 = 2 * d.near + 1;
+  for (long long y = 0; y < h; ++y) {
+    prev[w + 1] = prev[w];
+    cur[0] = prev[1];
+    long long x = 0;
+    while (x < w) {
+      int32_t ra = cur[x];
+      int32_t rc = prev[x];
+      int32_t rb = prev[x + 1];
+      int32_t rdd = prev[x + 2];
+      int q1 = d.quantize(rdd - rb);
+      int q2 = d.quantize(rb - rc);
+      int q3 = d.quantize(rc - ra);
+      if (q1 == 0 && q2 == 0 && q3 == 0) {
+        // ---- run mode ----
+        long long remaining = w - x;
+        long long filled = 0;
+        bool broken = true;
+        while (d.rd.bit()) {
+          long long seg = 1LL << jls::kJ[d.run_index];
+          long long take = seg < remaining - filled ? seg : remaining - filled;
+          filled += take;
+          if (take == seg && d.run_index < 31) d.run_index += 1;
+          if (filled == remaining) {
+            broken = false;
+            break;
+          }
+        }
+        if (broken && jls::kJ[d.run_index])
+          filled += d.rd.bits(jls::kJ[d.run_index]);
+        if (filled > remaining) return -5;
+        for (long long i = 0; i < filled; ++i) cur[x + 1 + i] = ra;
+        x += filled;
+        if (broken) {
+          bool err = false;
+          cur[x + 1] = d.decode_ri(ra, prev[x + 1], &err);
+          if (err) return d.rd.truncated ? -4 : -6;
+          if (d.run_index > 0) d.run_index -= 1;
+          x += 1;
+        }
+        continue;
+      }
+      // ---- regular mode ----
+      int sign;
+      int q;
+      {
+        int qs = q1 * 81 + q2 * 9 + q3;
+        sign = qs < 0 ? -1 : 1;
+        q = qs < 0 ? -qs : qs;
+      }
+      int32_t mn = ra <= rb ? ra : rb;
+      int32_t mx = ra <= rb ? rb : ra;
+      int32_t px;
+      if (rc >= mx)
+        px = mn;
+      else if (rc <= mn)
+        px = mx;
+      else
+        px = ra + rb - rc;
+      px += sign > 0 ? d.C[q] : -d.C[q];
+      px = px < 0 ? 0 : (px > d.maxval ? d.maxval : px);
+      int k = 0;
+      while ((d.N[q] << k) < d.A[q]) k += 1;
+      int32_t merr = d.golomb(k, d.limit);
+      if (merr < 0) return d.rd.truncated ? -4 : -6;
+      int32_t errval = (merr & 1) ? -((merr + 1) / 2) : merr / 2;
+      if (k == 0 && d.near == 0 && 2 * d.B[q] <= -d.N[q])
+        errval = -errval - 1;
+      d.B[q] += errval * twonear1;
+      d.A[q] += errval >= 0 ? errval : -errval;
+      if (d.N[q] == d.reset) {
+        d.A[q] >>= 1;
+        d.B[q] >>= 1;
+        d.N[q] >>= 1;
+      }
+      d.N[q] += 1;
+      if (d.B[q] <= -d.N[q]) {
+        d.B[q] += d.N[q];
+        if (d.C[q] > -128) d.C[q] -= 1;
+        if (d.B[q] <= -d.N[q]) d.B[q] = -d.N[q] + 1;
+      } else if (d.B[q] > 0) {
+        d.B[q] -= d.N[q];
+        if (d.C[q] < 127) d.C[q] += 1;
+        if (d.B[q] > 0) d.B[q] = 0;
+      }
+      if (sign < 0) errval = -errval;
+      cur[x + 1] = d.fix(px + static_cast<int64_t>(errval) * twonear1);
+      x += 1;
+    }
+    std::memcpy(out + y * w, cur + 1, w * sizeof(int32_t));
+    std::swap(prev, cur);
+  }
+  if (d.rd.truncated) return -4;
+  return h * w;
+}
+
+}  // extern "C"

@@ -18,6 +18,7 @@ _JPLL = '1.2.840.10008.1.2.4.57'      # JPEG Lossless, any predictor
 _JPLL_SV1 = '1.2.840.10008.1.2.4.70'  # JPEG Lossless, selection value 1
 _JPB = '1.2.840.10008.1.2.4.50'       # JPEG baseline (8-bit, lossy)
 _JPE = '1.2.840.10008.1.2.4.51'       # JPEG extended (12-bit, lossy)
+_JLSLL = '1.2.840.10008.1.2.4.80'     # JPEG-LS, lossless only
 _J2KLL = '1.2.840.10008.1.2.4.90'     # JPEG 2000, lossless only
 _J2K = '1.2.840.10008.1.2.4.91'       # JPEG 2000 (lossy allowed)
 
@@ -332,7 +333,7 @@ def write_slice(path, arr, *, position, orientation=(1, 0, 0, 0, 1, 0),
         body += extra_pre_pixel
     if transfer_syntax == _RLE:
         body += _encapsulate(_rle_frame(arr))
-    elif transfer_syntax in (_JPB, _JPE, _J2KLL, _J2K):
+    elif transfer_syntax in (_JPB, _JPE, _JLSLL, _J2KLL, _J2K):
         body += _encapsulate(codestream, split=jll_split)
     elif transfer_syntax in (_JPLL, _JPLL_SV1):
         pred = 1 if transfer_syntax == _JPLL_SV1 else jll_predictor
@@ -601,6 +602,128 @@ class TestJpegLossless:
             _parse_dht(seg, {})
 
 
+class TestJpegLs:
+    """The from-scratch T.87 decoder (io/jpegls.py) against the system
+    CharLS oracle (tests/charls_oracle.py) and through the DICOM reader."""
+
+    @pytest.fixture(autouse=True)
+    def _need_charls(self):
+        import charls_oracle
+        if not charls_oracle.available():
+            pytest.skip('system CharLS library not available')
+
+    def test_lossless_series_matches_uncompressed(self, tmp_path):
+        import charls_oracle as co
+        rng = np.random.default_rng(0)
+        vol = rng.integers(0, 4096, size=(3, 10, 12)).astype(np.uint16)
+        for i in range(3):
+            write_slice(str(tmp_path / f's{i:03d}.dcm'), vol[i],
+                        position=(5.0, -7.0, 10.0 + 2.5 * i), instance=i + 1,
+                        transfer_syntax=_JLSLL,
+                        codestream=co.encode(vol[i], 12))
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+        assert img.spacing == (0.8, 0.7, 2.5)
+
+    def test_near_lossless_matches_charls(self):
+        import charls_oracle as co
+        from totalsegmentator2d_tpu.io import jpegls
+        rng = np.random.default_rng(1)
+        arr = np.clip(np.kron(rng.normal(1000, 400, (6, 6)),
+                              np.ones((8, 8)))[:43, :41],
+                      0, 4095).astype(np.uint16)
+        data = co.encode(arr, 12, near=3)
+        out = jpegls.decode(data)
+        np.testing.assert_array_equal(out, co.decode(data, 43, 41, 12))
+        assert np.abs(out.astype(np.int64) - arr.astype(np.int64)).max() <= 3
+
+    @pytest.mark.parametrize('bits,near,preset', [
+        (8, 0, None),
+        (16, 0, None),
+        (12, 2, None),
+        (12, 0, (4095, 10, 20, 40, 32)),   # LSE preset parameters
+        (2, 0, None),                       # minimum precision
+    ])
+    def test_configs_match_oracle(self, bits, near, preset):
+        import charls_oracle as co
+        from totalsegmentator2d_tpu.io import jpegls
+        rng = np.random.default_rng(bits * 31 + near)
+        hi = 1 << bits
+        arr = rng.integers(0, hi, (37, 29)).astype(
+            np.uint8 if bits <= 8 else np.uint16)
+        data = co.encode(arr, bits, near, preset)
+        np.testing.assert_array_equal(
+            jpegls.decode(data), co.decode(data, 37, 29, bits))
+
+    def test_run_mode_heavy_content(self):
+        """Mostly-flat content exercises the run machinery (segment
+        growth, interruption samples, end-of-line runs)."""
+        import charls_oracle as co
+        from totalsegmentator2d_tpu.io import jpegls
+        rng = np.random.default_rng(2)
+        arr = np.full((51, 47), 777, np.uint16)
+        m = rng.random((51, 47)) < 0.04
+        arr = np.where(m, rng.integers(0, 4096, (51, 47)), arr).astype(
+            np.uint16)
+        data = co.encode(arr, 12)
+        out = jpegls.decode(data)
+        np.testing.assert_array_equal(out, arr)
+
+    def test_python_fallback_equals_native(self, monkeypatch):
+        import charls_oracle as co
+        from totalsegmentator2d_tpu.io import jpegls, native
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 65536, (26, 33)).astype(np.uint16)
+        data = co.encode(arr, 16)
+        out_native = jpegls.decode(data) if native.native_available() \
+            else None
+        monkeypatch.setattr(native, '_lib', None)
+        monkeypatch.setattr(native, '_checked', True)
+        out_py = jpegls.decode(data)
+        np.testing.assert_array_equal(out_py, arr)
+        if out_native is not None:
+            np.testing.assert_array_equal(out_native, out_py)
+
+    def test_multicomponent_rejected(self):
+        from totalsegmentator2d_tpu.io import jpegls
+        # hand-built SOF55 with 3 components
+        sof = struct.pack('>HHBHHB', 0xFFF7, 11 + 6, 8, 4, 4, 3)
+        sof += bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+        with pytest.raises(jpegls.JpegLsError, match='grayscale'):
+            jpegls.decode(b'\xff\xd8' + sof)
+
+    def test_garbage_rejected(self):
+        from totalsegmentator2d_tpu.io import jpegls
+        with pytest.raises(jpegls.JpegLsError, match='SOI'):
+            jpegls.decode(b'definitely not jpeg-ls')
+
+    @pytest.mark.parametrize('force_py', [False, True])
+    def test_truncated_rejected(self, monkeypatch, force_py):
+        import charls_oracle as co
+        from totalsegmentator2d_tpu.io import jpegls, native
+        if force_py:
+            monkeypatch.setattr(native, '_lib', None)
+            monkeypatch.setattr(native, '_checked', True)
+        rng = np.random.default_rng(4)
+        arr = rng.integers(0, 4096, (24, 24)).astype(np.uint16)
+        data = co.encode(arr, 12)
+        cut = data[:len(data) // 2]
+        with pytest.raises(jpegls.JpegLsError, match='Truncated'):
+            jpegls.decode(cut)
+
+    def test_rescale_to_hounsfield(self, tmp_path):
+        import charls_oracle as co
+        rng = np.random.default_rng(5)
+        raw = rng.integers(0, 3000, size=(8, 9)).astype(np.uint16)
+        write_slice(str(tmp_path / 'a.dcm'), raw, position=(0, 0, 0),
+                    transfer_syntax=_JLSLL, codestream=co.encode(raw, 16),
+                    slope=1, intercept=-1024)
+        out = read_dicom_file(str(tmp_path / 'a.dcm'))
+        assert out['array'].dtype == np.int16
+        np.testing.assert_array_equal(
+            out['array'], raw.astype(np.int32) - 1024)
+
+
 def _j2k_encode(arr, signed=False, **kw):
     """Encode a (rows, cols) uint8/uint16/int16 array as one raw JPEG 2000
     codestream via the Pillow/openjpeg oracle. Pillow cannot emit signed
@@ -790,7 +913,8 @@ class TestErrors:
     def test_compressed_transfer_syntax_rejected(self, tmp_path):
         arr = np.zeros((4, 4), np.int16)
         write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
-                    transfer_syntax='1.2.840.10008.1.2.4.80')  # JPEG-LS
+                    # JPEG 2000 Part 2 multi-component
+                    transfer_syntax='1.2.840.10008.1.2.4.92')
         with pytest.raises(DicomError, match='transfer syntax'):
             read_dicom_file(str(tmp_path / 'a.dcm'))
 

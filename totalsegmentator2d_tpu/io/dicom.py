@@ -10,9 +10,11 @@ scheme — decoded in _rle_decode_frame), JPEG Lossless
 archive syntax, decoded in io/jpegll.py with a native C hot loop), and
 sequential lossy JPEG (1.2.840.10008.1.2.4.50/.51, baseline 8-bit and
 extended 12-bit — what CR/DX X-ray archives emit, decoded in
-io/jpegdct.py), and JPEG 2000 (1.2.840.10008.1.2.4.90/.91, the PACS
-archive syntax — reversible 5/3 and irreversible 9/7, decoded in
-io/jpeg2k.py), single-sample (grayscale) slices, assembled into one
+io/jpegdct.py), JPEG-LS (1.2.840.10008.1.2.4.80/.81, LOCO-I lossless and
+near-lossless, decoded in io/jpegls.py), and JPEG 2000
+(1.2.840.10008.1.2.4.90/.91, the PACS archive syntax — reversible 5/3 and
+irreversible 9/7, decoded in io/jpeg2k.py), single-sample (grayscale)
+slices, assembled into one
 (Z, Y, X) volume with full LPS geometry (DICOM's patient coordinate
 system IS LPS, the framework's world frame — no conversion needed).
 
@@ -23,9 +25,8 @@ Sequence (5200,9229)) and legacy multi-frame (a single top-level
 ImagePositionPatient advanced along the slice normal by
 SpacingBetweenSlices (0018,0088), falling back to SliceThickness).
 
-Deliberately conservative: progressive-JPEG streams, JPEG-LS,
-color images, and non-uniform slice stacks raise
-informative errors rather than guessing. Geometry notes:
+Deliberately conservative: progressive-JPEG streams, color images, and
+non-uniform slice stacks raise informative errors rather than guessing. Geometry notes:
  - ImageOrientationPatient (0020,0037) gives the column-axis (x) and
    row-axis (y) direction cosines; the z column of the direction matrix
    comes from the actual slice-position delta (not the cross product), so
@@ -53,6 +54,8 @@ _JPEG_LL = '1.2.840.10008.1.2.4.57'      # process 14, any predictor
 _JPEG_LL_SV1 = '1.2.840.10008.1.2.4.70'  # process 14 selection value 1
 _JPEG_BASE = '1.2.840.10008.1.2.4.50'    # baseline (process 1, 8-bit, lossy)
 _JPEG_EXT = '1.2.840.10008.1.2.4.51'     # extended (process 2/4, 12-bit)
+_JLS_LL = '1.2.840.10008.1.2.4.80'       # JPEG-LS, lossless only
+_JLS_NEAR = '1.2.840.10008.1.2.4.81'     # JPEG-LS, near-lossless allowed
 _J2K_LL = '1.2.840.10008.1.2.4.90'       # JPEG 2000, lossless only (5/3)
 _J2K = '1.2.840.10008.1.2.4.91'          # JPEG 2000 (usually lossy 9/7)
 
@@ -420,6 +423,9 @@ def read_dicom_file(path: str) -> dict:
     elif ts in (_JPEG_BASE, _JPEG_EXT):
         from .jpegdct import decode as jpeg_decode
         implicit = False
+    elif ts in (_JLS_LL, _JLS_NEAR):
+        from .jpegls import decode as jpeg_decode
+        implicit = False
     elif ts in (_J2K_LL, _J2K):
         from .jpeg2k import decode as jpeg_decode
         implicit = False
@@ -427,8 +433,8 @@ def read_dicom_file(path: str) -> dict:
         raise DicomError(
             f'Unsupported transfer syntax {ts} in {name} '
             f'(uncompressed little endian, RLE lossless, JPEG lossless, '
-            f'sequential lossy JPEG, and JPEG 2000 are read natively; '
-            f'convert other series to NRRD/NIfTI)')
+            f'sequential lossy JPEG, JPEG-LS, and JPEG 2000 are read '
+            f'natively; convert other series to NRRD/NIfTI)')
     el = _parse_dataset(buf, pos, implicit)
     rows, cols = _us(el.get('Rows')), _us(el.get('Columns'))
     if not rows or not cols:
@@ -470,13 +476,14 @@ def read_dicom_file(path: str) -> dict:
             # a JPEG frame may be SPLIT across fragments (PS3.5 A.4)
             from .jpegll import JpegError
             from .jpeg2k import Jpeg2kError
+            from .jpegls import JpegLsError
             streams = _frame_codestreams(frags, el.get('PixelDataBOT', b''),
                                          nframes, name)
             frames = []
             for cs in streams:
                 try:
                     arr = jpeg_decode(cs)
-                except (JpegError, Jpeg2kError) as ex:
+                except (JpegError, Jpeg2kError, JpegLsError) as ex:
                     raise DicomError(f'{name}: {ex}') from ex
                 if arr.shape != (rows, cols):
                     raise DicomError(

@@ -73,6 +73,15 @@ def _load():
                     ctypes.c_longlong, ctypes.c_longlong,
                     ctypes.c_char_p, ctypes.c_char_p,
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            fn = getattr(lib, 'ts2dio_jpegls_decode', None)
+            if fn is not None:  # absent in pre-decoder builds of the lib
+                fn.restype = ctypes.c_longlong
+                fn.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t,
+                    ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p]
             _lib = lib
         except OSError:
             _lib = None
@@ -219,6 +228,32 @@ def j2k_t1_decode(segments, w: int, h: int, style: int, start_plane: int,
             'Segmentation symbol mismatch (corrupt entropy data)'
             if got == -3 else f'native Tier-1 decode failed (code {got})')
     return mag, lastp, signs
+
+
+def jpegls_decode(data: bytes, w: int, h: int, maxval: int, near: int,
+                  t1: int, t2: int, t3: int, reset: int):
+    """Decode one JPEG-LS scan's entropy data (everything after SOS) in
+    the native decoder. Parameters are the resolved coding parameters
+    from io/jpegls.py. Returns an (h, w) int32 array, or None when the
+    native library is absent (the pure-Python scan loop applies). Raises
+    JpegLsError on corrupt streams, mirroring the Python loop."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    fn = getattr(lib, 'ts2dio_jpegls_decode', None)
+    if fn is None:  # stale library built before the decoder existed
+        return None
+    out = np.zeros((h, w), np.int32)
+    got = fn(data, len(data), w, h, maxval, near, t1, t2, t3, reset,
+             out.ctypes.data)
+    if got != h * w:
+        from .jpegls import JpegLsError
+        raise JpegLsError(
+            'Truncated entropy segment' if got == -4 else
+            'Run length exceeds the line' if got == -5 else
+            f'native JPEG-LS decode failed (code {got})')
+    return out
 
 
 def project_max_mean(vol):
