@@ -16,6 +16,12 @@
 
 extern "C" {
 
+// Behavioral ABI version of this library. Bumped when an EXISTING entry
+// point's semantics change (v2: jpegll/jpegdct truncated-entropy streams
+// return -4 instead of silently zero-padding); io/native.py refuses to
+// use semantics-sensitive entry points from an older prebuilt .so.
+long long ts2dio_abi_version(void) { return 2; }
+
 // Upper bound for the inflated size of a gzip/zlib stream.
 // For gzip streams the ISIZE trailer gives the size mod 2^32; for zlib (or
 // multi-member/large streams) we run a counting inflate pass.
@@ -760,7 +766,11 @@ struct Decoder {
   int32_t maxval, near, t1, t2, t3, reset;
   int32_t range, qbpp, limit;
   int64_t rge;  // range * (2*near + 1)
-  int32_t A[367], B[365], C[365], N[367], Nn[2];
+  // A/B in 64-bit: hostile LSE RESET values (up to 65535) let A grow
+  // toward reset*range/2 ~ 2^31 between halvings, which would overflow
+  // int32 and shift N by >= 32 bits in the k-loop (both UB)
+  int64_t A[367], B[365];
+  int32_t C[365], N[367], Nn[2];
   int run_index;
 
   int quantize(int32_t d) const {
@@ -796,9 +806,9 @@ struct Decoder {
   int32_t decode_ri(int32_t ra, int32_t rb, bool* err) {
     int ritype = (ra - rb <= near && rb - ra <= near) ? 1 : 0;
     int ctx = 365 + ritype;
-    int32_t temp = A[ctx] + (ritype ? (N[ctx] >> 1) : 0);
+    int64_t temp = A[ctx] + (ritype ? (N[ctx] >> 1) : 0);
     int k = 0;
-    while ((N[ctx] << k) < temp) k += 1;
+    while ((static_cast<int64_t>(N[ctx]) << k) < temp) k += 1;
     int32_t emerr = golomb(k, limit - kJ[run_index] - 1);
     if (emerr < 0) {
       *err = true;
@@ -860,7 +870,7 @@ long long ts2dio_jpegls_decode(const unsigned char* data, size_t len,
     d.limit = 2 * (bpp + (bpp > 8 ? bpp : 8));
   }
   d.rge = static_cast<int64_t>(d.range) * (2 * d.near + 1);
-  int32_t a_init = (d.range + 32) / 64;
+  int64_t a_init = (d.range + 32) / 64;
   if (a_init < 2) a_init = 2;
   for (int i = 0; i < 367; ++i) {
     d.A[i] = a_init;
@@ -903,9 +913,11 @@ long long ts2dio_jpegls_decode(const unsigned char* data, size_t len,
             break;
           }
         }
-        if (broken && jls::kJ[d.run_index])
-          filled += d.rd.bits(jls::kJ[d.run_index]);
-        if (filled > remaining) return -5;
+        if (broken) {
+          if (jls::kJ[d.run_index]) filled += d.rd.bits(jls::kJ[d.run_index]);
+          // the mandatory interruption sample must still fit in the line
+          if (filled >= remaining) return -5;
+        }
         for (long long i = 0; i < filled; ++i) cur[x + 1 + i] = ra;
         x += filled;
         if (broken) {
@@ -937,13 +949,13 @@ long long ts2dio_jpegls_decode(const unsigned char* data, size_t len,
       px += sign > 0 ? d.C[q] : -d.C[q];
       px = px < 0 ? 0 : (px > d.maxval ? d.maxval : px);
       int k = 0;
-      while ((d.N[q] << k) < d.A[q]) k += 1;
+      while ((static_cast<int64_t>(d.N[q]) << k) < d.A[q]) k += 1;
       int32_t merr = d.golomb(k, d.limit);
       if (merr < 0) return d.rd.truncated ? -4 : -6;
       int32_t errval = (merr & 1) ? -((merr + 1) / 2) : merr / 2;
       if (k == 0 && d.near == 0 && 2 * d.B[q] <= -d.N[q])
         errval = -errval - 1;
-      d.B[q] += errval * twonear1;
+      d.B[q] += static_cast<int64_t>(errval) * twonear1;
       d.A[q] += errval >= 0 ? errval : -errval;
       if (d.N[q] == d.reset) {
         d.A[q] >>= 1;

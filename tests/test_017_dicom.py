@@ -723,6 +723,38 @@ class TestJpegLs:
         np.testing.assert_array_equal(
             out['array'], raw.astype(np.int32) - 1024)
 
+    def test_malformed_marker_bodies_raise_codec_error(self):
+        """Truncated/empty marker bodies must surface as JpegLsError (the
+        DicomError wrapping contract), never raw IndexError/struct.error."""
+        from totalsegmentator2d_tpu.io import jpegls
+        sof = struct.pack('>HHBHHB', 0xFFF7, 11, 8, 4, 4, 1) \
+            + bytes([1, 0x11, 0])
+        for name, stream in [
+                ('empty LSE', b'\xff\xd8' + struct.pack('>HH', 0xFFF8, 2)),
+                ('truncated SOF55',
+                 b'\xff\xd8' + struct.pack('>HH', 0xFFF7, 4) + b'\x08\x00'),
+                ('truncated SOS',
+                 b'\xff\xd8' + sof + struct.pack('>HH', 0xFFDA, 3) + b'\x01'),
+        ]:
+            with pytest.raises(jpegls.JpegLsError):
+                jpegls.decode(stream)
+
+    def test_hostile_lse_presets_rejected(self):
+        """Out-of-order thresholds / absurd RESET corrupt the adaptive
+        state (and overflow int32 in a naive native decoder) — they must
+        be rejected up front (T.87 C.2.4.1.1)."""
+        import charls_oracle as co
+        from totalsegmentator2d_tpu.io import jpegls
+        good = co.encode(np.zeros((4, 4), np.uint8), 8)
+        i = good.find(b'\xff\xda')
+        for name, preset in [('reversed thresholds', (255, 90, 50, 10, 64)),
+                             ('RESET below 3', (255, 3, 7, 21, 1)),
+                             ('MAXVAL above precision', (9999, 3, 7, 21, 64))]:
+            lse = struct.pack('>HHB', 0xFFF8, 13, 1) \
+                + struct.pack('>HHHHH', *preset)
+            with pytest.raises(jpegls.JpegLsError):
+                jpegls.decode(good[:i] + lse + good[i:])
+
 
 def _j2k_encode(arr, signed=False, **kw):
     """Encode a (rows, cols) uint8/uint16/int16 array as one raw JPEG 2000
@@ -887,6 +919,26 @@ class TestJpeg2000:
         from totalsegmentator2d_tpu.io import jpeg2k
         with pytest.raises(jpeg2k.Jpeg2kError, match='SOC'):
             jpeg2k.decode(b'definitely not a codestream')
+
+    def test_malformed_marker_bodies_raise_codec_error(self):
+        """Truncated/empty marker bodies must surface as Jpeg2kError (the
+        DicomError wrapping contract), never raw IndexError/ValueError."""
+        import struct as _s
+        from totalsegmentator2d_tpu.io import jpeg2k
+        soc = b'\xff\x4f'
+        siz = _s.pack('>HH', 0xFF51, 41) + _s.pack(
+            '>HIIIIIIIIH', 0, 8, 8, 0, 0, 8, 8, 0, 0, 1) + bytes([7, 1, 1])
+        with pytest.raises(jpeg2k.Jpeg2kError):  # empty COD body
+            jpeg2k.decode(soc + siz + _s.pack('>HH', 0xFF52, 2))
+        # precinct exponent 0 at r>0 (would be a negative shift)
+        cod = _s.pack('>HH', 0xFF52, 13) + bytes([1, 0]) \
+            + _s.pack('>H', 1) + bytes([0, 1, 2, 2, 0, 1]) \
+            + bytes([0x00, 0x11])
+        qcd = _s.pack('>HH', 0xFF5C, 3) + bytes([0x40, 0x40])
+        tail = _s.pack('>HHHIBB', 0xFF90, 10, 0, 0, 0, 1) \
+            + b'\xff\x93\xff\xd9'
+        with pytest.raises(jpeg2k.Jpeg2kError):
+            jpeg2k.decode(soc + siz + cod + qcd + tail)
 
     @pytest.mark.parametrize('force_py', [False, True])
     def test_corrupt_entropy_rejected_or_contained(self, monkeypatch,

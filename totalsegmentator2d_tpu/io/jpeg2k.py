@@ -530,17 +530,13 @@ class _BlockDecoder:
 
     def run(self, segments: List[Tuple[bytes, int]], start_plane: int):
         """Run ``n`` further coding passes (summed over ``segments`` of
-        (data, passes)) starting from the block's current state.
-        ``start_plane`` is Mb-1-ZBP for the first call."""
+        (data, passes), already merged by _merge_segments) starting from
+        the block's current state. ``start_plane`` is Mb-1-ZBP for the
+        first call. The caller rejects the bypass style before this."""
         if self.plane is None:
             self.plane = start_plane
-        if self.style & 0x01:
-            raise Jpeg2kError(
-                'Selective arithmetic bypass (code-block style bit 0) '
-                'is not supported')
         term_each = bool(self.style & 0x04)
         reset = bool(self.style & 0x02)
-        segments = _merge_segments(segments, self.style)
         # Which pass in the 3-pass cycle comes next? passes_done counts
         # from the very first (cleanup) pass of the top plane.
         mq: Optional[_MQDecoder] = None
@@ -700,14 +696,13 @@ class _Band:
 
 class _CodeBlock:
     __slots__ = ('x0', 'y0', 'x1', 'y1', 'included', 'lblock', 'zbp',
-                 'decoder', 'segments')
+                 'segments')
 
     def __init__(self, x0, y0, x1, y1):
         self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
         self.included = False
         self.lblock = 3
         self.zbp = 0
-        self.decoder: Optional[_BlockDecoder] = None
         self.segments: List[Tuple[bytes, int]] = []
 
 
@@ -736,6 +731,10 @@ def _build_resolutions(tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,
         res.x0, res.y0 = _ceil_div(tcx0, d), _ceil_div(tcy0, d)
         res.x1, res.y1 = _ceil_div(tcx1, d), _ceil_div(tcy1, d)
         ppx, ppy = cod.precincts[r]
+        if r > 0 and (ppx == 0 or ppy == 0):
+            raise Jpeg2kError(
+                'Precinct exponent 0 is only legal at resolution 0 '
+                '(T.800 Table A.21)')
         res.ppx, res.ppy = ppx, ppy
         if res.x1 > res.x0:
             res.npx = _ceil_div(res.x1, 1 << ppx) - (res.x0 >> ppx)
@@ -1122,6 +1121,17 @@ def _strip_jp2(buf: bytes) -> bytes:
 def decode(buf: bytes) -> np.ndarray:
     """Decode one JPEG 2000 codestream (raw or in a JP2 container) into a
     (rows, cols) int32 array (signed components) or uint8/uint16."""
+    try:
+        return _decode(buf)
+    except Jpeg2kError:
+        raise
+    except (IndexError, ValueError, struct.error) as ex:
+        # malformed marker bodies must surface as the codec error type so
+        # io/dicom.py's error wrapping keeps its DicomError contract
+        raise Jpeg2kError(f'Corrupt JPEG 2000 codestream ({ex})') from ex
+
+
+def _decode(buf: bytes) -> np.ndarray:
     buf = _strip_jp2(buf)
     pos = 2  # past SOC
     siz: Optional[_Size] = None
@@ -1204,7 +1214,7 @@ def decode(buf: bytes) -> np.ndarray:
         pos += 2 + length
     if siz is None or cod is None or quant is None:
         raise Jpeg2kError('Missing SIZ/COD/QCD in main header')
-    if quant.style == 0 and len(quant.values) < 3 * cod.levels + 1:
+    if quant.style != 1 and len(quant.values) < 3 * cod.levels + 1:
         raise Jpeg2kError('Truncated QCD segment')
 
     # image grid
@@ -1230,7 +1240,7 @@ def decode(buf: bytes) -> np.ndarray:
         data = bytes(tiles.get(t, b''))
         tcod = tile_cod.get(t, cod)
         tquant = tile_quant.get(t, quant)
-        if tquant.style == 0 and len(tquant.values) < 3 * tcod.levels + 1:
+        if tquant.style != 1 and len(tquant.values) < 3 * tcod.levels + 1:
             raise Jpeg2kError('Truncated tile QCD segment')
         vals = _decode_tile(data, tx0, ty0, tx1, ty1, tcod, tquant,
                             siz.depth)

@@ -37,7 +37,6 @@ class JpegLsError(ValueError):
 
 
 _SOI = 0xFFD8
-_EOI = 0xFFD9
 _SOF55 = 0xFFF7
 _LSE = 0xFFF8
 _SOS = 0xFFDA
@@ -128,34 +127,17 @@ def _golomb(rd: _BitReader, k: int, limit: int, qbpp: int) -> int:
     """Limited-length Golomb decode (A.5.3): unary zeros terminated by a
     1 (the 1 is consumed in the escape case too), then k remainder bits;
     the escape of limit-qbpp-1 zeros is followed by qbpp bits of
-    (value - 1)."""
+    (value - 1). A unary run past the limit cannot occur in a valid
+    stream — raising keeps the pure-Python loop's corrupt-stream
+    behavior identical to the native decoder's."""
     q = 0
     while rd.bit() == 0:
         q += 1
+        if q > limit:
+            raise JpegLsError('Corrupt entropy data (runaway Golomb code)')
     if q < limit - qbpp - 1:
         return (q << k) | rd.bits(k)
     return rd.bits(qbpp) + 1
-
-
-def _quantize(d: int, p: _Params) -> int:
-    """Gradient quantization (A.3.3) with the near-lossless dead zone."""
-    if d <= -p.t3:
-        return -4
-    if d <= -p.t2:
-        return -3
-    if d <= -p.t1:
-        return -2
-    if d < -p.near:
-        return -1
-    if d <= p.near:
-        return 0
-    if d < p.t1:
-        return 1
-    if d < p.t2:
-        return 2
-    if d < p.t3:
-        return 3
-    return 4
 
 
 def _decode_scan_py(data: bytes, w: int, h: int, p: _Params) -> np.ndarray:
@@ -263,9 +245,12 @@ def _decode_scan_py(data: bytes, w: int, h: int, p: _Params) -> np.ndarray:
                     if filled == remaining:
                         broken = False
                         break
-                if broken and _J[run_index]:
-                    filled += rd.bits(_J[run_index])
-                    if filled > remaining:
+                if broken:
+                    if _J[run_index]:
+                        filled += rd.bits(_J[run_index])
+                    # the mandatory interruption sample must still fit
+                    # inside the line
+                    if filled >= remaining:
                         raise JpegLsError('Run length exceeds the line')
                 for i in range(filled):
                     cur[x + 1 + i] = ra
@@ -334,6 +319,17 @@ def _decode_scan_py(data: bytes, w: int, h: int, p: _Params) -> np.ndarray:
 
 def decode(buf: bytes) -> np.ndarray:
     """Decode one JPEG-LS stream into a (rows, cols) uint8/uint16 array."""
+    try:
+        return _decode(buf)
+    except JpegLsError:
+        raise
+    except (IndexError, ValueError, struct.error) as ex:
+        # malformed marker bodies must surface as the codec error type so
+        # io/dicom.py's error wrapping keeps its DicomError contract
+        raise JpegLsError(f'Corrupt JPEG-LS stream ({ex})') from ex
+
+
+def _decode(buf: bytes) -> np.ndarray:
     if buf[:2] != b'\xff\xd8':
         raise JpegLsError('Not a JPEG-LS stream (missing SOI)')
     pos = 2
@@ -383,9 +379,21 @@ def decode(buf: bytes) -> np.ndarray:
             if not w:
                 raise JpegLsError('SOS before SOF55')
             mv = maxval or (1 << prec) - 1
+            if mv >= (1 << prec):
+                raise JpegLsError(
+                    f'LSE MAXVAL={mv} exceeds the {prec}-bit sample range')
             if near > min(255, mv // 2):
                 raise JpegLsError(f'NEAR={near} out of range')
             p = _Params(mv, near, t1, t2, t3, reset)
+            # preset sanity (T.87 C.2.4.1.1): thresholds ordered inside
+            # the sample range, RESET >= 3 — hostile values would corrupt
+            # the adaptive state instead of failing loudly
+            if not (near + 1 <= p.t1 <= p.t2 <= p.t3 <= mv):
+                raise JpegLsError(
+                    f'Invalid LSE thresholds T1={p.t1} T2={p.t2} T3={p.t3} '
+                    f'(need NEAR+1 <= T1 <= T2 <= T3 <= MAXVAL)')
+            if p.reset < 3:
+                raise JpegLsError(f'Invalid LSE RESET={p.reset} (minimum 3)')
             data = buf[pos:]
             nat = native.jpegls_decode(data, w, h, p.maxval, p.near,
                                        p.t1, p.t2, p.t3, p.reset)

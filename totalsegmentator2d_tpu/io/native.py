@@ -51,19 +51,30 @@ def _load():
                     ctypes.c_void_p, ctypes.c_longlong,
                     ctypes.c_longlong, ctypes.c_longlong,
                     ctypes.c_void_p, ctypes.c_void_p]
+            # behavioral ABI: entry points whose SEMANTICS changed after
+            # their symbol first shipped are only used at a matching
+            # version (v2 hardened jpegll/jpegdct truncation handling); a
+            # stale prebuilt .so silently falls back to Python for them
+            ver_fn = getattr(lib, 'ts2dio_abi_version', None)
+            if ver_fn is not None:
+                ver_fn.restype = ctypes.c_longlong
+                abi = int(ver_fn())
+            else:
+                abi = 1
             fn = getattr(lib, 'ts2dio_jpegll_decode_diffs', None)
-            if fn is not None:  # absent in pre-decoder builds of the lib
+            if fn is not None and abi >= 2:
                 fn.restype = ctypes.c_longlong
                 fn.argtypes = [
                     ctypes.c_char_p, ctypes.c_size_t,
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong]
             fn = getattr(lib, 'ts2dio_jpegdct_decode_blocks', None)
-            if fn is not None:  # absent in pre-decoder builds of the lib
+            if fn is not None and abi >= 2:
                 fn.restype = ctypes.c_longlong
                 fn.argtypes = [
                     ctypes.c_char_p, ctypes.c_size_t,
                     ctypes.c_void_p, ctypes.c_void_p,
                     ctypes.c_void_p, ctypes.c_longlong]
+            lib._ts2d_abi = abi
             fn = getattr(lib, 'ts2dio_j2k_t1_decode', None)
             if fn is not None:  # absent in pre-decoder builds of the lib
                 fn.restype = ctypes.c_longlong
@@ -148,8 +159,8 @@ def jpegll_decode_diffs(seg: bytes, lut, count: int):
     if lib is None:
         return None
     fn = getattr(lib, 'ts2dio_jpegll_decode_diffs', None)
-    if fn is None:  # stale library built before the decoder existed
-        return None
+    if fn is None or getattr(lib, '_ts2d_abi', 1) < 2:
+        return None  # absent, or stale pre-hardening semantics
     lut = np.ascontiguousarray(lut, np.uint32)
     out = np.empty(count, np.int32)
     got = fn(seg, len(seg), lut.ctypes.data, out.ctypes.data, count)
@@ -173,8 +184,8 @@ def jpegdct_decode_blocks(seg: bytes, dc_lut, ac_lut, nblocks: int):
     if lib is None:
         return None
     fn = getattr(lib, 'ts2dio_jpegdct_decode_blocks', None)
-    if fn is None:  # stale library built before the decoder existed
-        return None
+    if fn is None or getattr(lib, '_ts2d_abi', 1) < 2:
+        return None  # absent, or stale pre-hardening semantics
     dc_lut = np.ascontiguousarray(dc_lut, np.uint32)
     ac_lut = np.ascontiguousarray(ac_lut, np.uint32)
     out = np.zeros((nblocks, 64), np.int32)
@@ -252,6 +263,7 @@ def jpegls_decode(data: bytes, w: int, h: int, maxval: int, near: int,
         raise JpegLsError(
             'Truncated entropy segment' if got == -4 else
             'Run length exceeds the line' if got == -5 else
+            'Corrupt entropy data (runaway Golomb code)' if got == -6 else
             f'native JPEG-LS decode failed (code {got})')
     return out
 
