@@ -18,6 +18,7 @@ _JPLL = '1.2.840.10008.1.2.4.57'      # JPEG Lossless, any predictor
 _JPLL_SV1 = '1.2.840.10008.1.2.4.70'  # JPEG Lossless, selection value 1
 _JPB = '1.2.840.10008.1.2.4.50'       # JPEG baseline (8-bit, lossy)
 _JPE = '1.2.840.10008.1.2.4.51'       # JPEG extended (12-bit, lossy)
+_DEFL = '1.2.840.10008.1.2.1.99'      # deflated explicit little endian
 _JLSLL = '1.2.840.10008.1.2.4.80'     # JPEG-LS, lossless only
 _J2KLL = '1.2.840.10008.1.2.4.90'     # JPEG 2000, lossless only
 _J2K = '1.2.840.10008.1.2.4.91'       # JPEG 2000 (lossy allowed)
@@ -342,6 +343,9 @@ def write_slice(path, arr, *, position, orientation=(1, 0, 0, 0, 1, 0),
             split=jll_split)
     else:
         body += E(0x7FE0, 0x0010, b'OW', arr.astype(arr.dtype).tobytes())
+    if transfer_syntax == _DEFL:
+        c = __import__('zlib').compressobj(6, 8, -15)  # raw deflate (PS3.5 A.5)
+        body = c.compress(body) + c.flush()
     with open(path, 'wb') as f:
         f.write(b'\x00' * 128 + b'DICM' + meta + body)
 
@@ -372,6 +376,21 @@ class TestReader:
         img = read_dicom_series(str(tmp_path))
         np.testing.assert_array_equal(img.array, vol)
         assert img.origin == (5.0, -7.0, 10.0)
+
+    def test_deflated_series_matches_uncompressed(self, tmp_path):
+        vol = _series(tmp_path, n=3, transfer_syntax=_DEFL)
+        img = read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(img.array, vol)
+
+    def test_corrupt_deflated_rejected(self, tmp_path):
+        arr = np.zeros((4, 4), np.int16)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    transfer_syntax=_DEFL)
+        raw = open(tmp_path / 'a.dcm', 'rb').read()
+        with open(tmp_path / 'a.dcm', 'wb') as f:
+            f.write(raw[:-8] + b'\xff' * 8)  # clobber the deflate tail
+        with pytest.raises(DicomError, match='deflated|Truncated|Corrupt'):
+            read_dicom_file(str(tmp_path / 'a.dcm'))
 
     def test_implicit_vr(self, tmp_path):
         vol = _series(tmp_path, n=3, transfer_syntax=_IMPLICIT)

@@ -3,8 +3,8 @@
 Neither the reference tool nor nnU-Net reads DICOM directly — users convert
 series to NRRD/NIfTI first. CT data, however, arrives from scanners as
 DICOM, so this build reads the common cases natively: uncompressed
-little-endian transfer syntaxes (implicit 1.2.840.10008.1.2 and explicit
-1.2.840.10008.1.2.1), RLE Lossless (1.2.840.10008.1.2.5, the PackBits
+little-endian transfer syntaxes (implicit 1.2.840.10008.1.2, explicit
+1.2.840.10008.1.2.1, and deflated 1.2.840.10008.1.2.1.99), RLE Lossless (1.2.840.10008.1.2.5, the PackBits
 scheme — decoded in _rle_decode_frame), JPEG Lossless
 (1.2.840.10008.1.2.4.57/.70, T.81 process 14 — the dominant compressed CT
 archive syntax, decoded in io/jpegll.py with a native C hot loop), and
@@ -49,6 +49,7 @@ from .image import MedicalImage
 
 _IMPLICIT_LE = '1.2.840.10008.1.2'
 _EXPLICIT_LE = '1.2.840.10008.1.2.1'
+_DEFLATED_LE = '1.2.840.10008.1.2.1.99'  # deflate-compressed explicit LE
 _RLE_LOSSLESS = '1.2.840.10008.1.2.5'
 _JPEG_LL = '1.2.840.10008.1.2.4.57'      # process 14, any predictor
 _JPEG_LL_SV1 = '1.2.840.10008.1.2.4.70'  # process 14 selection value 1
@@ -415,6 +416,23 @@ def read_dicom_file(path: str) -> dict:
         implicit = True
     elif ts == _EXPLICIT_LE:
         implicit = False
+    elif ts == _DEFLATED_LE:
+        # PS3.5 A.5: everything after the file meta group is one raw
+        # deflate stream (no zlib header) of an explicit-VR-LE dataset
+        import zlib
+        try:
+            d = zlib.decompressobj(-15)
+            buf = d.decompress(buf[pos:])
+            # raw deflate carries no checksum; an unterminated stream is
+            # the only sign of truncation/corruption
+            if not d.eof:
+                raise DicomError(f'{name}: corrupt deflated dataset '
+                                 f'(stream ends mid-block)')
+        except zlib.error as ex:
+            raise DicomError(
+                f'{name}: corrupt deflated dataset ({ex})') from ex
+        pos = 0
+        implicit = False
     elif ts == _RLE_LOSSLESS:
         implicit, rle = False, True
     elif ts in (_JPEG_LL, _JPEG_LL_SV1):
@@ -432,7 +450,7 @@ def read_dicom_file(path: str) -> dict:
     else:
         raise DicomError(
             f'Unsupported transfer syntax {ts} in {name} '
-            f'(uncompressed little endian, RLE lossless, JPEG lossless, '
+            f'(little endian incl. deflated, RLE lossless, JPEG lossless, '
             f'sequential lossy JPEG, JPEG-LS, and JPEG 2000 are read '
             f'natively; convert other series to NRRD/NIfTI)')
     el = _parse_dataset(buf, pos, implicit)
