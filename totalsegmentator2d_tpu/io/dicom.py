@@ -4,17 +4,17 @@ Neither the reference tool nor nnU-Net reads DICOM directly — users convert
 series to NRRD/NIfTI first. CT data, however, arrives from scanners as
 DICOM, so this build reads the common cases natively: uncompressed
 little-endian transfer syntaxes (implicit 1.2.840.10008.1.2, explicit
-1.2.840.10008.1.2.1, and deflated 1.2.840.10008.1.2.1.99), RLE Lossless (1.2.840.10008.1.2.5, the PackBits
-scheme — decoded in _rle_decode_frame), JPEG Lossless
-(1.2.840.10008.1.2.4.57/.70, T.81 process 14 — the dominant compressed CT
-archive syntax, decoded in io/jpegll.py with a native C hot loop), and
-sequential lossy JPEG (1.2.840.10008.1.2.4.50/.51, baseline 8-bit and
-extended 12-bit — what CR/DX X-ray archives emit, decoded in
-io/jpegdct.py), JPEG-LS (1.2.840.10008.1.2.4.80/.81, LOCO-I lossless and
-near-lossless, decoded in io/jpegls.py), and JPEG 2000
-(1.2.840.10008.1.2.4.90/.91, the PACS archive syntax — reversible 5/3 and
-irreversible 9/7, decoded in io/jpeg2k.py), single-sample (grayscale)
-slices, assembled into one
+1.2.840.10008.1.2.1, deflated 1.2.840.10008.1.2.1.99), RLE Lossless
+(1.2.840.10008.1.2.5, the PackBits scheme — decoded in
+_rle_decode_frame), JPEG Lossless (1.2.840.10008.1.2.4.57/.70, T.81
+process 14 — the dominant compressed CT archive syntax, decoded in
+io/jpegll.py with a native C hot loop), sequential lossy JPEG
+(1.2.840.10008.1.2.4.50/.51, baseline 8-bit and extended 12-bit — what
+CR/DX X-ray archives emit, decoded in io/jpegdct.py), JPEG-LS
+(1.2.840.10008.1.2.4.80/.81, LOCO-I lossless and near-lossless, decoded
+in io/jpegls.py), and JPEG 2000 (1.2.840.10008.1.2.4.90/.91, the PACS
+archive syntax — reversible 5/3 and irreversible 9/7, decoded in
+io/jpeg2k.py). Single-sample (grayscale) slices are assembled into one
 (Z, Y, X) volume with full LPS geometry (DICOM's patient coordinate
 system IS LPS, the framework's world frame — no conversion needed).
 
@@ -26,7 +26,9 @@ ImagePositionPatient advanced along the slice normal by
 SpacingBetweenSlices (0018,0088), falling back to SliceThickness).
 
 Deliberately conservative: progressive-JPEG streams, color images, and
-non-uniform slice stacks raise informative errors rather than guessing. Geometry notes:
+non-uniform slice stacks raise informative errors rather than guessing.
+
+Geometry notes:
  - ImageOrientationPatient (0020,0037) gives the column-axis (x) and
    row-axis (y) direction cosines; the z column of the direction matrix
    comes from the actual slice-position delta (not the cross product), so
