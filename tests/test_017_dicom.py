@@ -959,6 +959,28 @@ class TestJpeg2000:
         with pytest.raises(jpeg2k.Jpeg2kError):
             jpeg2k.decode(soc + siz + cod + qcd + tail)
 
+    def test_implausible_dimensions_rejected(self):
+        """Corrupt 32-bit SIZ dimensions must be rejected up front, not
+        attempt multi-hundred-GiB allocations or billions of empty-tile
+        iterations (found by mutation fuzzing)."""
+        import struct as _s
+        from totalsegmentator2d_tpu.io import jpeg2k
+        soc = b'\xff\x4f'
+        siz = _s.pack('>HH', 0xFF51, 41) + _s.pack(
+            '>HIIIIIIIIH', 0, 0xFC000034, 48, 0, 0, 0xFC000034, 48, 0, 0,
+            1) + bytes([11, 1, 1])
+        with pytest.raises(jpeg2k.Jpeg2kError, match='Implausible'):
+            jpeg2k.decode(soc + siz)
+        # a sane image with a corrupt 1-pixel tile grid -> 2^40 tiles
+        siz = _s.pack('>HH', 0xFF51, 41) + _s.pack(
+            '>HIIIIIIIIH', 0, 1 << 19, 1 << 9, 0, 0, 1, 1, 0, 0,
+            1) + bytes([11, 1, 1])
+        cod = _s.pack('>HH', 0xFF52, 12) + bytes([0, 0]) \
+            + _s.pack('>H', 1) + bytes([0, 0, 2, 2, 0, 1])
+        qcd = _s.pack('>HH', 0xFF5C, 3) + bytes([0x40, 0x40])
+        with pytest.raises(jpeg2k.Jpeg2kError, match='Implausible'):
+            jpeg2k.decode(soc + siz + cod + qcd + b'\xff\xd9')
+
     @pytest.mark.parametrize('force_py', [False, True])
     def test_corrupt_entropy_rejected_or_contained(self, monkeypatch,
                                                    force_py):

@@ -629,6 +629,12 @@ def _parse_siz(body: bytes) -> _Size:
         raise Jpeg2kError(f'{s.depth}-bit samples (max 16 supported)')
     if tx == 0 or ty == 0 or x <= x0 or y <= y0:
         raise Jpeg2kError('Empty or invalid image/tile grid in SIZ')
+    # plausibility caps: corrupt 32-bit dims would otherwise demand
+    # hundreds of GiB (or billions of tile iterations) before any
+    # entropy data is even touched
+    if x > 1 << 20 or y > 1 << 20 or (x - x0) * (y - y0) > 1 << 28:
+        raise Jpeg2kError(
+            f'Implausible image dimensions {x - x0}x{y - y0} in SIZ')
     return s
 
 
@@ -645,6 +651,8 @@ def _parse_cod(body: bytes) -> _CodingStyle:
     c.ycb = (body[7] & 0x0F) + 2
     if c.xcb + c.ycb > 12:
         raise Jpeg2kError('Code-block size exceeds 4096 samples')
+    if c.levels > 32:
+        raise Jpeg2kError(f'{c.levels} decomposition levels (max 32)')
     c.cbstyle = body[8]
     c.transform = body[9]
     if scod & 0x01:
@@ -1222,6 +1230,8 @@ def _decode(buf: bytes) -> np.ndarray:
     h = siz.y - siz.y0
     ntx = _ceil_div(siz.x - siz.tx0, siz.tx)
     nty = _ceil_div(siz.y - siz.ty0, siz.ty)
+    if ntx * nty > 1 << 20:
+        raise Jpeg2kError(f'Implausible tile grid {ntx}x{nty}')
     if siz.signed:
         img = np.zeros((h, w), np.int32)
     else:

@@ -353,6 +353,9 @@ def _decode(buf: bytes) -> np.ndarray:
             if w == 0 or h == 0:
                 raise JpegLsError('Zero image dimensions (DNL-deferred '
                                   'height is not supported)')
+            if h * w > 1 << 28:
+                raise JpegLsError(
+                    f'Implausible image dimensions {h}x{w} in SOF55')
         elif marker == _LSE:
             lse_id = body[0]
             if lse_id == 1:
