@@ -977,7 +977,7 @@ class TestJpeg2000:
             1) + bytes([11, 1, 1])
         cod = _s.pack('>HH', 0xFF52, 12) + bytes([0, 0]) \
             + _s.pack('>H', 1) + bytes([0, 0, 2, 2, 0, 1])
-        qcd = _s.pack('>HH', 0xFF5C, 3) + bytes([0x40, 0x40])
+        qcd = _s.pack('>HH', 0xFF5C, 4) + bytes([0x40, 0x40])
         with pytest.raises(jpeg2k.Jpeg2kError, match='Implausible'):
             jpeg2k.decode(soc + siz + cod + qcd + b'\xff\xd9')
 
