@@ -742,6 +742,20 @@ class TestJpegLs:
         np.testing.assert_array_equal(
             out['array'], raw.astype(np.int32) - 1024)
 
+    def test_enhanced_multiframe_jpegls(self, tmp_path):
+        """Enhanced-CT multi-frame files with JPEG-LS fragments combine
+        the functional-group geometry path with the codec path."""
+        import charls_oracle as co
+        rng = np.random.default_rng(6)
+        vol = rng.integers(-500, 2000, size=(4, 9, 11)).astype(np.int16)
+        raw = (vol.astype(np.int32) + 1024).astype(np.uint16)
+        write_enhanced(str(tmp_path / 'e.dcm'), raw,
+                       positions=[(0, 0, 2.0 * i) for i in range(4)],
+                       slope=1, intercept=-1024, transfer_syntax=_JLSLL,
+                       frame_codestreams=[co.encode(f, 16) for f in raw])
+        img = read_dicom_series(str(tmp_path / 'e.dcm'))
+        np.testing.assert_array_equal(img.array, vol)
+
     def test_malformed_marker_bodies_raise_codec_error(self):
         """Truncated/empty marker bodies must surface as JpegLsError (the
         DicomError wrapping contract), never raw IndexError/struct.error."""
@@ -1173,7 +1187,7 @@ def _encapsulate_frames(frames, *, bot=False, split=0) -> bytes:
 def write_enhanced(path, vol, *, positions, orientation=(1, 0, 0, 0, 1, 0),
                    pixel_spacing=(0.7, 0.8), slope=None, intercept=None,
                    transfer_syntax=_EXPLICIT, defined_seq=False,
-                   undef_items=False, jll_split=0,
+                   undef_items=False, jll_split=0, frame_codestreams=None,
                    per_frame_orientations=None, per_frame_rescales=None,
                    per_frame_spacings=None):
     """Enhanced-CT-style multi-frame file: geometry lives in the Shared /
@@ -1228,7 +1242,9 @@ def write_enhanced(path, vol, *, positions, orientation=(1, 0, 0, 0, 1, 0),
               struct.pack('<H', 1 if vol.dtype == np.int16 else 0))
     body += SQ(0x5200, 0x9229, [shared])
     body += SQ(0x5200, 0x9230, pf_items)
-    if transfer_syntax == _RLE:
+    if frame_codestreams is not None:
+        body += _encapsulate_frames(list(frame_codestreams))
+    elif transfer_syntax == _RLE:
         body += _encapsulate_frames([_rle_frame(f) for f in vol])
     elif transfer_syntax in (_JPLL, _JPLL_SV1):
         frames = [_jpegll_frame(f.view(np.uint16)) for f in vol]
