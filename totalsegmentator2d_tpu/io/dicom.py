@@ -654,7 +654,19 @@ def read_dicom_series(path: str) -> MedicalImage:
     """Read a directory of DICOM slice files (or one file, possibly
     multi-frame) into a 3D MedicalImage with LPS geometry."""
     files = _series_files(path) if os.path.isdir(path) else [path]
-    parsed = [read_dicom_file(f) for f in files]
+    # Slice files decode independently, and the codec hot loops (zlib,
+    # jpegll/jpegdct/jpegls/jpeg2k in csrc) run outside the GIL through
+    # ctypes — a thread pool scales compressed-series ingest with cores.
+    # (Unlike the host projections, which are memory-bandwidth-bound and
+    # must stay serial — see docs/performance.md probe6 — codec decode is
+    # compute-bound.) Serial below 4 files or on single-core hosts.
+    workers = min(8, os.cpu_count() or 1, len(files))
+    if workers > 1 and len(files) >= 4:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(workers) as ex:
+            parsed = list(ex.map(read_dicom_file, files))
+    else:
+        parsed = [read_dicom_file(f) for f in files]
 
     uids = {p['series_uid'] for p in parsed if p['series_uid']}
     if len(uids) > 1:
