@@ -414,6 +414,21 @@ class TestReader:
         assert is_dicom_dir(str(tmp_path))
         assert not is_dicom_dir(str(tmp_path / 's000.dcm'))
 
+    def test_bits_stored_sign_extension(self, tmp_path):
+        """Signed 12-bit data in a 16-bit container is two's complement
+        of BitsStored bits (PS3.5 §8.1.1): 0x0FFF means -1, not +4095 —
+        on the raw path and through a codec that emits raw stored values
+        (JPEG Lossless)."""
+        raw = np.array([[0x0FFF, 0x0800, 0x07FF, 0]], np.uint16)
+        expected = [-1, -2048, 2047, 0]
+        bs = _el_explicit(0x0028, 0x0101, b'US', struct.pack('<H', 12))
+        for ts in (_EXPLICIT, _JPLL_SV1):
+            write_slice(str(tmp_path / 'a.dcm'), raw.view(np.int16),
+                        position=(0, 0, 0), transfer_syntax=ts,
+                        extra_pre_pixel=bs)
+            out = read_dicom_file(str(tmp_path / 'a.dcm'))
+            assert out['array'].ravel().tolist() == expected, ts
+
     def test_unknown_elements_are_skipped(self, tmp_path):
         """Unlisted tags (incl. a defined-length SQ) must not derail
         parsing."""

@@ -87,6 +87,7 @@ _TAGS = {
     (0x0028, 0x0011): 'Columns',
     (0x0028, 0x0030): 'PixelSpacing',
     (0x0028, 0x0100): 'BitsAllocated',
+    (0x0028, 0x0101): 'BitsStored',
     (0x0028, 0x0103): 'PixelRepresentation',
     (0x0028, 0x1052): 'RescaleIntercept',
     (0x0028, 0x1053): 'RescaleSlope',
@@ -526,6 +527,15 @@ def read_dicom_file(path: str) -> dict:
             raise DicomError(f'{name}: truncated PixelData')
         vol = np.frombuffer(pix[:need], dtype=dtype).reshape(
             nframes, rows, cols)
+
+    # signed data narrower than its container is two's complement of
+    # BitsStored bits (PS3.5 §8.1.1): sign-extend, e.g. 12-bit -1 stored
+    # as 0x0FFF. Identity for values already within the BitsStored range,
+    # so decoders that emit proper signed values (JPEG 2000) are safe.
+    bits_stored = _us(el.get('BitsStored'), bits)
+    if signed and 0 < bits_stored < bits:
+        shift = np.int8(bits - bits_stored)
+        vol = np.left_shift(vol, shift) >> shift
 
     # rescale: top level, else the Pixel Value Transformation functional
     # group (shared, or per-frame when identical across frames)
