@@ -449,16 +449,23 @@ struct T1 {
   int style;
   const uint8_t* sig_tab;   // 75 entries for this orientation
   const uint8_t* sign_lut;  // 9 x (ctx, xor)
-  std::vector<uint8_t> sig, sgn;  // (h+2) x (w+2), padded borders
-  // Incrementally maintained neighborhood index h*25 + v*5 + d per
-  // coefficient (padded like sig): updated once when a neighbor becomes
-  // significant instead of re-reading 8 neighbors per visit. The counts
-  // have natural maxima (2 horizontal, 2 vertical, 4 diagonal
-  // neighbors), so plain adds never overflow a slot. Not usable with
-  // the vertically-causal style, whose context must EXCLUDE the row
-  // below on stripe row 3 — causal blocks take the recompute path.
-  std::vector<uint8_t> nbr;
-  std::vector<uint8_t> vis, ref;  // h x w
+  // One flags word per coefficient, padded by one on every border:
+  //   bits 0-6  incrementally maintained neighborhood index h*25+v*5+d
+  //             (updated once when a neighbor becomes significant; the
+  //             counts have natural maxima 2/2/4, so the packed sum
+  //             never exceeds 64 and adds cannot carry into bit 7)
+  //   bit 7     significant
+  //   bit 8     sign (negative)
+  //   bit 9     visited in this plane's significance pass
+  //   bit 10    refined at least once
+  // A single load serves every per-visit test, instead of five arrays.
+  // The incremental index is not usable with the vertically-causal
+  // style, whose context must EXCLUDE the row below on stripe row 3 —
+  // causal blocks recompute from the sig bits.
+  enum : uint16_t {
+    kIdx = 0x7F, kSig = 1 << 7, kNeg = 1 << 8, kVis = 1 << 9, kRef = 1 << 10
+  };
+  std::vector<uint16_t> f;
   int32_t* mag;
   int32_t* lastp;
   bool causal;
@@ -467,9 +474,8 @@ struct T1 {
   T1(long long w_, long long h_, int style_, const uint8_t* st,
      const uint8_t* sl, int32_t* m, int32_t* lp)
       : w(w_), h(h_), style(style_), sig_tab(st), sign_lut(sl),
-        sig((h_ + 2) * (w_ + 2), 0), sgn((h_ + 2) * (w_ + 2), 0),
-        nbr((h_ + 2) * (w_ + 2), 0), vis(h_ * w_, 0), ref(h_ * w_, 0),
-        mag(m), lastp(lp), causal((style_ & 0x08) != 0) {
+        f((h_ + 2) * (w_ + 2), 0), mag(m), lastp(lp),
+        causal((style_ & 0x08) != 0) {
     fresh_contexts();
   }
 
@@ -483,27 +489,29 @@ struct T1 {
     ctx[0][0] = 4;
   }
 
-  uint8_t& S(long long y, long long x) { return sig[(y + 1) * (w + 2) + x + 1]; }
-  uint8_t& N(long long y, long long x) { return sgn[(y + 1) * (w + 2) + x + 1]; }
-  uint8_t& NB(long long y, long long x) { return nbr[(y + 1) * (w + 2) + x + 1]; }
+  uint16_t& F(long long y, long long x) { return f[(y + 1) * (w + 2) + x + 1]; }
 
   // neighborhood index for context formation: incremental in the common
   // case, recomputed (with the row below masked on stripe row 3) for
   // vertically-causal blocks
-  int nb_index(long long y, long long x) {
-    if (!causal) return NB(y, x);
+  int nb_index(long long y, long long x, uint16_t v) {
+    if (!causal) return v & kIdx;
     int below = ((y & 3) == 3) ? 0 : 1;
-    int hh = S(y, x - 1) + S(y, x + 1);
-    int vv = S(y - 1, x) + (below ? S(y + 1, x) : 0);
-    int dd = S(y - 1, x - 1) + S(y - 1, x + 1) +
-             (below ? S(y + 1, x - 1) + S(y + 1, x + 1) : 0);
+    const uint16_t* c = &F(y, x);
+    const long long row = w + 2;
+    int hh = ((c[-1] & kSig) != 0) + ((c[+1] & kSig) != 0);
+    int vv = ((c[-row] & kSig) != 0) + (below ? ((c[+row] & kSig) != 0) : 0);
+    int dd = ((c[-row - 1] & kSig) != 0) + ((c[-row + 1] & kSig) != 0) +
+             (below ? ((c[+row - 1] & kSig) != 0) +
+                          ((c[+row + 1] & kSig) != 0)
+                    : 0);
     return hh * 25 + vv * 5 + dd;
   }
 
   void mark_significant(long long y, long long x) {
-    S(y, x) = 1;
-    uint8_t* c = &NB(y, x);
+    uint16_t* c = &F(y, x);
     const long long row = w + 2;
+    *c |= kSig;
     c[-1] += 25;        // left/right neighbors gain a horizontal count
     c[+1] += 25;
     c[-row] += 5;       // up/down gain a vertical count
@@ -516,12 +524,14 @@ struct T1 {
 
   int decode_sign(MQDecoder& mq, long long y, long long x) {
     int below = ((style & 0x08) && ((y & 3) == 3)) ? 0 : 1;
-    auto contrib = [&](long long sy, long long sx, int use) -> int {
-      if (!use || !S(sy, sx)) return 0;
-      return N(sy, sx) ? -1 : 1;
+    const uint16_t* c = &F(y, x);
+    const long long row = w + 2;
+    auto contrib = [](uint16_t v) -> int {
+      if (!(v & kSig)) return 0;
+      return (v & kNeg) ? -1 : 1;
     };
-    int hc = contrib(y, x - 1, 1) + contrib(y, x + 1, 1);
-    int vc = contrib(y - 1, x, 1) + contrib(y + 1, x, below);
+    int hc = contrib(c[-1]) + contrib(c[+1]);
+    int vc = contrib(c[-row]) + (below ? contrib(c[+row]) : 0);
     hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
     vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
     const uint8_t* e = sign_lut + 2 * ((hc + 1) * 3 + (vc + 1));
@@ -537,15 +547,16 @@ struct T1 {
     for (long long y0 = 0; y0 < h; y0 += 4)
       for (long long x = 0; x < w; ++x)
         for (long long y = y0; y < y0 + 4 && y < h; ++y) {
-          if (S(y, x)) continue;
-          int ni = nb_index(y, x);
+          uint16_t v = F(y, x);
+          if (v & kSig) continue;
+          int ni = nb_index(y, x, v);
           if (ni == 0) continue;  // no significant neighbor: cleanup's job
-          vis[y * w + x] = 1;
+          F(y, x) = v | kVis;
           if (mq.decode(ctx[sig_tab[ni]])) {
             mark_significant(y, x);
             mag[y * w + x] |= bit;
             lastp[y * w + x] = p;
-            N(y, x) = static_cast<uint8_t>(decode_sign(mq, y, x));
+            if (decode_sign(mq, y, x)) F(y, x) |= kNeg;
           }
         }
     mq_io = mq;
@@ -557,13 +568,14 @@ struct T1 {
     for (long long y0 = 0; y0 < h; y0 += 4)
       for (long long x = 0; x < w; ++x)
         for (long long y = y0; y < y0 + 4 && y < h; ++y) {
-          if (!S(y, x) || vis[y * w + x]) continue;
+          uint16_t v = F(y, x);
+          if (!(v & kSig) || (v & kVis)) continue;
           int cx;
-          if (ref[y * w + x]) {
+          if (v & kRef) {
             cx = 16;
           } else {
-            cx = nb_index(y, x) ? 15 : 14;
-            ref[y * w + x] = 1;
+            cx = nb_index(y, x, v) ? 15 : 14;
+            F(y, x) = v | kRef;
           }
           lastp[y * w + x] = p;
           if (mq.decode(ctx[cx])) mag[y * w + x] |= bit;
@@ -581,44 +593,47 @@ struct T1 {
         long long stripe = h - y0 < 4 ? h - y0 : 4;
         if (stripe == 4) {
           bool rl = true;
-          for (long long yy = y0; yy < y0 + 4; ++yy)
-            if (vis[yy * w + x] || S(yy, x) || nb_index(yy, x) != 0) {
+          for (long long yy = y0; yy < y0 + 4; ++yy) {
+            uint16_t v = F(yy, x);
+            if ((v & (kVis | kSig)) || nb_index(yy, x, v) != 0) {
               rl = false;
               break;
             }
+          }
           if (rl) {
-            if (!mq.decode(ctx[kCtxRL])) {
-              for (long long yy = y0; yy < y0 + 4; ++yy) vis[yy * w + x] = 0;
-              continue;
-            }
+            if (!mq.decode(ctx[kCtxRL])) continue;  // column stays zero
             int r = (mq.decode(ctx[kCtxUNI]) << 1) | mq.decode(ctx[kCtxUNI]);
             y = y0 + r;
             mark_significant(y, x);
             mag[y * w + x] |= bit;
             lastp[y * w + x] = p;
-            N(y, x) = static_cast<uint8_t>(decode_sign(mq, y, x));
+            if (decode_sign(mq, y, x)) F(y, x) |= kNeg;
             y += 1;
           }
         }
         for (long long yy = y; yy < y0 + stripe; ++yy) {
-          if (vis[yy * w + x] || S(yy, x)) {
-            vis[yy * w + x] = 0;
+          uint16_t v = F(yy, x);
+          if (v & (kVis | kSig)) {
+            F(yy, x) = v & ~kVis;
             continue;
           }
-          int ni = nb_index(yy, x);
+          int ni = nb_index(yy, x, v);
           if (mq.decode(ctx[sig_tab[ni]])) {
             mark_significant(yy, x);
             mag[yy * w + x] |= bit;
             lastp[yy * w + x] = p;
-            N(yy, x) = static_cast<uint8_t>(decode_sign(mq, yy, x));
+            if (decode_sign(mq, yy, x)) F(yy, x) |= kNeg;
           }
         }
       }
-    std::fill(vis.begin(), vis.end(), 0);
+    for (auto& v : f) v &= static_cast<uint16_t>(~kVis);
     if (style & 0x20) {  // segmentation symbols: 1010 in the UNI context
       int sym = 0;
       for (int i = 0; i < 4; ++i) sym = (sym << 1) | mq.decode(ctx[kCtxUNI]);
-      if (sym != 0x0A) return -3;
+      if (sym != 0x0A) {
+        mq_io = mq;
+        return -3;
+      }
     }
     mq_io = mq;
     return 0;
@@ -697,7 +712,8 @@ long long ts2dio_j2k_t1_decode(const unsigned char* data,
     if (reset && seg_left) t1.fresh_contexts();
   }
   for (long long y = 0; y < h; ++y)
-    for (long long x = 0; x < w; ++x) signs[y * w + x] = t1.N(y, x);
+    for (long long x = 0; x < w; ++x)
+      signs[y * w + x] = (t1.F(y, x) & j2k::T1::kNeg) ? 1 : 0;
   return passes_done;
 }
 
