@@ -1,6 +1,8 @@
 """HTTP serving endpoint."""
 
 import json
+import os
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -61,6 +63,55 @@ class TestServer:
         from totalsegmentator2d_tpu.io import read_image
         seg = read_image(str(out))
         assert seg.ncomponents == 5
+
+    def test_predict_zipped_dicom_series(self, server, tmp_path):
+        """input_format=zip: a zipped DICOM slice series (wrapped in a
+        subdirectory, as archives usually are) predicts like the same
+        volume posted as NRRD."""
+        import io as _io
+        import sys
+        import zipfile
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_017_dicom import write_slice
+        from totalsegmentator2d_tpu.io import read_image
+        vol = read_image(asset_path('sample_s0521.nrrd'))
+        arr = np.asarray(vol.array)
+        series = tmp_path / 'inner' / 'series'
+        series.mkdir(parents=True)
+        for i in range(arr.shape[0]):
+            write_slice(str(series / f's{i:04d}.dcm'), arr[i],
+                        position=(0.0, 0.0, 1.5 * i), instance=i + 1,
+                        pixel_spacing=(1.5, 1.5))
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, 'w') as zf:
+            for f in sorted(series.iterdir()):
+                zf.write(f, f'inner/series/{f.name}')
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{server.port}/predict'
+            f'?input_format=zip&format=nrrd',
+            data=buf.getvalue(), method='POST')
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            labels = json.loads(r.headers['X-TS2D-Labels'])
+            body = r.read()
+        assert 'heart' in labels
+        out = tmp_path / 'seg.nrrd'
+        out.write_bytes(body)
+        seg = read_image(str(out))
+        assert seg.ncomponents == 5
+
+    def test_predict_zip_without_dicom_rejected(self, server):
+        import io as _io
+        import zipfile
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, 'w') as zf:
+            zf.writestr('readme.txt', 'not a series')
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{server.port}/predict?input_format=zip',
+            data=buf.getvalue(), method='POST')
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req)
+        assert exc_info.value.code == 400
 
     def test_predict_bad_payload(self, server):
         req = urllib.request.Request(

@@ -11,8 +11,11 @@ Endpoints
 GET  /health            -> {"status": "ok", "models": [...]}
 GET  /labels            -> {"<model id>": {"1": "heart", ...}, ...}
 GET  /metrics           -> request/latency counters (JSON)
-POST /predict           body: a medical image file (nrrd/nii/nii.gz/mha)
-     query params:      collapse=0|1, format=nrrd|nii.gz
+POST /predict           body: a medical image file (nrrd/nii/nii.gz/mha/
+                        mhd/dcm via input_format=...), or a zipped DICOM
+                        slice series (input_format=zip — the PACS-push
+                        shape; CRC + path-traversal guarded extraction)
+     query params:      input_format=..., collapse=0|1, format=nrrd|nii.gz
      response:          merged multilabel segmentation in the requested
                         format; label metadata rides in X-TS2D-Labels (JSON)
 
@@ -106,8 +109,10 @@ class TS2DServer:
         out_fmt = query.get('format', ['nrrd'])[0]
         collapse = query.get('collapse', ['0'])[0] in ('1', 'true')
         # both extensions are interpolated into filesystem paths below:
-        # whitelist strictly to the supported formats (no traversal)
-        if ext not in ('nrrd', 'nii', 'nii.gz', 'mha', 'mhd'):
+        # whitelist strictly to the supported formats (no traversal).
+        # 'dcm' is one DICOM file (incl. Enhanced multi-frame); 'zip' is a
+        # zipped DICOM slice series — the PACS-push shape.
+        if ext not in ('nrrd', 'nii', 'nii.gz', 'mha', 'mhd', 'dcm', 'zip'):
             return 400, 'application/json', json.dumps(
                 {'error': f'unsupported input format {ext}'}).encode()
         if out_fmt not in ('nrrd', 'nii', 'nii.gz', 'mha'):
@@ -118,6 +123,30 @@ class TS2DServer:
             in_path = os.path.join(tmp, f'input.{ext}')
             with open(in_path, 'wb') as f:
                 f.write(body)
+            if ext == 'zip':
+                from .inference.database import _extract_zip
+                from .io.dicom import DICOM_EXTENSIONS
+                series = os.path.join(tmp, 'series')
+                os.mkdir(series)
+                try:
+                    _extract_zip(in_path, series)  # CRC + traversal guard
+                except Exception as ex:
+                    return 400, 'application/json', json.dumps(
+                        {'error': f'failed to extract zip: {ex}'}).encode()
+                # archives commonly wrap the series in a directory chain:
+                # descend while there are no DICOM files and one subdir
+                def has_dicom(d):
+                    return any(f.lower().endswith(DICOM_EXTENSIONS)
+                               for f in os.listdir(d))
+                while not has_dicom(series):
+                    subs = [os.path.join(series, f)
+                            for f in os.listdir(series)]
+                    if len(subs) != 1 or not os.path.isdir(subs[0]):
+                        return 400, 'application/json', json.dumps(
+                            {'error': 'zip contains no DICOM series'},
+                        ).encode()
+                    series = subs[0]
+                in_path = series
             try:
                 img = read_image(in_path)
             except Exception as ex:
