@@ -202,18 +202,18 @@ class TestDownloadHardening:
 
     def test_zip_traversal_rejected(self, tmp_path):
         """A zip member with '..' must not extract outside the destination."""
-        from totalsegmentator2d_tpu.inference.database import _extract_zip
+        from totalsegmentator2d_tpu.inference.database import extract_zip
         zp = tmp_path / 'evil.zip'
         with zipfile.ZipFile(zp, 'w') as zf:
             zf.writestr('../pwned.txt', 'outside')
         dest = tmp_path / 'dest'
         dest.mkdir()
         with pytest.raises(RuntimeError, match='escapes'):
-            _extract_zip(str(zp), str(dest))
+            extract_zip(str(zp), str(dest))
         assert not (tmp_path / 'pwned.txt').exists()
 
     def test_corrupt_zip_rejected(self, tmp_path):
-        from totalsegmentator2d_tpu.inference.database import _extract_zip
+        from totalsegmentator2d_tpu.inference.database import extract_zip
         zp = tmp_path / 'corrupt.zip'
         with zipfile.ZipFile(zp, 'w', zipfile.ZIP_DEFLATED) as zf:
             zf.writestr('model.json', '{"a": 1}' * 100)
@@ -221,4 +221,4 @@ class TestDownloadHardening:
         raw[40] ^= 0xFF  # flip a payload byte, keep the directory intact
         zp.write_bytes(raw)
         with pytest.raises(Exception):
-            _extract_zip(str(zp), str(tmp_path / 'dest2'))
+            extract_zip(str(zp), str(tmp_path / 'dest2'))

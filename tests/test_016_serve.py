@@ -100,6 +100,33 @@ class TestServer:
         seg = read_image(str(out))
         assert seg.ncomponents == 5
 
+    def test_predict_finder_style_zip(self, server, tmp_path):
+        """macOS Finder archives add __MACOSX/ and ._* AppleDouble
+        entries next to the real series — the descend logic must skip
+        the junk instead of rejecting the upload."""
+        import io as _io
+        import sys
+        import zipfile
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_017_dicom import write_slice
+        arr = np.zeros((3, 16, 16), np.int16)
+        series = tmp_path / 'fseries'
+        series.mkdir()
+        for i in range(3):
+            write_slice(str(series / f's{i}.dcm'), arr[i],
+                        position=(0.0, 0.0, 1.5 * i), instance=i + 1)
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, 'w') as zf:
+            zf.writestr('__MACOSX/series/._s0.dcm', b'apple double junk')
+            for f in sorted(series.iterdir()):
+                zf.write(f, f'series/{f.name}')
+                zf.writestr(f'series/._{f.name}', b'apple double junk')
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{server.port}/predict?input_format=zip',
+            data=buf.getvalue(), method='POST')
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+
     def test_predict_zip_without_dicom_rejected(self, server):
         import io as _io
         import zipfile

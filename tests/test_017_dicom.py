@@ -392,6 +392,17 @@ class TestReader:
         with pytest.raises(DicomError, match='deflated|Truncated|Corrupt'):
             read_dicom_file(str(tmp_path / 'a.dcm'))
 
+    def test_deflate_bomb_rejected(self, tmp_path, monkeypatch):
+        """A deflated dataset expanding past the cap must fail fast
+        instead of materializing the bomb in memory."""
+        import totalsegmentator2d_tpu.io.dicom as D
+        arr = np.zeros((64, 64), np.int16)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    transfer_syntax=_DEFL)
+        monkeypatch.setattr(D, '_DEFLATE_CAP', 1024)
+        with pytest.raises(DicomError, match='exceeds'):
+            read_dicom_file(str(tmp_path / 'a.dcm'))
+
     def test_implicit_vr(self, tmp_path):
         vol = _series(tmp_path, n=3, transfer_syntax=_IMPLICIT)
         img = read_dicom_series(str(tmp_path))

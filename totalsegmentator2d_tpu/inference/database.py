@@ -195,24 +195,38 @@ class URLDataBase(DataBase):
             with SafeTemporaryDirectory(prefix='ts2d-dl-') as temp:
                 zip_path = os.path.join(temp, f'{name}.zip')
                 _download(url, zip_path)
-                _extract_zip(zip_path, dest_root)
+                extract_zip(zip_path, dest_root)
 
 
-def _extract_zip(zip_path: str, dest_root: str) -> None:
-    """Verify + extract a model zip: CRC check of every member first, and
-    member paths must stay inside the destination (no absolute paths or
-    '..' traversal — the registry is remote content)."""
+def extract_zip(zip_path: str, dest_root: str,
+                max_total_bytes: int = None) -> None:
+    """Verify + extract an untrusted zip (registry downloads, and the
+    serving endpoint's uploaded DICOM series): CRC check of every member
+    first; member paths must stay inside the destination (no absolute
+    paths or '..' traversal); with ``max_total_bytes`` set, the DECLARED
+    decompressed total is capped before anything is written — a zip bomb
+    fails fast instead of filling the disk."""
     with zipfile.ZipFile(zip_path) as zf:
         bad = zf.testzip()
         if bad is not None:
             raise RuntimeError(f'Corrupt download (bad CRC): {bad}')
         dest = os.path.realpath(dest_root)
+        total = 0
         for info in zf.infolist():
             target = os.path.realpath(os.path.join(dest, info.filename))
             if not (target + os.sep).startswith(dest + os.sep):
                 raise RuntimeError(
                     f'Zip member escapes the destination: {info.filename}')
+            total += info.file_size
+        if max_total_bytes is not None and total > max_total_bytes:
+            raise RuntimeError(
+                f'Zip declares {total} decompressed bytes '
+                f'(limit {max_total_bytes})')
         zf.extractall(dest_root)
+
+
+#: kept for older call sites; extract_zip is the public name
+_extract_zip = extract_zip
 
 
 #: Google-Drive URL shapes the registry may carry (the reference's gdown

@@ -107,6 +107,10 @@ _SEQ_TAGS = {
 }
 
 
+#: ceiling for a deflated dataset's decompressed size (PS3.5 A.5 files)
+_DEFLATE_CAP = 1 << 30
+
+
 class DicomError(ValueError):
     pass
 
@@ -423,14 +427,29 @@ def read_dicom_file(path: str) -> dict:
         # PS3.5 A.5: everything after the file meta group is one raw
         # deflate stream (no zlib header) of an explicit-VR-LE dataset
         import zlib
+        cap = _DEFLATE_CAP  # deflate reaches ~1030:1 — bombs must fail fast
         try:
             d = zlib.decompressobj(-15)
-            buf = d.decompress(buf[pos:])
+            chunks = []
+            total = 0
+            data = buf[pos:]
+            while True:
+                chunk = d.decompress(data, 1 << 24)
+                data = b''
+                if not chunk and not d.unconsumed_tail:
+                    break
+                chunks.append(chunk)
+                total += len(chunk)
+                if total > cap:
+                    raise DicomError(
+                        f'{name}: deflated dataset exceeds {cap} bytes')
+                data = d.unconsumed_tail
             # raw deflate carries no checksum; an unterminated stream is
             # the only sign of truncation/corruption
             if not d.eof:
                 raise DicomError(f'{name}: corrupt deflated dataset '
                                  f'(stream ends mid-block)')
+            buf = b''.join(chunks)
         except zlib.error as ex:
             raise DicomError(
                 f'{name}: corrupt deflated dataset ({ex})') from ex
@@ -660,21 +679,40 @@ def _series_files(path: str) -> List[str]:
     return files
 
 
+_decode_pool = None
+_decode_pool_lock = None
+
+
+def _series_decode_pool():
+    """One shared, lazily created pool for series decoding: per-call
+    pools would multiply under concurrent serve requests (one HTTP thread
+    each), oversubscribing the cores the batching work keeps busy."""
+    global _decode_pool, _decode_pool_lock
+    if _decode_pool_lock is None:
+        import threading
+        _decode_pool_lock = threading.Lock()
+    with _decode_pool_lock:
+        if _decode_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            _decode_pool = ThreadPoolExecutor(
+                min(8, os.cpu_count() or 1),
+                thread_name_prefix='ts2d-dicom')
+        return _decode_pool
+
+
 def read_dicom_series(path: str) -> MedicalImage:
     """Read a directory of DICOM slice files (or one file, possibly
     multi-frame) into a 3D MedicalImage with LPS geometry."""
     files = _series_files(path) if os.path.isdir(path) else [path]
     # Slice files decode independently, and the codec hot loops (zlib,
     # jpegll/jpegdct/jpegls/jpeg2k in csrc) run outside the GIL through
-    # ctypes — a thread pool scales compressed-series ingest with cores.
-    # (Unlike the host projections, which are memory-bandwidth-bound and
-    # must stay serial — see docs/performance.md probe6 — codec decode is
-    # compute-bound.) Serial below 4 files or on single-core hosts.
-    workers = min(8, os.cpu_count() or 1, len(files))
-    if workers > 1 and len(files) >= 4:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(workers) as ex:
-            parsed = list(ex.map(read_dicom_file, files))
+    # ctypes — a shared thread pool scales compressed-series ingest with
+    # cores. (Unlike the host projections, which are memory-bandwidth-
+    # bound and must stay serial — see docs/performance.md probe6 —
+    # codec decode is compute-bound.) Serial below 4 files or on
+    # single-core hosts.
+    if (os.cpu_count() or 1) > 1 and len(files) >= 4:
+        parsed = list(_series_decode_pool().map(read_dicom_file, files))
     else:
         parsed = [read_dicom_file(f) for f in files]
 

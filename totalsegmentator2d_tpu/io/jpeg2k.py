@@ -629,10 +629,12 @@ def _parse_siz(body: bytes) -> _Size:
         raise Jpeg2kError(f'{s.depth}-bit samples (max 16 supported)')
     if tx == 0 or ty == 0 or x <= x0 or y <= y0:
         raise Jpeg2kError('Empty or invalid image/tile grid in SIZ')
-    # plausibility caps: corrupt 32-bit dims would otherwise demand
+    # plausibility caps on the image EXTENTS (offset reference grids
+    # are legal, T.800 B.3): corrupt 32-bit dims would otherwise demand
     # hundreds of GiB (or billions of tile iterations) before any
     # entropy data is even touched
-    if x > 1 << 20 or y > 1 << 20 or (x - x0) * (y - y0) > 1 << 28:
+    if (x - x0 > 1 << 20 or y - y0 > 1 << 20
+            or (x - x0) * (y - y0) > 1 << 28):
         raise Jpeg2kError(
             f'Implausible image dimensions {x - x0}x{y - y0} in SIZ')
     return s

@@ -124,23 +124,32 @@ class TS2DServer:
             with open(in_path, 'wb') as f:
                 f.write(body)
             if ext == 'zip':
-                from .inference.database import _extract_zip
+                from .inference.database import extract_zip
                 from .io.dicom import DICOM_EXTENSIONS
                 series = os.path.join(tmp, 'series')
                 os.mkdir(series)
                 try:
-                    _extract_zip(in_path, series)  # CRC + traversal guard
+                    # CRC + traversal guard + declared-size cap (8 GiB:
+                    # far above any real series, far below a zip bomb)
+                    extract_zip(in_path, series,
+                                max_total_bytes=8 << 30)
                 except Exception as ex:
                     return 400, 'application/json', json.dumps(
                         {'error': f'failed to extract zip: {ex}'}).encode()
-                # archives commonly wrap the series in a directory chain:
-                # descend while there are no DICOM files and one subdir
+
+                # archives commonly wrap the series in a directory chain
+                # (and Finder zips add __MACOSX/ and ._* AppleDouble
+                # siblings): descend through real subdirectories while no
+                # DICOM files are present, ignoring the junk
+                def entries(d):
+                    return [f for f in os.listdir(d)
+                            if not f.startswith('.') and f != '__MACOSX']
+
                 def has_dicom(d):
                     return any(f.lower().endswith(DICOM_EXTENSIONS)
-                               for f in os.listdir(d))
+                               for f in entries(d))
                 while not has_dicom(series):
-                    subs = [os.path.join(series, f)
-                            for f in os.listdir(series)]
+                    subs = [os.path.join(series, f) for f in entries(series)]
                     if len(subs) != 1 or not os.path.isdir(subs[0]):
                         return 400, 'application/json', json.dumps(
                             {'error': 'zip contains no DICOM series'},
