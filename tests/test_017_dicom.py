@@ -1071,6 +1071,35 @@ class TestErrors:
             read_dicom_series(str(tmp_path))
 
 
+class TestZippedSeries:
+    def test_read_image_zip_roundtrip(self, tmp_path):
+        """read_image('.zip') extracts (guarded) and reads the wrapped
+        series — the CLI's one-case-per-archive input shape."""
+        import zipfile
+        rng = np.random.default_rng(11)
+        vol = rng.integers(-500, 1500, (4, 8, 10)).astype(np.int16)
+        series = tmp_path / 'wrap' / 'series'
+        series.mkdir(parents=True)
+        for i in range(4):
+            write_slice(str(series / f's{i}.dcm'), vol[i],
+                        position=(0.0, 0.0, 2.0 * i), instance=i + 1)
+        zp = tmp_path / 'case.zip'
+        with zipfile.ZipFile(zp, 'w') as zf:
+            zf.writestr('__MACOSX/._junk', b'x')
+            for f in sorted(series.iterdir()):
+                zf.write(f, f'wrap/series/{f.name}')
+        img = read_image(str(zp))
+        np.testing.assert_array_equal(img.array, vol)
+
+    def test_zip_without_series_rejected(self, tmp_path):
+        import zipfile
+        zp = tmp_path / 'no.zip'
+        with zipfile.ZipFile(zp, 'w') as zf:
+            zf.writestr('readme.txt', 'nothing here')
+        with pytest.raises(DicomError, match='No DICOM series'):
+            read_image(str(zp))
+
+
 class TestEndToEnd:
     def test_cli_enumerates_dicom_dir_as_one_case(self, tmp_path):
         from totalsegmentator2d_tpu.cli import _enumerate_cases

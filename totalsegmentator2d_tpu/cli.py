@@ -17,8 +17,9 @@ from .utils.logging import log, log_silent
 
 _SUPPORTED = ('nrrd', 'nii', 'nii.gz', 'mha', 'mhd',
               # single DICOM files also read natively (io/dicom.py); a
-              # DICOM *series* is a directory case, see _enumerate_cases
-              'dcm', 'dicom', 'ima')
+              # DICOM *series* is a directory case, see _enumerate_cases;
+              # a .zip holds one zipped series
+              'dcm', 'dicom', 'ima', 'zip')
 
 _CITATION = (
     'TS2D is a research tool. It is NOT validated for clinical use and should '

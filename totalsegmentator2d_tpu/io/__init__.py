@@ -32,6 +32,15 @@ def read_image(path: str) -> MedicalImage:
         from . import dicom
         return dicom.read_dicom_series(path)
     ext = _ext(path)
+    if ext == 'zip':
+        # a zipped DICOM slice series (one case): extract with the CRC +
+        # traversal + declared-size guards, then read the series inside
+        import tempfile
+        from . import dicom
+        from ..inference.database import extract_zip
+        with tempfile.TemporaryDirectory(prefix='ts2d-zip-') as tmp:
+            extract_zip(path, tmp, max_total_bytes=8 << 30)
+            return dicom.read_dicom_series(dicom.resolve_series_root(tmp))
     from .dicom import DICOM_EXTENSIONS
     if '.' + ext in DICOM_EXTENSIONS:
         from . import dicom

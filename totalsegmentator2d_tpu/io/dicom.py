@@ -700,6 +700,27 @@ def _series_decode_pool():
         return _decode_pool
 
 
+def resolve_series_root(root: str) -> str:
+    """Find the DICOM series directory inside ``root``: archives commonly
+    wrap the series in a directory chain (and Finder zips add __MACOSX/
+    and ._* AppleDouble entries beside it) — descend through real
+    subdirectories while no DICOM files are present, ignoring the junk.
+    Raises DicomError when no series is found."""
+    def entries(d):
+        return [f for f in os.listdir(d)
+                if not f.startswith('.') and f != '__MACOSX']
+
+    def has_dicom(d):
+        return any(f.lower().endswith(DICOM_EXTENSIONS) for f in entries(d))
+
+    while not has_dicom(root):
+        subs = [os.path.join(root, f) for f in entries(root)]
+        if len(subs) != 1 or not os.path.isdir(subs[0]):
+            raise DicomError('No DICOM series found in the archive')
+        root = subs[0]
+    return root
+
+
 def read_dicom_series(path: str) -> MedicalImage:
     """Read a directory of DICOM slice files (or one file, possibly
     multi-frame) into a 3D MedicalImage with LPS geometry."""

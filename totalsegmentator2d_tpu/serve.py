@@ -125,7 +125,7 @@ class TS2DServer:
                 f.write(body)
             if ext == 'zip':
                 from .inference.database import extract_zip
-                from .io.dicom import DICOM_EXTENSIONS
+                from .io.dicom import DicomError, resolve_series_root
                 series = os.path.join(tmp, 'series')
                 os.mkdir(series)
                 try:
@@ -136,26 +136,11 @@ class TS2DServer:
                 except Exception as ex:
                     return 400, 'application/json', json.dumps(
                         {'error': f'failed to extract zip: {ex}'}).encode()
-
-                # archives commonly wrap the series in a directory chain
-                # (and Finder zips add __MACOSX/ and ._* AppleDouble
-                # siblings): descend through real subdirectories while no
-                # DICOM files are present, ignoring the junk
-                def entries(d):
-                    return [f for f in os.listdir(d)
-                            if not f.startswith('.') and f != '__MACOSX']
-
-                def has_dicom(d):
-                    return any(f.lower().endswith(DICOM_EXTENSIONS)
-                               for f in entries(d))
-                while not has_dicom(series):
-                    subs = [os.path.join(series, f) for f in entries(series)]
-                    if len(subs) != 1 or not os.path.isdir(subs[0]):
-                        return 400, 'application/json', json.dumps(
-                            {'error': 'zip contains no DICOM series'},
-                        ).encode()
-                    series = subs[0]
-                in_path = series
+                try:
+                    in_path = resolve_series_root(series)
+                except DicomError:
+                    return 400, 'application/json', json.dumps(
+                        {'error': 'zip contains no DICOM series'}).encode()
             try:
                 img = read_image(in_path)
             except Exception as ex:
