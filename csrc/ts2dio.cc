@@ -782,6 +782,10 @@ struct Decoder {
   int32_t maxval, near, t1, t2, t3, reset;
   int32_t range, qbpp, limit;
   int64_t rge;  // range * (2*near + 1)
+  // gradient quantizer as a table over d + maxval (d spans
+  // [-maxval, maxval]): one load instead of up to nine compares,
+  // evaluated three times per regular-mode sample
+  std::vector<int8_t> qlut;
   // A/B in 64-bit: hostile LSE RESET values (up to 65535) let A grow
   // toward reset*range/2 ~ 2^31 between halvings, which would overflow
   // int32 and shift N by >= 32 bits in the k-loop (both UB)
@@ -789,7 +793,7 @@ struct Decoder {
   int32_t C[365], N[367], Nn[2];
   int run_index;
 
-  int quantize(int32_t d) const {
+  int quantize_slow(int32_t d) const {
     if (d <= -t3) return -4;
     if (d <= -t2) return -3;
     if (d <= -t1) return -2;
@@ -800,6 +804,14 @@ struct Decoder {
     if (d < t3) return 3;
     return 4;
   }
+
+  void build_qlut() {
+    qlut.resize(2 * static_cast<size_t>(maxval) + 1);
+    for (int32_t d = -maxval; d <= maxval; ++d)
+      qlut[d + maxval] = static_cast<int8_t>(quantize_slow(d));
+  }
+
+  int quantize(int32_t d) const { return qlut[d + maxval]; }
 
   int32_t golomb(int k, int32_t lim) {
     int32_t q = 0;
@@ -896,6 +908,7 @@ long long ts2dio_jpegls_decode(const unsigned char* data, size_t len,
   std::memset(d.C, 0, sizeof(d.C));
   d.Nn[0] = d.Nn[1] = 0;
   d.run_index = 0;
+  d.build_qlut();
 
   // padded line buffers: index i+1 holds sample i (see _decode_scan_py)
   std::vector<int32_t> buf0(w + 2, 0), buf1(w + 2, 0);
