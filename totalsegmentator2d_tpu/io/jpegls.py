@@ -25,7 +25,6 @@ codec (tests/test_017_dicom.py, tests/charls_oracle.py).
 from __future__ import annotations
 
 import struct
-from typing import Optional
 
 import numpy as np
 
