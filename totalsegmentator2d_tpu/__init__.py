@@ -10,7 +10,7 @@ of 2D multilabel U-Nets. Public API mirrors the reference tool:
         res.save('out/', name='scan')
 """
 
-__version__ = '0.3.0'
+__version__ = '0.4.0'
 
 
 def __getattr__(name):
