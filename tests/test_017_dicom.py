@@ -798,6 +798,21 @@ class TestJpegLs:
             with pytest.raises(jpegls.JpegLsError):
                 jpegls.decode(stream)
 
+    def test_restart_intervals_rejected(self):
+        """A DRI segment with a nonzero interval raises informatively
+        (restart markers are never emitted for single-scan archives)."""
+        import charls_oracle as co
+        from totalsegmentator2d_tpu.io import jpegls
+        good = co.encode(np.zeros((4, 4), np.uint8), 8)
+        i = good.find(b'\xff\xda')
+        dri = struct.pack('>HHH', 0xFFDD, 4, 16)
+        with pytest.raises(jpegls.JpegLsError, match='[Rr]estart'):
+            jpegls.decode(good[:i] + dri + good[i:])
+        # a zero interval is a no-op, not an error
+        dri0 = struct.pack('>HHH', 0xFFDD, 4, 0)
+        out = jpegls.decode(good[:i] + dri0 + good[i:])
+        assert out.shape == (4, 4)
+
     def test_hostile_lse_presets_rejected(self):
         """Out-of-order thresholds / absurd RESET corrupt the adaptive
         state (and overflow int32 in a naive native decoder) — they must
