@@ -440,6 +440,32 @@ class TestReader:
             out = read_dicom_file(str(tmp_path / 'a.dcm'))
             assert out['array'].ravel().tolist() == expected, ts
 
+    def test_monochrome1_inverted_to_monochrome2(self, tmp_path):
+        """MONOCHROME1 stores lowest-value-is-white (common DX/CR): the
+        reader complements within the stored range so models always see
+        MONOCHROME2 polarity (PS3.3 C.7.6.3.1.2)."""
+        photo = _el_explicit(0x0028, 0x0004, b'CS', b'MONOCHROME1 ')
+        arr8 = np.array([[0, 100, 255]], np.uint8)
+        write_slice(str(tmp_path / 'a.dcm'), arr8, position=(0, 0, 0),
+                    extra_pre_pixel=photo)
+        out = read_dicom_file(str(tmp_path / 'a.dcm'))
+        assert out['array'].ravel().tolist() == [255, 155, 0]
+        # 12-bit stored in 16-bit: complement within the 12-bit range
+        bs = _el_explicit(0x0028, 0x0101, b'US', struct.pack('<H', 12))
+        arr12 = np.array([[0, 4095]], np.uint16)
+        write_slice(str(tmp_path / 'b.dcm'), arr12, position=(0, 0, 0),
+                    extra_pre_pixel=photo + bs)
+        out = read_dicom_file(str(tmp_path / 'b.dcm'))
+        assert out['array'].ravel().tolist() == [4095, 0]
+
+    def test_palette_color_rejected(self, tmp_path):
+        photo = _el_explicit(0x0028, 0x0004, b'CS', b'PALETTE COLOR ')
+        arr = np.zeros((2, 2), np.uint8)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    extra_pre_pixel=photo)
+        with pytest.raises(DicomError, match='PALETTE'):
+            read_dicom_file(str(tmp_path / 'a.dcm'))
+
     def test_unknown_elements_are_skipped(self, tmp_path):
         """Unlisted tags (incl. a defined-length SQ) must not derail
         parsing."""

@@ -82,6 +82,7 @@ _TAGS = {
     (0x0020, 0x0032): 'ImagePositionPatient',
     (0x0020, 0x0037): 'ImageOrientationPatient',
     (0x0028, 0x0002): 'SamplesPerPixel',
+    (0x0028, 0x0004): 'PhotometricInterpretation',
     (0x0028, 0x0008): 'NumberOfFrames',
     (0x0028, 0x0010): 'Rows',
     (0x0028, 0x0011): 'Columns',
@@ -555,6 +556,22 @@ def read_dicom_file(path: str) -> dict:
     if signed and 0 < bits_stored < bits:
         shift = np.int8(bits - bits_stored)
         vol = np.left_shift(vol, shift) >> shift
+
+    # PhotometricInterpretation (PS3.3 C.7.6.3.1.2): MONOCHROME1 means
+    # the LOWEST stored value displays white (common in DX/CR X-rays) —
+    # normalize to MONOCHROME2 polarity by complementing within the
+    # stored range, or the models see inverted anatomy. PALETTE COLOR
+    # would silently decode palette indices as intensities: reject.
+    photo = bytes(el.get('PhotometricInterpretation') or b'').decode(
+        'ascii', 'replace').strip('\x00 ').upper()
+    if photo.startswith('PALETTE'):
+        raise DicomError(f'{name}: PALETTE COLOR images are not supported')
+    if photo == 'MONOCHROME1':
+        bs = bits_stored if 0 < bits_stored <= bits else bits
+        if signed:
+            vol = (-1 - vol.astype(np.int32)).astype(vol.dtype)
+        else:
+            vol = (((1 << bs) - 1) - vol.astype(np.int64)).astype(vol.dtype)
 
     # rescale: top level, else the Pixel Value Transformation functional
     # group (shared, or per-frame when identical across frames)
