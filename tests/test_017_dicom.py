@@ -458,6 +458,18 @@ class TestReader:
         out = read_dicom_file(str(tmp_path / 'b.dcm'))
         assert out['array'].ravel().tolist() == [4095, 0]
 
+    def test_modality_lut_rejected(self, tmp_path):
+        """A Modality LUT (the table alternative to rescale) must raise,
+        not silently pass raw stored values off as output units."""
+        lut = _sq(0x0028, 0x3000,
+                  [_el_explicit(0x0028, 0x3002, b'US',
+                                b'\x00\x01\x00\x00\x08\x00')])
+        arr = np.zeros((2, 2), np.int16)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    extra_pre_pixel=lut)
+        with pytest.raises(DicomError, match='Modality LUT'):
+            read_dicom_file(str(tmp_path / 'a.dcm'))
+
     def test_palette_color_rejected(self, tmp_path):
         photo = _el_explicit(0x0028, 0x0004, b'CS', b'PALETTE COLOR ')
         arr = np.zeros((2, 2), np.uint8)

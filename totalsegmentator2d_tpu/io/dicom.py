@@ -102,6 +102,7 @@ _SEQ_TAGS = {
     (0x0020, 0x9113): 'PlanePositionSequence',
     (0x0020, 0x9116): 'PlaneOrientationSequence',
     (0x0028, 0x9110): 'PixelMeasuresSequence',
+    (0x0028, 0x3000): 'ModalityLUTSequence',
     (0x0028, 0x9145): 'PixelValueTransformationSequence',
     (0x5200, 0x9229): 'SharedFunctionalGroups',
     (0x5200, 0x9230): 'PerFrameFunctionalGroups',
@@ -572,6 +573,14 @@ def read_dicom_file(path: str) -> dict:
             vol = (-1 - vol.astype(np.int32)).astype(vol.dtype)
         else:
             vol = (((1 << bs) - 1) - vol.astype(np.int64)).astype(vol.dtype)
+
+    # a Modality LUT (the table-based alternative to rescale
+    # slope/intercept, PS3.3 C.11.1) would silently leave raw stored
+    # values posing as output units if ignored
+    if el.get('ModalityLUTSequence'):
+        raise DicomError(
+            f'{name}: Modality LUT sequences are not supported '
+            f'(only linear RescaleSlope/Intercept transforms)')
 
     # rescale: top level, else the Pixel Value Transformation functional
     # group (shared, or per-frame when identical across frames)
