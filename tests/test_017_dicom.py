@@ -470,6 +470,16 @@ class TestReader:
         with pytest.raises(DicomError, match='Modality LUT'):
             read_dicom_file(str(tmp_path / 'a.dcm'))
 
+    def test_monochrome1_with_rescale_not_inverted(self, tmp_path):
+        """MONOCHROME1 beside a calibrated rescale is contradictory:
+        physical units must not be complemented."""
+        photo = _el_explicit(0x0028, 0x0004, b'CS', b'MONOCHROME1 ')
+        raw = np.array([[100, 200]], np.uint16)
+        write_slice(str(tmp_path / 'a.dcm'), raw, position=(0, 0, 0),
+                    slope=1, intercept=-1024, extra_pre_pixel=photo)
+        out = read_dicom_file(str(tmp_path / 'a.dcm'))
+        assert out['array'].ravel().tolist() == [100 - 1024, 200 - 1024]
+
     def test_palette_color_rejected(self, tmp_path):
         photo = _el_explicit(0x0028, 0x0004, b'CS', b'PALETTE COLOR ')
         arr = np.zeros((2, 2), np.uint8)

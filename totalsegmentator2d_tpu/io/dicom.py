@@ -567,12 +567,7 @@ def read_dicom_file(path: str) -> dict:
         'ascii', 'replace').strip('\x00 ').upper()
     if photo.startswith('PALETTE'):
         raise DicomError(f'{name}: PALETTE COLOR images are not supported')
-    if photo == 'MONOCHROME1':
-        bs = bits_stored if 0 < bits_stored <= bits else bits
-        if signed:
-            vol = (-1 - vol.astype(np.int32)).astype(vol.dtype)
-        else:
-            vol = (((1 << bs) - 1) - vol.astype(np.int64)).astype(vol.dtype)
+    mono1 = photo == 'MONOCHROME1'
 
     # a Modality LUT (the table-based alternative to rescale
     # slope/intercept, PS3.3 C.11.1) would silently leave raw stored
@@ -600,6 +595,22 @@ def read_dicom_file(path: str) -> dict:
         sl_raw, in_raw = pvt.get('RescaleSlope'), pvt.get('RescaleIntercept')
     slope = (_ds(sl_raw) or [1.0])[0]
     inter = (_ds(in_raw) or [0.0])[0]
+    if mono1:
+        if slope == 1.0 and inter == 0.0:
+            # display-referenced data (DX/CR/MG): complement within the
+            # stored range so models always see MONOCHROME2 polarity
+            bs = bits_stored if 0 < bits_stored <= bits else bits
+            if signed:
+                vol = (-1 - vol.astype(np.int32)).astype(vol.dtype)
+            else:
+                vol = (((1 << bs) - 1)
+                       - vol.astype(np.int64)).astype(vol.dtype)
+        else:
+            # MONOCHROME1 with a calibrated rescale is contradictory —
+            # inverting physical units would corrupt them; keep values
+            from ..utils.logging import warn
+            warn(f'{name}: MONOCHROME1 with a non-identity rescale; '
+                 f'keeping calibrated values un-inverted', once=True)
     if slope != 1.0 or inter != 0.0:
         scaled = vol.astype(np.float64) * slope + inter
         if float(slope).is_integer() and float(inter).is_integer() \
