@@ -37,6 +37,10 @@ Geometry notes:
    (x, y, z) with z from successive ImagePositionPatient distances.
  - Rescale slope/intercept (0028,1052/1053) are applied; integral results
    that fit int16 stay int16 (CT Hounsfield units), else float32.
+ - Signed data narrower than its container sign-extends from BitsStored;
+   MONOCHROME1 (lowest-value-is-white DX/CR) complements to MONOCHROME2
+   polarity when the rescale is identity; PALETTE COLOR and Modality LUT
+   sequences raise rather than passing wrong intensities through.
 """
 
 from __future__ import annotations
