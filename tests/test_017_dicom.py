@@ -1159,6 +1159,9 @@ class TestMutationRobustness:
                 pytest.skip('system CharLS library not available')
             base = bytearray(charls_oracle.encode(arr, 12))
             dec, err = jpegls.decode, jpegls.JpegLsError
+        # a mutated dimension header may legitimately decode to a
+        # different (plausibility-capped) shape — the DICOM layer
+        # rejects the mismatch; here only containment matters
         for trial in range(120):
             data = bytearray(base)
             for _ in range(int(rng.integers(1, 6))):
@@ -1166,14 +1169,14 @@ class TestMutationRobustness:
                     int(rng.integers(0, 256))
             try:
                 out = dec(bytes(data))
-                assert out.shape == (32, 36)
+                assert out.ndim == 2 and out.size <= 1 << 28
             except err:
                 pass
         for trial in range(40):
             cut = int(rng.integers(2, len(base)))
             try:
                 out = dec(bytes(base[:cut]))
-                assert out.shape == (32, 36)
+                assert out.ndim == 2 and out.size <= 1 << 28
             except err:
                 pass
 
