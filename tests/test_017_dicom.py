@@ -488,6 +488,23 @@ class TestReader:
         with pytest.raises(DicomError, match='PALETTE'):
             read_dicom_file(str(tmp_path / 'a.dcm'))
 
+    def test_undefined_length_un_with_implicit_content(self, tmp_path):
+        """PS3.5 6.2.2: an undefined-length UN element's content is
+        implicit VR even in explicit files (typical anonymizer output) —
+        the skip must not desynchronize on it."""
+        un = (struct.pack('<HH', 0x0009, 0x0001) + b'UN\x00\x00'
+              + struct.pack('<I', 0xFFFFFFFF)
+              + struct.pack('<HHI', 0xFFFE, 0xE000, 0xFFFFFFFF)
+              + struct.pack('<HH', 0x0009, 0x0002)
+              + struct.pack('<I', 4) + b'ABCD'
+              + struct.pack('<HHI', 0xFFFE, 0xE00D, 0)
+              + struct.pack('<HHI', 0xFFFE, 0xE0DD, 0))
+        arr = np.arange(16, dtype=np.int16).reshape(4, 4)
+        write_slice(str(tmp_path / 'a.dcm'), arr, position=(0, 0, 0),
+                    extra_pre_pixel=un)
+        out = read_dicom_file(str(tmp_path / 'a.dcm'))
+        np.testing.assert_array_equal(out['array'], arr)
+
     def test_unknown_elements_are_skipped(self, tmp_path):
         """Unlisted tags (incl. a defined-length SQ) must not derail
         parsing."""
@@ -1062,6 +1079,45 @@ class TestJpeg2000:
         with pytest.raises(jpeg2k.Jpeg2kError):
             jpeg2k.decode(soc + siz + cod + qcd + tail)
 
+    def test_hostile_qcd_bitplanes_rejected(self):
+        """guard=7 + exponent=31 signals 37 magnitude bit planes, which
+        would overflow the int32 Tier-1 state (Python OverflowError, C
+        undefined shifts) — reject up front."""
+        import struct as _s
+        from totalsegmentator2d_tpu.io import jpeg2k
+        soc = b'\xff\x4f'
+        siz = _s.pack('>HH', 0xFF51, 41) + _s.pack(
+            '>HIIIIIIIIH', 0, 8, 8, 0, 0, 8, 8, 0, 0, 1) + bytes([15, 1, 1])
+        cod = _s.pack('>HH', 0xFF52, 12) + bytes([0, 0]) \
+            + _s.pack('>H', 1) + bytes([0, 0, 2, 2, 0, 1])
+        qcd = _s.pack('>HH', 0xFF5C, 4) + bytes([0xE0, 0xF8])
+        body = soc + siz + cod + qcd + _s.pack(
+            '>HHHIBB', 0xFF90, 10, 0, 0, 0, 1) + b'\xff\x93' \
+            + b'\x01\x00\x00' + b'\xff\xd9'
+        with pytest.raises(jpeg2k.Jpeg2kError, match='bit planes'):
+            jpeg2k.decode(body)
+
+    def test_corrupt_jp2_boxes_rejected(self):
+        """An XLBox with 64-bit length 0 must raise, not spin forever
+        scanning for the codestream box."""
+        import struct as _s
+        from totalsegmentator2d_tpu.io import jpeg2k
+        jp2 = (b'\x00\x00\x00\x0cjP  \r\n\x87\n'
+               + _s.pack('>I', 1) + b'xxxx' + _s.pack('>Q', 0))
+        with pytest.raises(jpeg2k.Jpeg2kError, match='XLBox'):
+            jpeg2k.decode(jp2)
+
+    def test_tile_origin_past_image_rejected(self):
+        """XTOsiz > XOsiz would yield a zero-tile grid and a silent
+        all-zero image (T.800 B.3 forbids it)."""
+        import struct as _s
+        from totalsegmentator2d_tpu.io import jpeg2k
+        soc = b'\xff\x4f'
+        siz = _s.pack('>HH', 0xFF51, 41) + _s.pack(
+            '>HIIIIIIIIH', 0, 4, 4, 0, 0, 4, 4, 8, 0, 1) + bytes([7, 1, 1])
+        with pytest.raises(jpeg2k.Jpeg2kError, match='[Tt]ile origin'):
+            jpeg2k.decode(soc + siz + b'\xff\xd9')
+
     def test_implausible_dimensions_rejected(self):
         """Corrupt 32-bit SIZ dimensions must be rejected up front, not
         attempt multi-hundred-GiB allocations or billions of empty-tile
@@ -1200,6 +1256,14 @@ class TestZippedSeries:
                 zf.write(f, f'wrap/series/{f.name}')
         img = read_image(str(zp))
         np.testing.assert_array_equal(img.array, vol)
+
+    def test_symlink_cycle_rejected(self, tmp_path):
+        """A directory-symlink cycle inside an archive must raise, not
+        descend forever."""
+        from totalsegmentator2d_tpu.io.dicom import resolve_series_root
+        os.symlink(str(tmp_path), str(tmp_path / 'loop'))
+        with pytest.raises(DicomError, match='No DICOM series'):
+            resolve_series_root(str(tmp_path))
 
     def test_zip_without_series_rejected(self, tmp_path):
         import zipfile

@@ -170,6 +170,13 @@ def _element_header(buf: bytes, pos: int,
     return tag, length, pos + 8
 
 
+def _undef_content_implicit(buf: bytes, pos: int, implicit: bool) -> bool:
+    """VR mode for an undefined-length element's CONTENT at header
+    ``pos``: PS3.5 6.2.2 mandates implicit VR inside undefined-length UN
+    elements even in explicit files (typical anonymizer output)."""
+    return implicit or buf[pos + 4:pos + 6] == b'UN'
+
+
 def _skip_sequence(buf: bytes, pos: int, implicit: bool) -> int:
     """Skip an undefined-length SQ value starting at ``pos``; returns the
     offset past the sequence delimiter. Items may themselves be
@@ -195,8 +202,9 @@ def _skip_item(buf: bytes, pos: int, implicit: bool) -> int:
         tag, length, value_at = _element_header(buf, pos, implicit)
         if tag == _ITEM_DELIM:
             return value_at + length
-        if length == 0xFFFFFFFF:  # nested undefined-length sequence
-            pos = _skip_sequence(buf, value_at, implicit)
+        if length == 0xFFFFFFFF:  # nested undefined-length sequence/UN
+            pos = _skip_sequence(
+                buf, value_at, _undef_content_implicit(buf, pos, implicit))
         else:
             pos = value_at + length
 
@@ -224,7 +232,7 @@ def _parse_fragments(buf: bytes, pos: int) -> Tuple[bytes, List[bytes], int]:
 
 
 def _collect_one(out: dict, buf: bytes, tag, length: int, value_at: int,
-                 implicit: bool) -> int:
+                 implicit: bool, elem_pos: int) -> int:
     """Collect one non-PixelData element into ``out``; returns the offset
     past its value. Sequences in _SEQ_TAGS recurse into item dicts; other
     sequences are skipped."""
@@ -233,7 +241,8 @@ def _collect_one(out: dict, buf: bytes, tag, length: int, value_at: int,
         out[seq_name], pos = _parse_seq_items(buf, value_at, length, implicit)
         return pos
     if length == 0xFFFFFFFF:
-        return _skip_sequence(buf, value_at, implicit)
+        return _skip_sequence(
+            buf, value_at, _undef_content_implicit(buf, elem_pos, implicit))
     name = _TAGS.get(tag)
     if name:
         out[name] = buf[value_at:value_at + length]
@@ -270,7 +279,7 @@ def _parse_item_undef(buf: bytes, pos: int,
         tag, length, value_at = _element_header(buf, pos, implicit)
         if tag == _ITEM_DELIM:
             return out, value_at + length
-        pos = _collect_one(out, buf, tag, length, value_at, implicit)
+        pos = _collect_one(out, buf, tag, length, value_at, implicit, pos)
 
 
 def _parse_ds_span(buf: bytes, pos: int, end: int, implicit: bool) -> dict:
@@ -278,7 +287,7 @@ def _parse_ds_span(buf: bytes, pos: int, end: int, implicit: bool) -> dict:
     out: dict = {}
     while pos + 8 <= end:
         tag, length, value_at = _element_header(buf, pos, implicit)
-        pos = _collect_one(out, buf, tag, length, value_at, implicit)
+        pos = _collect_one(out, buf, tag, length, value_at, implicit, pos)
     return out
 
 
@@ -296,7 +305,7 @@ def _parse_dataset(buf: bytes, pos: int, implicit: bool) -> Dict[str, object]:
             out['PixelDataBOT'], out['PixelDataFragments'], pos = \
                 _parse_fragments(buf, value_at)
             return out
-        pos = _collect_one(out, buf, tag, length, value_at, implicit)
+        pos = _collect_one(out, buf, tag, length, value_at, implicit, pos)
         if 'PixelData' in out:
             return out
     return out
@@ -754,7 +763,12 @@ def resolve_series_root(root: str) -> str:
     def has_dicom(d):
         return any(f.lower().endswith(DICOM_EXTENSIONS) for f in entries(d))
 
+    seen = set()
     while not has_dicom(root):
+        real = os.path.realpath(root)
+        if real in seen:  # a directory-symlink cycle would loop forever
+            raise DicomError('No DICOM series found in the archive')
+        seen.add(real)
         subs = [os.path.join(root, f) for f in entries(root)]
         if len(subs) != 1 or not os.path.isdir(subs[0]):
             raise DicomError('No DICOM series found in the archive')

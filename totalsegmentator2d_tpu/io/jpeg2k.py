@@ -376,11 +376,9 @@ class _BlockDecoder:
     def __init__(self, w: int, h: int, orient: int, style: int):
         self.w = w
         self.h = h
-        self.orient = 2 if orient == 3 else (1 if orient == 1 else 0)
         # orient codes: 0=LL, 1=HL, 2=LH, 3=HH -> table rows LL/LH=0,
         # HL=1, HH=2 (T.800 D.1 groups LL with LH)
-        if orient == 2:
-            self.orient = 0
+        self.orient = 2 if orient == 3 else (1 if orient == 1 else 0)
         self.style = style
         self.ctx = _fresh_contexts()
         self.sig = np.zeros((h + 2, w + 2), bool)     # padded borders
@@ -629,6 +627,10 @@ def _parse_siz(body: bytes) -> _Size:
         raise Jpeg2kError(f'{s.depth}-bit samples (max 16 supported)')
     if tx == 0 or ty == 0 or x <= x0 or y <= y0:
         raise Jpeg2kError('Empty or invalid image/tile grid in SIZ')
+    if tx0 > x0 or ty0 > y0 or x0 - tx0 >= tx or y0 - ty0 >= ty:
+        # T.800 B.3: the first tile must contain the image origin —
+        # otherwise the tile loop would silently produce an all-zero image
+        raise Jpeg2kError('Tile origin outside the legal range in SIZ')
     # plausibility caps on the image EXTENTS (offset reference grids
     # are legal, T.800 B.3): corrupt 32-bit dims would otherwise demand
     # hundreds of GiB (or billions of tile iterations) before any
@@ -731,7 +733,7 @@ def _band_rect(tcx0, tcy0, tcx1, tcy1, nb, xob, yob):
 
 
 def _build_resolutions(tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,
-                       quant: _Quant, depth: int) -> List[_Resolution]:
+                       quant: _Quant) -> List[_Resolution]:
     levels = cod.levels
     out = []
     for r in range(levels + 1):
@@ -1043,8 +1045,7 @@ def _iter_packets(cod: _CodingStyle, resolutions: List[_Resolution]):
 
 def _decode_tile(data: bytes, tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,
                  quant: _Quant, depth: int) -> np.ndarray:
-    resolutions = _build_resolutions(tcx0, tcy0, tcx1, tcy1, cod, quant,
-                                     depth)
+    resolutions = _build_resolutions(tcx0, tcy0, tcx1, tcy1, cod, quant)
     pos = 0
     for layer, res, p in _iter_packets(cod, resolutions):
         if pos >= len(data):
@@ -1063,6 +1064,12 @@ def _decode_tile(data: bytes, tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,
             coeffs = np.zeros((max(bh, 0), max(bw, 0)),
                               np.int64 if reversible else np.float64)
             mb = quant.guard + band.eps - 1
+            if mb > 31:
+                # magnitudes would overflow the int32 Tier-1 state (both
+                # here and in the native decoder); no real encoder
+                # exceeds 31 bit planes
+                raise Jpeg2kError(
+                    f'{mb} magnitude bit planes (max 31 supported)')
             for cb in band.blocks.values():
                 if not cb.segments:
                     continue
@@ -1121,9 +1128,15 @@ def _strip_jp2(buf: bytes) -> bytes:
                 return buf[pos + 8:pos + ln]
             if ln == 1:  # XLBox: 64-bit length follows the type
                 (xl,) = struct.unpack_from('>Q', buf, pos + 8)
+                if xl < 16:  # must cover its own 16-byte header
+                    raise Jpeg2kError('Corrupt JP2 box (XLBox length < 16)')
                 pos += xl
+            elif ln == 0:  # box extends to end of file
+                pos = len(buf)
+            elif ln < 8:
+                raise Jpeg2kError('Corrupt JP2 box (length < 8)')
             else:
-                pos += ln if ln > 0 else len(buf)
+                pos += ln
         raise Jpeg2kError('JP2 container without a codestream box')
     raise Jpeg2kError('Not a JPEG 2000 codestream (missing SOC/SIZ)')
 
