@@ -1196,12 +1196,21 @@ class TestMutationRobustness:
     the right shape or raises the codec error type — never a foreign
     exception, an allocation blow-up, or a runaway loop."""
 
-    @pytest.mark.parametrize('codec', ['j2k', 'jls'])
+    @pytest.mark.parametrize('codec', ['j2k', 'jls', 'jll', 'jdct'])
     def test_mutations_contained(self, codec):
         from totalsegmentator2d_tpu.io import jpeg2k, jpegls
         rng = np.random.default_rng(123)
         arr = rng.integers(0, 4096, (32, 36)).astype(np.uint16)
-        if codec == 'j2k':
+        if codec == 'jll':
+            from totalsegmentator2d_tpu.io import jpegll
+            base = bytearray(_jpegll_frame(arr))
+            dec, err = jpegll.decode, jpegll.JpegError
+        elif codec == 'jdct':
+            from totalsegmentator2d_tpu.io import jpegdct, jpegll
+            arr = arr.astype(np.uint8)
+            base = bytearray(_jpegdct_frame(arr, precision=8))
+            dec, err = jpegdct.decode, jpegll.JpegError
+        elif codec == 'j2k':
             Image = pytest.importorskip('PIL.Image')
             import io as _io
             im = Image.frombytes('I;16', (36, 32), arr.astype('<u2').tobytes())
