@@ -1,6 +1,7 @@
 """Training: losses, augmentation, sharded train steps, trainer."""
 
 from .augment import augment_batch, augment_pair
+from .cli import load_raw_dataset, ts2d_train
 from .data import PatchSampler, preprocess_case
 from .losses import (bce_loss, ce_loss, deep_supervision_loss, dice_and_ce,
                      dice_score, soft_dice_loss)
@@ -14,4 +15,4 @@ __all__ = ['PatchSampler', 'preprocess_case', 'Fingerprint',
            'deep_supervision_loss', 'dice_and_ce', 'dice_score',
            'soft_dice_loss', 'TrainConfig', 'Trainer',
            'build_sharded_train_step', 'ensemble_train_step',
-           'make_optimizer', 'train_step']
+           'make_optimizer', 'train_step', 'load_raw_dataset', 'ts2d_train']
