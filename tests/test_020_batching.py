@@ -301,3 +301,59 @@ class TestCancellation:
                 np.testing.assert_array_equal(br.get()[idx], _mk(want))
         finally:
             b.stop()
+
+
+@pytest.mark.filterwarnings(
+    'ignore::pytest.PytestUnhandledThreadExceptionWarning')
+class TestElasticRestart:
+    """A dispatcher that dies of an internal error restarts on the next
+    submit (the reference only DETECTS dead workers; a resident server
+    must also recover), with a crash-loop cap. (The dying dispatcher
+    re-raises on purpose — threading.excepthook prints the traceback —
+    which pytest reports as an unhandled thread exception: expected here.)"""
+
+    @staticmethod
+    def _kill_dispatcher(b):
+        """Crash the dispatcher loop deterministically: poison _take_batch
+        for exactly one call, then submit to wake it."""
+        orig = b._take_batch
+        def boom(cap=None):
+            b._take_batch = orig
+            raise RuntimeError('injected dispatcher fault')
+        b._take_batch = boom
+        fut = b.submit(_mk(99), None, (1.5, 1.5), (0, 0), (16, 12))
+        with pytest.raises(RuntimeError, match='dispatcher died'):
+            fut.result(timeout=10)
+        b._thread.join(timeout=10)
+        assert not b._thread.is_alive()
+
+    def test_restart_after_crash_serves_again(self):
+        eng = FakeEngine()
+        b = DynamicBatcher(eng, max_batch=8)
+        try:
+            self._kill_dispatcher(b)
+            # next submit restarts the dispatcher and gets served
+            fut = b.submit(_mk(1), None, (1.5, 1.5), (0, 0), (16, 12))
+            br, idx, _, _ = fut.result(timeout=10)
+            np.testing.assert_array_equal(br.get()[0], _mk(1))
+            assert b._crashes == 0  # healthy dispatch reset the budget
+        finally:
+            b.stop()
+
+    def test_crash_loop_gives_up(self):
+        eng = FakeEngine()
+        b = DynamicBatcher(eng, max_batch=8)
+        try:
+            for _ in range(b.max_restarts):
+                self._kill_dispatcher(b)
+            with pytest.raises(RuntimeError, match='giving up'):
+                b.submit(_mk(0), None, (1.5, 1.5), (0, 0), (16, 12))
+        finally:
+            b.stop()
+
+    def test_user_stop_never_restarts(self):
+        eng = FakeEngine()
+        b = DynamicBatcher(eng, max_batch=8)
+        assert b.stop()
+        with pytest.raises(RuntimeError, match='stopped'):
+            b.submit(_mk(0), None, (1.5, 1.5), (0, 0), (16, 12))

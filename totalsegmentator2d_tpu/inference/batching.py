@@ -111,6 +111,15 @@ class DynamicBatcher:
         self._pending: List[Tuple[tuple, float, tuple]] = []
         self._cv = threading.Condition()
         self._stopped = False
+        # elasticity: a dispatcher that died of an internal error (already
+        # drained — its waiters got the exception) restarts transparently on
+        # the next submit, up to this many consecutive failures; a
+        # successful dispatch resets the budget. The reference only DETECTS
+        # dead workers (predictor.py:207-229, wait() raises); a resident
+        # server should also recover.
+        self.max_restarts = 3
+        self._crashes = 0
+        self._user_stopped = False
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name='ts2d-batcher')
         self._thread.start()
@@ -129,12 +138,27 @@ class DynamicBatcher:
         fut: Future = Future()
         item = (cropped, mask, bbox, full, fut)
         with self._cv:
-            if self._stopped:
+            if self._user_stopped:
                 raise RuntimeError('batcher is stopped')
-            if not self._thread.is_alive():
-                # a dead dispatcher would leave this future unresolved
-                # forever (the caller blocks in fut.result())
-                raise RuntimeError('batcher dispatcher thread died')
+            if self._stopped or not self._thread.is_alive():
+                # the dispatcher died of an internal error (its waiters were
+                # drained with that error); restart it rather than leaving
+                # the engine permanently unserviceable — unless it is
+                # crash-looping
+                if self._crashes >= self.max_restarts:
+                    raise RuntimeError(
+                        f'batcher dispatcher died {self._crashes} '
+                        f'consecutive times; giving up (see prior errors)')
+                from ..utils.logging import warn
+                warn(f'batcher dispatcher died; restarting '
+                     f'({self._crashes}/{self.max_restarts} consecutive '
+                     f'failures)')
+                self._stopped = False
+                self._inflight = 0
+                self._ramp_left = 0
+                self._thread = threading.Thread(target=self._run, daemon=True,
+                                                name='ts2d-batcher')
+                self._thread.start()
             self._pending.append((key, time.monotonic(), item))
             self._last_submit = time.monotonic()
             self._cv.notify()
@@ -167,6 +191,7 @@ class DynamicBatcher:
             shutdown)."""
         with self._cv:
             self._stopped = True
+            self._user_stopped = True
             self._cv.notify()
         self._thread.join(timeout=timeout)
         if self._thread.is_alive():
@@ -203,6 +228,7 @@ class DynamicBatcher:
                 # item in after the drain (the thread still reads as alive
                 # until this except block finishes)
                 self._stopped = True
+                self._crashes += 1
                 pending, self._pending = self._pending, []
             for _, _, (*_, fut) in pending:
                 if not fut.done():
@@ -313,6 +339,8 @@ class DynamicBatcher:
                 key, take = self._take_batch(take_cap)
             try:
                 self._dispatch(key, take)
+                with self._cv:
+                    self._crashes = 0  # healthy dispatch: reset the budget
             except BaseException as ex:  # surface to every waiting caller
                 for *_, fut in take:
                     if not fut.done():
