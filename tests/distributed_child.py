@@ -26,7 +26,7 @@ jax.config.update('jax_platforms', 'cpu')
 import numpy as np  # noqa: E402
 
 
-def tiny_engine():
+def tiny_engine(masked: bool = False):
     import jax.numpy as jnp  # noqa: F401
     from totalsegmentator2d_tpu.inference import EnsembleEngine
     from totalsegmentator2d_tpu.models.plans import (ArchSpec, ModelSpec,
@@ -36,7 +36,7 @@ def tiny_engine():
     pre = PreprocessSpec(
         spacing=(1.5, 1.5), patch_size=(32, 32),
         normalization_schemes=('ZScoreNormalization',) * 2,
-        use_mask_for_norm=(False, False),
+        use_mask_for_norm=(masked, masked),
         intensity_properties=(None, None))
     specs, params = [], []
     for i, n_labels in enumerate((3, 4)):
@@ -94,6 +94,19 @@ def main(pid: int, nproc: int, port: int) -> None:
     assert full.shape == expected.shape
     agree = (full == expected).mean()
     assert agree > 0.9999, f'gathered cohort diverged: agreement {agree:%}'
+
+    # ---- masked-norm branch: local compute + uneven allgather -------------
+    # masked-norm plans project on the HOST, so the distributed call serves
+    # each process's shard locally and only the gather is a collective
+    # (_gather_uneven pads/trims the unequal shard sizes)
+    eng_m = tiny_engine(masked=True)
+    pos = np.abs(cohort[:3]) + 10.0  # nonzero foreground for the mask
+    exp_m = eng_m.predict_cohort(pos, spacing, modes)
+    shard_m = process_shard(len(pos))
+    full_m = predict_cohort_distributed(eng_m, pos[shard_m], spacing, modes,
+                                        mesh=mesh, gather=True)
+    assert full_m.shape == exp_m.shape
+    assert np.array_equal(full_m, exp_m), 'masked-norm gather diverged'
 
     # ---- one sharded training step fed from per-process rows -------------
     from totalsegmentator2d_tpu.models.plans import ArchSpec

@@ -118,7 +118,8 @@ class DynamicBatcher:
         # dead workers (predictor.py:207-229, wait() raises); a resident
         # server should also recover.
         self.max_restarts = 3
-        self._crashes = 0
+        self._crashes = 0          # consecutive (resets on a healthy dispatch)
+        self._crashes_total = 0    # lifetime, for /metrics
         self._user_stopped = False
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name='ts2d-batcher')
@@ -170,6 +171,7 @@ class DynamicBatcher:
         observable at /metrics (serve.py)."""
         with self._cv:
             occ = list(self._occupancy)
+            crashes = self._crashes_total
         programs = sum(occ)
         scans = sum((i + 1) * c for i, c in enumerate(occ))
         return {
@@ -178,6 +180,7 @@ class DynamicBatcher:
             'batch_scans': scans,
             'batch_scans_coalesced': scans - occ[0] if occ else 0,
             'batch_mean_occupancy': (scans / programs) if programs else 0.0,
+            'batch_dispatcher_crashes': crashes,
         }
 
     def stop(self, timeout: float = 10.0) -> bool:
@@ -229,6 +232,7 @@ class DynamicBatcher:
                 # until this except block finishes)
                 self._stopped = True
                 self._crashes += 1
+                self._crashes_total += 1
                 pending, self._pending = self._pending, []
             for _, _, (*_, fut) in pending:
                 if not fut.done():
