@@ -222,3 +222,50 @@ class TestDownloadHardening:
         zp.write_bytes(raw)
         with pytest.raises(Exception):
             extract_zip(str(zp), str(tmp_path / 'dest2'))
+
+
+class TestPackZip:
+    """FileDataBase.pack_zip: the inverse of extract_zip — the share loop
+    train -> pack -> serve over HTTP -> download-on-miss -> predict."""
+
+    def test_pack_roundtrip_through_urldatabase(self, tmp_path):
+        import http.server
+        import threading
+        from totalsegmentator2d_tpu.inference import FileDataBase
+
+        src = tmp_path / 'src'
+        mid = build_model_dir(str(src), model='ts2d-v9-pk', group='ribs',
+                              labels=('rib1', 'rib2'), patch=(64, 64))
+        webroot = tmp_path / 'web'
+        webroot.mkdir()
+        out = FileDataBase(str(src)).pack_zip(mid, str(webroot / f'{mid}.zip'))
+        assert out.endswith(f'{mid}.zip')
+
+        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+            *a, directory=str(webroot), **kw)
+        httpd = http.server.ThreadingHTTPServer(('127.0.0.1', 0), handler)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = httpd.server_address[1]
+            urls = {'ts2d-v9-pk': {'r001': {
+                'ribs': f'http://127.0.0.1:{port}/{mid}.zip'}}}
+            zoo = Zoo(remote=URLDataBase(urls), local=str(tmp_path / 'local'))
+            model = zoo.load(mid)  # download-on-miss of OUR packed zip
+            assert model.labels == {1: 'rib1', 2: 'rib2'}
+            rng = np.random.default_rng(1)
+            from totalsegmentator2d_tpu.io import MedicalImage
+            img = MedicalImage(
+                array=(rng.standard_normal((70, 60, 2)) + 2).astype(
+                    np.float32),
+                spacing=(1.5, 1.5), is_vector=True)
+            seg = model.apply(img)
+            assert seg.ncomponents == 2
+        finally:
+            httpd.shutdown()
+
+    def test_pack_missing_model_raises(self, tmp_path):
+        from totalsegmentator2d_tpu.inference import FileDataBase
+        with pytest.raises(LookupError):
+            FileDataBase(str(tmp_path)).pack_zip('nope_x',
+                                                 str(tmp_path / 'x.zip'))

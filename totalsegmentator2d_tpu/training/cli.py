@@ -195,7 +195,7 @@ def ts2d_train(dataset: str, output: str, model: str = 'ts2d-custom',
                max_patch: int = 512, modality: str = 'CT', revision: int = 1,
                checkpoint_dir: Optional[str] = None,
                checkpoint_every: int = 0, resume: bool = False,
-               log_every: int = 50) -> str:
+               log_every: int = 50, pack: Optional[str] = None) -> str:
     """Run the full plan -> train -> export pipeline; returns the model id."""
     import jax
     from ..inference import Zoo
@@ -273,6 +273,11 @@ def ts2d_train(dataset: str, output: str, model: str = 'ts2d-custom',
     mid = export_model_dir(output, model, group, spec, fold_params,
                            revision=revision, epoch=steps)
     log(f'exported {mid} (r{revision:03d}) to {output}')
+    if pack:
+        from ..inference import FileDataBase
+        FileDataBase(output).pack_zip(mid, pack, revision=revision)
+        log(f'packed {mid} into {pack} (registry-shape zip: serve it from '
+            f'any URL and point shared.json at it)')
 
     # validation through the REAL inference path: the exported model, loaded
     # back through the zoo, predicting held-out original-resolution cases
@@ -345,6 +350,10 @@ def main(argv=None) -> None:
     parser.add_argument('--resume', action='store_true',
                         help='resume from --checkpoint-dir if present')
     parser.add_argument('--log-every', type=int, default=50)
+    parser.add_argument('--pack', default=None, metavar='ZIP',
+                        help='also package the exported model into a '
+                             'registry-shape zip (shareable like the '
+                             'published Zenodo models)')
     parser.add_argument('--silent', action='store_true')
     args = parser.parse_args(argv)
 
@@ -359,7 +368,7 @@ def main(argv=None) -> None:
         max_patch=args.max_patch, modality=args.modality,
         revision=args.revision, checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every, resume=args.resume,
-        log_every=args.log_every)
+        log_every=args.log_every, pack=args.pack)
     print(mid)
 
 
