@@ -108,6 +108,18 @@ def main(pid: int, nproc: int, port: int) -> None:
     assert full_m.shape == exp_m.shape
     assert np.array_equal(full_m, exp_m), 'masked-norm gather diverged'
 
+    # ---- empty shards: a cohort smaller than the process count ------------
+    # rank 1 contributes zero scans; the gather must still converge on both
+    # branches (the empty rank joins the collectives with a 0-row block)
+    sl1 = process_shard(1)
+    full1 = predict_cohort_distributed(engine, cohort[:1][sl1], spacing,
+                                       modes, mesh=mesh, gather=True)
+    assert full1.shape == expected[:1].shape
+    assert (full1 == expected[:1]).mean() > 0.9999, 'empty-shard cohort'
+    full1m = predict_cohort_distributed(eng_m, pos[:1][sl1], spacing, modes,
+                                        mesh=mesh, gather=True)
+    assert np.array_equal(full1m, exp_m[:1]), 'empty-shard masked cohort'
+
     # ---- one sharded training step fed from per-process rows -------------
     from totalsegmentator2d_tpu.models.plans import ArchSpec
     from totalsegmentator2d_tpu.training import TrainConfig, Trainer

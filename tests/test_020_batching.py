@@ -357,3 +357,23 @@ class TestElasticRestart:
         assert b.stop()
         with pytest.raises(RuntimeError, match='stopped'):
             b.submit(_mk(0), None, (1.5, 1.5), (0, 0), (16, 12))
+
+    def test_crash_with_inflight_watcher_keeps_counter_balanced(self):
+        """A watcher thread from the crashed incarnation still holds +1 on
+        _inflight; the restart must NOT zero the counter, or the stale
+        decrement drives it negative forever (idle detection then misfires
+        both ways)."""
+        eng = FakeEngine(fetch_delay=0.6)
+        b = DynamicBatcher(eng, max_batch=8)
+        try:
+            fut = b.submit(_mk(0), None, (1.5, 1.5), (0, 0), (16, 12))
+            fut.result(timeout=10)   # dispatched; watcher still fetching
+            self._kill_dispatcher(b)
+            fut2 = b.submit(_mk(1), None, (1.5, 1.5), (0, 0), (16, 12))
+            fut2.result(timeout=10)  # served by the restarted dispatcher
+            deadline = time.monotonic() + 5
+            while time.monotonic() < deadline and b._inflight != 0:
+                time.sleep(0.05)
+            assert b._inflight == 0, b._inflight  # -1 with the reset bug
+        finally:
+            b.stop()

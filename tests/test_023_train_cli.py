@@ -156,3 +156,66 @@ class TestTrainCLI:
         with pytest.raises(ValueError, match='augment'):
             ts2d_train(str(tmp_path), str(tmp_path / 'out'), steps=1,
                        augment=True)
+
+
+class TestValidationCorrectness:
+    def test_one_hot_labelmap_vs_channels(self):
+        from totalsegmentator2d_tpu.training.cli import _one_hot
+        lm = np.zeros((4, 4, 1), np.uint8)
+        lm[0, 0, 0] = 1
+        lm[1, 1, 0] = 2
+        oh = _one_hot(lm, 2)
+        assert oh.shape == (4, 4, 2)
+        assert oh[0, 0, 0] and not oh[0, 0, 1]
+        assert oh[1, 1, 1] and not oh[1, 1, 0]
+        # already-channelled targets pass through binarized
+        ch = np.zeros((4, 4, 2), np.uint8)
+        ch[2, 2, 1] = 1
+        out = _one_hot(ch, 2)
+        assert out[2, 2, 1] and out.sum() == 1
+
+    def test_kfold_validates_with_per_fold_weights(self, tmp_path):
+        """--folds 2: each fold's holdout Dice must come from that fold's
+        checkpoint alone (the all-folds ensemble would leak the other
+        fold's training cases into the metric)."""
+        from totalsegmentator2d_tpu.training.cli import main
+        from totalsegmentator2d_tpu.utils import logging as tlog
+
+        data = tmp_path / 'ds'
+        data.mkdir()
+        _make_dataset(str(data))
+        out = tmp_path / 'models'
+        lines = []
+
+        def sink(*a, **k):
+            lines.append(' '.join(str(x) for x in a))
+
+        tlog.add_log_sink(sink)
+        try:
+            main(['-d', str(data), '-o', str(out), '--model', 'ts2d-kf',
+                  '--group', 'g', '--steps', '2', '--batch-size', '2',
+                  '--max-patch', '64', '--folds', '2', '--log-every', '0'])
+        finally:
+            tlog.remove_log_sink(sink)
+        text = '\n'.join(lines)
+        assert 'fold-0 weights only' in text
+        assert 'fold-1 weights only' in text
+        base = out / 'ts2d-kf_g' / 'r001'
+        results = list(base.glob('Dataset*/nnUNetTrainer__nnUNetPlans__2d'))
+        assert (results[0] / 'fold_0' / 'checkpoint_final.pth').exists()
+        assert (results[0] / 'fold_1' / 'checkpoint_final.pth').exists()
+
+    def test_mixed_case_model_id_normalizes_before_training(self, tmp_path):
+        """FileDataBase lookups lowercase keys while export writes verbatim:
+        a mixed-case --model must normalize up front, not fail after the
+        training run."""
+        from totalsegmentator2d_tpu.training import ts2d_train
+        data = tmp_path / 'ds'
+        data.mkdir()
+        _make_dataset(str(data))
+        out = tmp_path / 'models'
+        mid = ts2d_train(str(data), str(out), model='TS2D-Case',
+                         group='Organs', steps=1, batch_size=2,
+                         max_patch=64, log_every=0)
+        assert mid == 'ts2d-case_organs'
+        assert (out / mid / 'r001' / 'model.json').exists()

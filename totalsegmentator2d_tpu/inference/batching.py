@@ -155,7 +155,11 @@ class DynamicBatcher:
                      f'({self._crashes}/{self.max_restarts} consecutive '
                      f'failures)')
                 self._stopped = False
-                self._inflight = 0
+                # _inflight is deliberately NOT reset: watcher threads from
+                # the crashed incarnation still hold +1 each and decrement
+                # when their fetches finish — zeroing here would let their
+                # decrements drive the counter negative forever (idle
+                # detection would then misfire both ways)
                 self._ramp_left = 0
                 self._thread = threading.Thread(target=self._run, daemon=True,
                                                 name='ts2d-batcher')

@@ -161,8 +161,13 @@ def predict_cohort_distributed(engine, vols, spacing_yx: Sequence[float],
         # exact masked normalization projects on the HOST (hole-filled
         # masks, see predict_cohort) — the data never crosses processes, so
         # each process serves its own shard locally and only the optional
-        # gather is a collective
-        local = engine.predict_cohort(vols, spacing_yx, modes)
+        # gather is a collective. An empty shard still MUST reach the
+        # gather (its absence would deadlock the other ranks' allgather).
+        if vols.shape[0]:
+            local = engine.predict_cohort(vols, spacing_yx, modes)
+        else:
+            local = np.zeros((0, vols.shape[1], vols.shape[3],
+                              engine.total_labels), np.uint8)
         return _gather_uneven(local) if gather else local
 
     if mesh is None:
@@ -213,12 +218,8 @@ def predict_cohort_distributed(engine, vols, spacing_yx: Sequence[float],
 
     out = fn(params, glob)  # (n_global, Z, X, packed) sharded on data_axis
     mine = local_shard(out, mesh, data_axis)
-    pad_segs = unpack_bits(mine, engine.total_labels)
-    if not gather:
-        return pad_segs[:n_local]
-    # equal-shape allgather of the padded blocks, then trim per-process
-    everyone = np.asarray(mh.process_allgather(pad_segs, tiled=False))
-    return np.concatenate([everyone[p, :counts[p]] for p in range(nproc)])
+    segs = unpack_bits(mine, engine.total_labels)[:n_local]
+    return _gather_uneven(segs) if gather else segs
 
 
 def _gather_uneven(local: np.ndarray) -> np.ndarray:

@@ -164,6 +164,16 @@ def _fold_split(n: int, fold: int, n_folds: int,
     return idx, []
 
 
+def _one_hot(arr: np.ndarray, n_labels: int) -> np.ndarray:
+    """(H, W, C) prediction/target -> boolean (H, W, n_labels): labelmaps
+    (single channel holding integer values) one-hot; per-channel masks
+    binarize."""
+    if arr.shape[-1] < n_labels:  # labelmap -> one-hot
+        return np.stack([(arr[..., 0] == v) for v in
+                         range(1, n_labels + 1)], axis=-1)
+    return arr[..., :n_labels].astype(bool)
+
+
 def _validate(model, cases: Sequence[Tuple[MedicalImage, MedicalImage]],
               holdout: Sequence[int], n_labels: int) -> Optional[np.ndarray]:
     """Per-label Dice of the EXPORTED model on held-out cases, through the
@@ -175,12 +185,9 @@ def _validate(model, cases: Sequence[Tuple[MedicalImage, MedicalImage]],
     for i in holdout:
         img, seg = cases[i]
         pred = model.apply(img)
-        p = pred.array if pred.is_vector else pred.array[..., None]
-        t = seg.array.astype(bool)
-        if p.shape[-1] < n_labels:  # softmax labelmap -> one-hot
-            p = np.stack([(p[..., 0] == v) for v in
-                          range(1, n_labels + 1)], axis=-1)
-        p = p.astype(bool)[..., :n_labels]
+        p = _one_hot(pred.array if pred.is_vector else pred.array[..., None],
+                     n_labels)
+        t = _one_hot(seg.array, n_labels)
         inter += 2 * np.logical_and(p, t).sum(axis=(0, 1))
         denom += p.sum(axis=(0, 1)) + t.sum(axis=(0, 1))
     return (inter + 1e-5) / (denom + 1e-5)
@@ -205,6 +212,14 @@ def ts2d_train(dataset: str, output: str, model: str = 'ts2d-custom',
     from .planner import compute_fingerprint, plan_experiment
     from .train import TrainConfig, Trainer
 
+    # database keys are lowercase (FileDataBase.resource_path lowercases on
+    # lookup while export writes verbatim): normalize up front so a
+    # mixed-case --model never fails AFTER the training run
+    if model != model.lower() or group != group.lower():
+        log(f'normalizing model id to lowercase: '
+            f'{model}_{group} -> {model.lower()}_{group.lower()}')
+        model, group = model.lower(), group.lower()
+
     cases, channel_names, labels, multilabel, ending = \
         load_raw_dataset(dataset)
     log(f'dataset: {len(cases)} cases, {len(channel_names)} channel(s), '
@@ -227,7 +242,17 @@ def ts2d_train(dataset: str, output: str, model: str = 'ts2d-custom',
         f'stages={spec.arch.n_stages} '
         f'features={spec.arch.features_per_stage}')
 
-    pre = [preprocess_case(img, seg, spec) for img, seg in cases]
+    # preprocess lazily: holdout-only cases never need their preprocessed
+    # form (validation runs on the ORIGINAL images through the real
+    # inference path), so with --val-fraction a slice of the dataset skips
+    # the device normalization + cubic resample entirely
+    _pre_cache: Dict[int, tuple] = {}
+
+    def pre(i: int) -> tuple:
+        if i not in _pre_cache:
+            _pre_cache[i] = preprocess_case(*cases[i], spec)
+        return _pre_cache[i]
+
     bsz = int(batch_size) if batch_size else \
         int(plans['configurations']['2d'].get('batch_size', 2))
     mesh = _parse_mesh(mesh_spec)
@@ -241,7 +266,7 @@ def ts2d_train(dataset: str, output: str, model: str = 'ts2d-custom',
     for fold in range(n_folds):
         train_idx, hold_idx = _fold_split(len(cases), fold, n_folds,
                                           val_fraction, seed)
-        sampler = PatchSampler([pre[i] for i in train_idx],
+        sampler = PatchSampler([pre(i) for i in train_idx],
                                spec.preprocess.patch_size,
                                oversample_foreground=oversample,
                                seed=seed + fold)
@@ -280,18 +305,23 @@ def ts2d_train(dataset: str, output: str, model: str = 'ts2d-custom',
             f'any URL and point shared.json at it)')
 
     # validation through the REAL inference path: the exported model, loaded
-    # back through the zoo, predicting held-out original-resolution cases
+    # back through the zoo, predicting held-out original-resolution cases.
+    # Each fold's holdout is scored by THAT FOLD's checkpoint alone
+    # (param nnu.folds=[f]) — the all-folds ensemble contains folds trained
+    # on these very cases, which would leak and inflate the CV metric.
     if any(hold for _, hold in fold_dice):
-        hosted = Zoo(remote=False, local=output).load(mid)
+        zoo = Zoo(remote=False, local=output)
         n_labels = max(labels.values())
         names = {v: k for k, v in labels.items()}
         for fold, hold in fold_dice:
-            dice = _validate(hosted, cases, hold, n_labels)
-            if dice is None:
+            if not hold:
                 continue
+            hosted = zoo.load(mid, param={'nnu': {'folds': [fold]}})
+            dice = _validate(hosted, cases, hold, n_labels)
             per = ', '.join(f'{names.get(v + 1, v + 1)}={dice[v]:.3f}'
                             for v in range(n_labels))
-            log(f'fold {fold} holdout Dice ({len(hold)} cases): '
+            log(f'fold {fold} holdout Dice ({len(hold)} cases, '
+                f'fold-{fold} weights only): '
                 f'mean {float(dice.mean()):.3f} [{per}]')
     return mid
 
