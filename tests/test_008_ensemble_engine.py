@@ -467,22 +467,25 @@ class TestDynamicBatching:
         finally:
             batched.close()
 
-    def test_dead_dispatcher_rejects_submits(self, groups, rng):
-        """If the dispatcher thread is gone, submit must raise instead of
-        returning a future that never resolves."""
+    def test_dead_dispatcher_restarts_on_submit(self, groups, rng):
+        """A dispatcher thread that died of an internal error restarts on
+        the next submit and serves it (elastic recovery; crash-loop cap and
+        counter semantics in tests/test_020_batching.py) — a future must
+        never be left unresolvable."""
         specs, params = groups
         batched = EnsembleEngine(specs, params, auto_batch=4)
         try:
             b = batched._batcher
-            # stop the thread without marking the batcher stopped
+            # stop the thread without marking the batcher user-stopped
             with b._cv:
                 b._stopped = True
                 b._cv.notify()
             b._thread.join(timeout=5)
             b._stopped = False
             arr = (rng.standard_normal((64, 64, 2)) + 2).astype(np.float32)
-            with pytest.raises(RuntimeError, match='died'):
-                batched.predict_array_async(arr, (1.5, 1.5))
+            seg = batched.predict_array(arr, (1.5, 1.5))
+            assert seg.shape == (64, 64, 5)
+            assert b._thread.is_alive()
         finally:
             batched.close()
 
@@ -525,7 +528,7 @@ class TestDynamicBatching:
             eng.warmup((64, 64))
             key = ('batch', 2, (64, 64),
                    tuple(round(float(s), 6) for s in (1.5, 1.5)), masked,
-                   None)
+                   None, False)
             assert key in eng._cache
         finally:
             eng.close()
@@ -683,8 +686,146 @@ class TestInt16Wire:
             keys = list(eng._cache)
             assert ((64, 64), (1.5, 1.5), (True, False)) in keys
             assert ('batch', 2, (64, 64), (1.5, 1.5), False,
-                    (True, False)) in keys
+                    (True, False), False) in keys
             with pytest.raises(ValueError, match='channel flags'):
                 eng.warmup((64, 64), (1.5, 1.5), wire=(True,))
         finally:
             eng.close()
+
+
+class TestPadQuantumServing:
+    """Quantized-shape serving (pad_quantum): arbitrary cropped sizes share
+    ONE geometry-as-data bucket program — the scan's true extent rides in
+    as data and reproduces exact-mode tile layout, symmetric padding, and
+    per-scan resample matrices, so results match the exact per-shape
+    program up to float-noise borderline flips."""
+
+    def test_shapes_share_one_program_and_match_exact(self, groups, rng):
+        specs, params = groups
+        exact = EnsembleEngine(specs, params)
+        padded = EnsembleEngine(specs, params, pad_quantum=32)
+        # 70x60 and 90x50 both quantize to the (96, 64) bucket
+        a = (rng.standard_normal((70, 60, 2)) + 2.0).astype(np.float32)
+        b = (rng.standard_normal((90, 50, 2)) + 2.0).astype(np.float32)
+        sa = padded.predict_array(a, (1.5, 1.5))
+        sb = padded.predict_array(b, (1.5, 1.5))
+        keys = [k for k in padded._cache if k[0] == 'bucket']
+        assert len(keys) == 1, keys
+        assert keys[0][1] == (96, 64)
+        assert sa.shape == (70, 60, 5) and sb.shape == (90, 50, 5)
+        ea = exact.predict_array(a, (1.5, 1.5))
+        eb = exact.predict_array(b, (1.5, 1.5))
+        # geometry matches exact mode; only fp-level borderline flips remain
+        assert (sa == ea).mean() > 0.999, (sa != ea).mean()
+        assert (sb == eb).mean() > 0.999, (sb != eb).mean()
+
+    def test_matches_exact_under_resampling(self, groups, rng):
+        """Input spacing != plan spacing: the per-scan resample matrices
+        (scatter-built on device) must reproduce the exact path's
+        mirror-tap B-spline semantics."""
+        specs, params = groups
+        exact = EnsembleEngine(specs, params)
+        padded = EnsembleEngine(specs, params, pad_quantum=32)
+        a = (rng.standard_normal((70, 60, 2)) + 2.0).astype(np.float32)
+        ea = exact.predict_array(a, (1.0, 2.0))   # y up-, x down-sampled
+        sa = padded.predict_array(a, (1.0, 2.0))
+        assert sa.shape == ea.shape
+        assert (sa == ea).mean() > 0.995, (sa != ea).mean()
+
+    def test_different_sizes_cobatch(self, groups, rng):
+        """Two different-size scans submitted together land in the SAME
+        micro-batch bucket (exact mode would dispatch two programs)."""
+        specs, params = groups
+        eng = EnsembleEngine(specs, params, pad_quantum=32, auto_batch=4)
+        try:
+            eng._batcher.ramp_solos = 0
+            eng._batcher.min_fill = 2
+            a = (rng.standard_normal((70, 60, 2)) + 2.0).astype(np.float32)
+            b = (rng.standard_normal((90, 50, 2)) + 2.0).astype(np.float32)
+            with eng._batcher._cv:  # queue both before the dispatcher runs
+                ha = eng.predict_array_async(a, (1.5, 1.5))
+                hb = eng.predict_array_async(b, (1.5, 1.5))
+            sa = eng.finish_array(ha)
+            sb = eng.finish_array(hb)
+            assert sa.shape == (70, 60, 5) and sb.shape == (90, 50, 5)
+            st = eng._batcher.stats()
+            assert st['batch_scans_coalesced'] == 2, st
+        finally:
+            eng.close()
+
+    def test_masked_norm_plan_with_pad_quantum(self, groups, rng):
+        import dataclasses
+        specs, params = groups
+        specs_m = [dataclasses.replace(
+            s, preprocess=dataclasses.replace(
+                s.preprocess, use_mask_for_norm=(True, True)))
+            for s in specs]
+        exact = EnsembleEngine(specs_m, params)
+        padded = EnsembleEngine(specs_m, params, pad_quantum=32)
+        a = np.zeros((80, 70, 2), np.float32)
+        a[8:72, 6:64] = (rng.standard_normal((64, 58, 2)) + 3.0)
+        ea = exact.predict_array(a, (1.5, 1.5))
+        sa = padded.predict_array(a, (1.5, 1.5))
+        assert sa.shape == ea.shape
+        assert (sa == ea).mean() > 0.999, (sa != ea).mean()
+
+    def test_ct_norm_border_stays_zero(self, groups, rng):
+        """CTNormalization ignores the norm mask, so the padded border must
+        be re-zeroed AFTER normalization (exact mode pads zeros after
+        normalizing; an un-zeroed border would sit at -mean/std)."""
+        import dataclasses
+        specs, params = groups
+        props = {'mean': 100.0, 'std': 50.0,
+                 'percentile_00_5': -200.0, 'percentile_99_5': 400.0}
+        specs_ct = [dataclasses.replace(
+            s, preprocess=dataclasses.replace(
+                s.preprocess,
+                normalization_schemes=('CTNormalization',) * 2,
+                intensity_properties=(props, props)))
+            for s in specs]
+        exact = EnsembleEngine(specs_ct, params)
+        padded = EnsembleEngine(specs_ct, params, pad_quantum=32)
+        a = (rng.standard_normal((70, 60, 2)) * 100 + 80).astype(np.float32)
+        ea = exact.predict_array(a, (1.5, 1.5))
+        sa = padded.predict_array(a, (1.5, 1.5))
+        assert (sa == ea).mean() > 0.999, (sa != ea).mean()
+
+    def test_bucket_sized_input_is_trivial(self, groups, rng):
+        """A crop that exactly fills its bucket: identical canvases, so the
+        bucket program must agree with exact mode everywhere but fp noise."""
+        specs, params = groups
+        exact = EnsembleEngine(specs, params)
+        padded = EnsembleEngine(specs, params, pad_quantum=32)
+        a = (rng.standard_normal((96, 64, 2)) + 2.0).astype(np.float32)
+        ea = exact.predict_array(a, (1.5, 1.5))
+        sa = padded.predict_array(a, (1.5, 1.5))
+        assert (sa == ea).mean() > 0.999, (sa != ea).mean()
+
+    def test_small_input_below_patch(self, groups, rng):
+        """Buckets below the patch size still tile over a >= patch canvas
+        with exact-mode symmetric placement."""
+        specs, params = groups
+        exact = EnsembleEngine(specs, params)
+        padded = EnsembleEngine(specs, params, pad_quantum=32)
+        a = (rng.standard_normal((40, 30, 2)) + 2.0).astype(np.float32)
+        ea = exact.predict_array(a, (1.5, 1.5))
+        sa = padded.predict_array(a, (1.5, 1.5))
+        assert sa.shape == ea.shape
+        assert (sa == ea).mean() > 0.999, (sa != ea).mean()
+
+    def test_warmup_warms_the_bucket(self, groups):
+        specs, params = groups
+        eng = EnsembleEngine(specs, params, pad_quantum=32, auto_batch=2)
+        try:
+            eng.warmup((70, 60), (1.5, 1.5))
+            keys = [k for k in eng._cache if k[0] == 'bucket']
+            assert keys and keys[0][1] == (96, 64)
+            bkeys = [k for k in eng._cache if k[0] == 'batch']
+            assert bkeys and bkeys[0][2] == (96, 64)
+        finally:
+            eng.close()
+
+    def test_invalid_quantum_rejected(self, groups):
+        specs, params = groups
+        with pytest.raises(ValueError, match='pad_quantum'):
+            EnsembleEngine(specs, params, pad_quantum=0)

@@ -67,6 +67,9 @@ class FakeEngine:
             return out
         return fn, None
 
+    # the dispatcher selects via _serving_program (pad_quantum indirection)
+    _serving_program = _program
+
     def _batched_program(self, max_batch, shape, spacing, has_mask,
                          wire=None):
         def fnb(params, xb, mb=None):

@@ -395,7 +395,7 @@ class DynamicBatcher:
             # reuse the single-scan program (no extra compile for the
             # sequential / low-load case)
             cropped, mask, bbox, full, fut = take[0]
-            fn, _ = engine._program(cropped.shape[:2], spacing, wire)
+            fn, _ = engine._serving_program(cropped.shape[:2], spacing, wire)
             args = (engine.params, jax.device_put(_wire_pack(cropped, wire)))
             if mask is not None:
                 args += (jax.device_put(mask),)

@@ -140,7 +140,8 @@ class EnsembleEngine:
                  dtype=jnp.float32, compute_dtype=None,
                  tile_mesh=None, tile_axis: str = 'data',
                  forward_batch_cap: int = 64,
-                 auto_batch: Optional[int] = None):
+                 auto_batch: Optional[int] = None,
+                 pad_quantum: Optional[int] = None):
         if not specs:
             raise ValueError('At least one group is required')
         self.specs = list(specs)
@@ -181,6 +182,21 @@ class EnsembleEngine:
         self.tile_axis = tile_axis
         # bound on the tile×TTA forward batch (activation memory)
         self.forward_batch_cap = int(forward_batch_cap)
+        # pad_quantum=N: quantized-shape serving. predict_array places each
+        # cropped input flush in a shape bucket (next multiple of N per
+        # axis) served by ONE geometry-as-data program per bucket
+        # (_build_bucket): the scan's true extent rides in as data and
+        # reproduces exact-mode geometry, so heterogeneous traffic compiles
+        # a BOUNDED set of programs (one per bucket instead of one per
+        # cropped shape — each compile costs seconds-to-minutes through a
+        # remote tunnel) and different-size scans land in the SAME
+        # micro-batch bucket and coalesce. Results match the exact programs
+        # up to float-noise borderline flips (>=99.9% agreement on
+        # synthetic all-borderline weights, tests/test_008).
+        # None (default) = exact per-shape programs, bitwise parity path.
+        if pad_quantum is not None and int(pad_quantum) < 1:
+            raise ValueError('pad_quantum must be >= 1')
+        self.pad_quantum = int(pad_quantum) if pad_quantum else None
         enable_compilation_cache()
 
         # stack: per group pad heads + stack folds -> (F, ...); then stack
@@ -316,6 +332,16 @@ class EnsembleEngine:
             # arr: (H, W, C) float, or the int16-wire payload (_wire_pack)
             work = _wire_restore(arr, wire, self.dtype)
             work = normalize_channels(work, pre, nz_mask)
+            if force_norm_mask and nz_mask is not None:
+                # the forced mask marks a scan's TRUE extent inside a padded
+                # bucket (pad_quantum serving / padded cohorts). Exact mode
+                # pads with zeros AFTER normalization; masked z-score keeps
+                # out-of-mask zeros already, but schemes that ignore the
+                # mask (CTNormalization shifts zeros to -mean/std) must
+                # re-zero the synthetic border to match the exact path's
+                # conv-border values.
+                work = jnp.where(nz_mask[..., None], work,
+                                 jnp.zeros((), work.dtype))
             if any(w is not None for w in w_down):
                 pref = bspline_prefilter(work, [k for k in range(2)
                                                 if w_down[k] is not None])
@@ -410,6 +436,263 @@ class EnsembleEngine:
                     + (f', int16 wire {wire}' if wire else '') + ')')
         return hit
 
+    def _build_bucket(self, bucket: Tuple[int, int],
+                      in_spacing: Tuple[float, float], wire=None):
+        """Quantized-shape serving program (pad_quantum): ONE compiled
+        program per shape bucket serves EVERY cropped scan size inside it
+        with exact-mode geometry. The scan's true (h, w) extent rides in as
+        DATA — derived on device from the valid-extent mask — and drives:
+
+         - traced nnU-Net tile positions (compute_steps_1d's even-spread
+           layout, padded to the bucket's static tile count with zero
+           validity),
+         - traced symmetric pad placement (pad_nd_image's before = total//2),
+         - per-scan resample matrices scatter-built on device (the exact
+           mirror-tap B-spline construction of ops/resample.axis_weights),
+           applied to coefficients prefiltered over a mirror-extended canvas
+           (the IIR boundary init error decays as |pole|^gap, pole ~ -0.268).
+
+        Results match the exact per-shape program up to float-noise
+        borderline flips (device f32 tile/coordinate arithmetic vs the
+        host's f64) — bounded compile count under heterogeneous traffic,
+        without the tile-geometry drift a naive padded canvas would cause.
+        """
+        import dataclasses
+        spec = self.spec
+        pre = dataclasses.replace(
+            spec.preprocess,
+            use_mask_for_norm=(True,) * len(spec.preprocess.use_mask_for_norm))
+        C = spec.arch.in_channels
+        Lp = self.max_labels
+        G = self.n_groups
+        patch = tuple(pre.patch_size)
+        H, W = int(bucket[0]), int(bucket[1])
+        ratios = tuple(float(o) / float(s)
+                       for o, s in zip(in_spacing, pre.spacing))
+        resamp = tuple(abs(r - 1.0) > 1e-9 for r in ratios)
+        # static canvas in resampled space: the largest rs any scan in this
+        # bucket can need (compute_new_shape is monotone in shape)
+        rs_canvas = tuple(
+            max(compute_new_shape((n,), (o,), (s,))[0] if rz else n, p)
+            for n, o, s, p, rz in zip((H, W), in_spacing, pre.spacing,
+                                      patch, resamp))
+        mirrors = _mirror_combos(spec.allowed_mirroring_axes
+                                 if self.use_mirroring else ())
+        gauss = jnp.asarray(gaussian_map(patch), self.dtype)[..., None]
+        target = tuple(p * self.tile_step_size for p in patch)
+        # static per-axis tile-count maxima (monotone in canvas size)
+        NT = tuple(int(np.ceil((c - p) / t)) + 1 if c > p else 1
+                   for c, p, t in zip(rs_canvas, patch, target))
+        label_counts = list(self.label_counts)
+        compute_dtype = self.compute_dtype
+        G_, F_ = self.n_groups, self.n_folds
+
+        def net(params, x):
+            flat = jax.tree_util.tree_map(
+                lambda a: a.reshape((G_ * F_,) + a.shape[2:]), params)
+            outs = jax.lax.map(
+                lambda p: forward(p, x, spec.arch,
+                                  compute_dtype=compute_dtype), flat)
+            outs = outs.reshape((G_, F_) + outs.shape[1:])
+            return jnp.mean(outs, axis=1)
+
+        def _mirror_i(idx, n):
+            # ops/resample._mirror_index, traced: scipy 'mirror' reflection
+            p = jnp.maximum(2 * n - 2, 1)
+            return jnp.where(n == 1, 0,
+                             (n - 1) - jnp.abs(jnp.mod(idx, p) - (n - 1)))
+
+        def _b3(t):
+            at = jnp.abs(t)
+            return jnp.where(
+                at < 1.0, 2.0 / 3.0 - at * at + 0.5 * at ** 3,
+                jnp.where(at < 2.0, ((2.0 - at) ** 3) / 6.0, 0.0))
+
+        def _down_matrix(n_canvas, n_rs_canvas, h, rs, pb):
+            """(n_rs_canvas, n_canvas) order-3 matrix for one axis: row o
+            holds axis_weights' mirror-tap B-spline row for scan row o-pb,
+            zero outside [pb, pb+rs)."""
+            o = jnp.arange(n_rs_canvas)
+            r = o - pb
+            rowv = ((r >= 0) & (r < rs)).astype(jnp.float32)
+            hf = h.astype(jnp.float32)
+            c = (r.astype(jnp.float32) + 0.5) * (hf / rs.astype(jnp.float32)) - 0.5
+            c = jnp.clip(c, 0.0, hf - 1.0)  # outside='edge'
+            base = jnp.floor(c).astype(jnp.int32)
+            M = jnp.zeros((n_rs_canvas, n_canvas), jnp.float32)
+            for off in range(-1, 3):
+                idx = _mirror_i(base + off, h)
+                w = _b3(c - (base + off).astype(jnp.float32)) * rowv
+                M = M.at[o, idx].add(w)
+            return M
+
+        def _up_matrix(n_canvas, n_rs_canvas, h, rs, pb):
+            """(n_canvas, n_rs_canvas) order-1 matrix: row r samples the
+            scan's resampled rows (offset pb) at axis_weights' linear taps,
+            zero for r >= h."""
+            r = jnp.arange(n_canvas)
+            rowv = (r < h).astype(jnp.float32)
+            c = ((r.astype(jnp.float32) + 0.5)
+                 * (rs.astype(jnp.float32) / h.astype(jnp.float32)) - 0.5)
+            base = jnp.floor(c).astype(jnp.int32)
+            frac = c - base.astype(jnp.float32)
+            M = jnp.zeros((n_canvas, n_rs_canvas), jnp.float32)
+            for off, w in ((0, 1.0 - frac), (1, frac)):
+                idx = pb + _mirror_i(base + off, rs)
+                M = M.at[r, idx].add(w * rowv)
+            return M
+
+        def _steps(size, n_static, p, t):
+            """compute_steps_1d, traced size: even-spread tile origins
+            padded to n_static with validity flags."""
+            num = jnp.where(
+                size == p, 1,
+                jnp.ceil((size - p).astype(jnp.float32) / t).astype(jnp.int32)
+                + 1)
+            actual = ((size - p).astype(jnp.float32)
+                      / jnp.maximum(num - 1, 1).astype(jnp.float32))
+            k = jnp.arange(n_static)
+            pos = jnp.round(actual * k.astype(jnp.float32)).astype(jnp.int32)
+            valid = k < num
+            return jnp.where(valid, pos, 0), valid
+
+        def program(params, arr, nz_mask):
+            work = _wire_restore(arr, wire, self.dtype)
+            # the scan's true extent, from the flush-placed valid mask
+            h = H - jnp.argmax(nz_mask.any(axis=1)[::-1]).astype(jnp.int32)
+            w = W - jnp.argmax(nz_mask.any(axis=0)[::-1]).astype(jnp.int32)
+            work = normalize_channels(work, pre, nz_mask)
+            # exact mode pads zeros AFTER normalization: re-zero outside the
+            # scan RECT (schemes that ignore the norm mask, e.g.
+            # CTNormalization, shift zeros; in-rect out-of-mask pixels stay
+            # normalized exactly like the exact path)
+            rect = ((jnp.arange(H)[:, None] < h)
+                    & (jnp.arange(W)[None, :] < w))
+            work = jnp.where(rect[..., None], work,
+                             jnp.zeros((), work.dtype))
+
+            hw = (h, w)
+            rs = tuple(
+                jnp.round(hw[k].astype(jnp.float32) * ratios[k]).astype(
+                    jnp.int32) if resamp[k] else hw[k]
+                for k in range(2))
+            ph = tuple(jnp.maximum(rs[k], patch[k]) for k in range(2))
+            pb = tuple((ph[k] - rs[k]) // 2 for k in range(2))
+
+            if any(resamp):
+                # mirror-extend the scan content over the canvas so the IIR
+                # prefilter's boundary init matches the exact path's
+                # scan-edge mirror (error ~ |pole|^gap; taps themselves
+                # always land inside the scan via the mirror indices)
+                ext = work
+                if resamp[0]:
+                    ext = ext[_mirror_i(jnp.arange(H), h), :, :]
+                if resamp[1]:
+                    ext = ext[:, _mirror_i(jnp.arange(W), w), :]
+                pref = bspline_prefilter(ext, [k for k in range(2)
+                                               if resamp[k]])
+                w_dn = [
+                    _down_matrix((H, W)[k], rs_canvas[k], hw[k], rs[k], pb[k])
+                    if resamp[k] else None
+                    for k in range(2)]
+                work = apply_separable(pref, w_dn, axes=(0, 1))
+            # non-resampled axes: grow the canvas to the static tile canvas
+            # (a bucket below the patch size still tiles over >= patch),
+            # then apply the symmetric-pad placement (traced roll over the
+            # zero border; resampled axes had it built into the matrices)
+            grow = [(0, rs_canvas[k] - work.shape[k]) for k in range(2)]
+            if any(g != (0, 0) for g in grow):
+                work = jnp.pad(work, grow + [(0, 0)])
+            shifts = tuple(0 if resamp[k] else pb[k] for k in range(2))
+            if any(not resamp[k] for k in range(2)):
+                work = jnp.roll(work, shifts, axis=(0, 1))
+
+            pos_y, val_y = _steps(ph[0], NT[0], patch[0], target[0])
+            pos_x, val_x = _steps(ph[1], NT[1], patch[1], target[1])
+            tiles = jnp.stack(
+                [jnp.repeat(pos_y, NT[1]), jnp.tile(pos_x, NT[0])], axis=-1)
+            valid = (jnp.repeat(val_y, NT[1])
+                     & jnp.tile(val_x, NT[0]))[:, None].astype(self.dtype)
+
+            acc0 = jnp.zeros((G,) + rs_canvas + (Lp,), self.dtype)
+            wacc0 = jnp.zeros(rs_canvas + (1,), self.dtype)
+            acc, wacc = accumulate_tiles(
+                work, tiles, valid, lambda b: net(params, b), acc0, wacc0,
+                patch=patch, mirrors=mirrors, gauss=gauss,
+                chunk_cap=self.forward_batch_cap)
+            logits = acc / jnp.maximum(wacc, 1e-8)[None]
+
+            if any(resamp):
+                w_up = [
+                    _up_matrix((H, W)[k], rs_canvas[k], hw[k], rs[k], pb[k])
+                    if resamp[k] else None
+                    for k in range(2)]
+                logits = apply_separable(logits, w_up, axes=(1, 2))
+            shifts = tuple(0 if resamp[k] else -pb[k] for k in range(2))
+            if any(not resamp[k] for k in range(2)):
+                logits = jnp.roll(logits, shifts, axis=(1, 2))
+            logits = logits[:, :H, :W]  # drop the tile-canvas growth
+
+            parts = []
+            for g, n in enumerate(label_counts):
+                lg = logits[g, ..., :n]
+                if self.specs[g].multilabel:
+                    parts.append((jax.nn.sigmoid(lg) > 0.5).astype(jnp.uint8))
+                else:
+                    parts.append(jax.nn.one_hot(
+                        jnp.argmax(lg, axis=-1), n,
+                        dtype=jnp.uint8)[..., 1:])
+            return _pack_bits(jnp.concatenate(parts, axis=-1))
+
+        jitted = jax.jit(program)
+        meta = {'rs_canvas': rs_canvas, 'n_tiles_max': NT[0] * NT[1],
+                'n_mirror': len(mirrors), 'needs_mask': True}
+        return jitted, meta
+
+    def _program_bucket(self, bucket, in_spacing, wire=None):
+        if wire is not None and not any(wire):
+            wire = None
+        key = ('bucket', tuple(bucket),
+               tuple(round(float(s), 6) for s in in_spacing), wire)
+        with self._cache_lock:
+            hit = self._cache.get(key)
+            if hit is None:
+                hit = self._build_bucket(tuple(bucket), tuple(in_spacing),
+                                         wire=wire)
+                self._cache[key] = hit
+                log(f'compiled bucket serving program for bucket={key[1]} '
+                    f'(q={self.pad_quantum}, <= {hit[1]["n_tiles_max"]} '
+                    f'tiles'
+                    + (f', int16 wire {wire}' if wire else '') + ')')
+        return hit
+
+    def _program_padded(self, in_shape, in_spacing, wire=None):
+        """The masked 2D program variant: normalization statistics come
+        from an explicit valid-extent mask instead of the whole array.
+        Shared by quantized-shape serving (pad_quantum) and padded
+        mixed-shape cohorts (_build_cohort_padded)."""
+        if wire is not None and not any(wire):
+            wire = None
+        key = ('2d-masked', tuple(in_shape),
+               tuple(round(float(s), 6) for s in in_spacing), wire)
+        with self._cache_lock:
+            hit = self._cache.get(key)
+            if hit is None:
+                hit = self._build(tuple(in_shape), tuple(in_spacing),
+                                  force_norm_mask=True, wire=wire)
+                self._cache[key] = hit
+                log(f'compiled masked ensemble program for shape={key[1]}'
+                    + (f', int16 wire {wire}' if wire else ''))
+        return hit
+
+    def _serving_program(self, in_shape, in_spacing, wire=None):
+        """The program predict_array dispatches: the geometry-as-data
+        bucket program under quantized-shape serving, the exact per-shape
+        one otherwise."""
+        if self.pad_quantum is not None:
+            return self._program_bucket(in_shape, in_spacing, wire)
+        return self._program(in_shape, in_spacing, wire)
+
     def _batched_program(self, batch: int, in_shape, in_spacing,
                          has_mask: bool, wire=None):
         """vmap of the fused 2D program over a stacked batch of same-shape
@@ -418,11 +701,11 @@ class EnsembleEngine:
             wire = None
         key = ('batch', int(batch), tuple(in_shape),
                tuple(round(float(s), 6) for s in in_spacing), bool(has_mask),
-               wire)
+               wire, self.pad_quantum is not None)
         with self._cache_lock:
             fn = self._cache.get(key)
             if fn is None:
-                fn2d, _ = self._program(in_shape, in_spacing, wire)
+                fn2d, _ = self._serving_program(in_shape, in_spacing, wire)
                 if has_mask:
                     fn = jax.jit(lambda params, xb, mb: jax.vmap(
                         lambda a, m: fn2d.__wrapped__(params, a, m))(xb, mb))
@@ -646,15 +929,7 @@ class EnsembleEngine:
         z-score statistics over the valid-extent mask, so per-image
         normalization matches exact mode; the remaining pad-mode deltas are
         the resample/tile grids seeing the padded extent."""
-        key2d = ('2d-masked', vol_shape[::2],
-                 tuple(round(float(s), 6) for s in spacing_yx))
-        with self._cache_lock:
-            hit = self._cache.get(key2d)
-            if hit is None:
-                hit = self._build(vol_shape[::2], tuple(spacing_yx),
-                                  force_norm_mask=True)
-                self._cache[key2d] = hit
-        fn2d, _ = hit
+        fn2d, _ = self._program_padded(vol_shape[::2], tuple(spacing_yx))
         Z, Y, X = vol_shape
         for m in modes:
             if m not in ('max', 'mean', 'min'):
@@ -853,6 +1128,24 @@ class EnsembleEngine:
         needs_mask = any(self.spec.preprocess.use_mask_for_norm)
         mask = nonzero_norm_mask(cropped) if needs_mask else None
         bbox = ((y0, y1), (x0, x1))
+        if self.pad_quantum is not None:
+            # quantized-shape serving: place the crop FLUSH at the origin
+            # of a shape bucket (next multiple of pad_quantum per axis)
+            # with a valid-extent mask — the bucket program derives the
+            # true (h, w) from the mask and reproduces exact-mode geometry
+            # from it (tiles, symmetric pad, per-scan resample matrices),
+            # so arbitrary input sizes share a bounded set of programs and
+            # co-batch in the dispatcher
+            q = self.pad_quantum
+            h, w = cropped.shape[:2]
+            qh, qw = -(-h // q) * q, -(-w // q) * q
+            emb = np.zeros((qh, qw) + cropped.shape[2:], cropped.dtype)
+            emb[:h, :w] = cropped
+            base = mask if mask is not None else np.ones((h, w), bool)
+            m = np.zeros((qh, qw), bool)
+            m[:h, :w] = base
+            cropped, mask = emb, m
+            bbox = ((y0, y1), (x0, x1), (0, 0, h, w))
         # exactly-integral channels (CT MIP, integer X-rays) ride the wire
         # as int16 — half the upload bytes, bit-identical results (the
         # device casts back before normalization)
@@ -863,14 +1156,20 @@ class EnsembleEngine:
             return ('future',
                     self._batcher.submit(cropped, mask, spacing_yx, bbox,
                                          arr.shape[:2], wire))
-        fn, _ = self._program(cropped.shape[:2], spacing_yx, wire)
+        fn, _ = self._serving_program(cropped.shape[:2], spacing_yx, wire)
         args = (self.params, jax.device_put(_wire_pack(cropped, wire)))
-        if needs_mask:
+        if mask is not None:
             args += (jax.device_put(mask),)
         return (fn(*args), bbox, arr.shape[:2])
 
     def _place(self, seg_c: np.ndarray, bbox, full) -> np.ndarray:
-        """Re-embed a cropped seg into the full input extent."""
+        """Re-embed a cropped seg into the full input extent. A 3-element
+        bbox carries the quantized-shape inner window (pad_quantum): slice
+        the scan's true extent back out of the bucket first."""
+        if len(bbox) == 3:
+            (sy, sx, h, w) = bbox[2]
+            seg_c = seg_c[sy:sy + h, sx:sx + w]
+            bbox = bbox[:2]
         (y0, y1), (x0, x1) = bbox
         if seg_c.shape[:2] != tuple(full):
             seg = np.zeros(tuple(full) + (seg_c.shape[-1],), np.uint8)
@@ -917,21 +1216,29 @@ class EnsembleEngine:
         if wire is not None and len(wire) != self.spec.arch.in_channels:
             raise ValueError(f'wire needs {self.spec.arch.in_channels} '
                              f'channel flags; got {wire}')
-        dummy = np.zeros(tuple(in_shape) + (self.spec.arch.in_channels,),
+        in_shape = tuple(in_shape)
+        if self.pad_quantum is not None:
+            # production requests land on shape buckets: warm the bucket
+            q = self.pad_quantum
+            in_shape = tuple(-(-d // q) * q for d in in_shape)
+        dummy = np.zeros(in_shape + (self.spec.arch.in_channels,),
                          np.float32)
-        needs_mask = any(self.spec.preprocess.use_mask_for_norm)
+        needs_mask = (any(self.spec.preprocess.use_mask_for_norm)
+                      or self.pad_quantum is not None)
         # drive the programs directly (predict_array would wire-detect the
         # all-integral dummy and warm the wrong variant)
-        fn, _ = self._program(tuple(in_shape), tuple(in_spacing), wire)
+        fn, _ = self._serving_program(in_shape, tuple(in_spacing), wire)
         args = (self.params, jax.device_put(_wire_pack(dummy, wire)))
         if needs_mask:
-            args += (jax.device_put(nonzero_norm_mask(dummy)),)
+            args += (jax.device_put(np.ones(in_shape, bool)
+                                    if self.pad_quantum is not None
+                                    else nonzero_norm_mask(dummy)),)
         jax.block_until_ready(fn(*args))
         if self._batcher is not None:
             # jit is lazy: execute one stacked batch so the batched program
             # actually compiles now
             B = self._batcher.max_batch
-            fn = self._batched_program(B, tuple(in_shape),
+            fn = self._batched_program(B, in_shape,
                                        tuple(in_spacing), needs_mask, wire)
             payload = _wire_pack(dummy, wire)
             if isinstance(payload, tuple):
@@ -940,6 +1247,8 @@ class EnsembleEngine:
                 xb = np.stack([payload] * B)
             args = (self.params, jax.device_put(xb))
             if needs_mask:
-                m = nonzero_norm_mask(dummy)
+                m = (np.ones(in_shape, bool)
+                     if self.pad_quantum is not None
+                     else nonzero_norm_mask(dummy))
                 args += (jax.device_put(np.stack([m] * B)),)
             jax.block_until_ready(fn(*args))

@@ -282,6 +282,16 @@ def main() -> None:
                         default=DEFAULT_MAX_BODY // (1024 * 1024),
                         help='reject request bodies larger than this '
                              '(HTTP 413); bounds server memory per request')
+    parser.add_argument('--pad-quantum', type=int, default=None,
+                        metavar='N',
+                        help='quantized-shape serving: scans ride shape '
+                             'buckets (next multiple of N per axis, one '
+                             'geometry-as-data program per bucket) so '
+                             'heterogeneous sizes share a bounded set of '
+                             'compiled programs and co-batch; results '
+                             'match exact mode up to float-noise '
+                             'borderline flips (omit for exact per-shape '
+                             'programs)')
     parser.add_argument('--warmup', type=str, nargs='*', default=(),
                         metavar='HxW',
                         help='pre-compile the fused device program for these '
@@ -293,7 +303,8 @@ def main() -> None:
     from .utils.config import get_default_model
     key = args.model or get_default_model()
     with TS2D(key=key, use_remote=not args.no_remote,
-              fetch_remote=not args.no_fetch, local=args.local) as tool:
+              fetch_remote=not args.no_fetch, local=args.local,
+              pad_quantum=args.pad_quantum) as tool:
         fused = getattr(tool, '_fused', None)
         if args.batch_linger_ms:
             if fused is not None:
