@@ -104,28 +104,38 @@ def ts2d_run(src: str, dest: str, model: Optional[str] = None,
     content = 'all' if visualize else 'file'
     models = 'all' if save_all else 'final'
 
+    # scope the silent switch to this run: ts2d_run is also a library entry
+    # (tests, notebooks), where leaking the global mute would silence every
+    # later log() in the process
+    from .utils.logging import is_silent
+    was_silent = is_silent()
     log_silent(silent)
-    tsize = shutil.get_terminal_size(fallback=(120, 20))
-    bar = '#' * tsize.columns
-    log(f'\n{bar}\n{_CITATION}\n{bar}\n')
+    try:
+        tsize = shutil.get_terminal_size(fallback=(120, 20))
+        bar = '#' * tsize.columns
+        log(f'\n{bar}\n{_CITATION}\n{bar}\n')
 
-    with TS2D(key=model, use_remote=use_remote, fetch_remote=fetch_remote,
-              local=local, batching=batching) as tool, device_trace(trace):
-        cases = list(_enumerate_cases(src))
-        n = len(cases)
-        log(f'Predicting {n} case{"s" if n != 1 else ""}')
-        save_kwargs = dict(dest=dest, models=models, content=content,
-                           targets=['segmentation', 'projection'])
-        if n > 1:
-            # pipelined mode: IO prefetch + async export overlap device work
-            from .inference.pipeline import ScanPipeline
-            ScanPipeline(tool).run(cases, collapse=collapse,
-                                   save_kwargs=save_kwargs)
-        else:
-            for i, (name, path) in enumerate(cases):
-                log(f'[{i + 1}/{n}] Processing: {name}')
-                res = tool.predict(path, collapse=collapse)
-                res.save(name=name, **save_kwargs)
+        with TS2D(key=model, use_remote=use_remote,
+                  fetch_remote=fetch_remote, local=local,
+                  batching=batching) as tool, device_trace(trace):
+            cases = list(_enumerate_cases(src))
+            n = len(cases)
+            log(f'Predicting {n} case{"s" if n != 1 else ""}')
+            save_kwargs = dict(dest=dest, models=models, content=content,
+                               targets=['segmentation', 'projection'])
+            if n > 1:
+                # pipelined mode: IO prefetch + async export overlap
+                # device work
+                from .inference.pipeline import ScanPipeline
+                ScanPipeline(tool).run(cases, collapse=collapse,
+                                       save_kwargs=save_kwargs)
+            else:
+                for i, (name, path) in enumerate(cases):
+                    log(f'[{i + 1}/{n}] Processing: {name}')
+                    res = tool.predict(path, collapse=collapse)
+                    res.save(name=name, **save_kwargs)
+    finally:
+        log_silent(was_silent)
 
 
 def ts2d_entry_point() -> None:
