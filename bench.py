@@ -191,9 +191,43 @@ def pipelined_rate(engine, vol, spacing, n=48, rounds=3, threads=1,
         engine.set_batch_linger(0.0)
 
 
+def probe_backend(timeout_s=300.0):
+    """Bounded backend-availability check in a subprocess.
+
+    The TPU here is reached through a relay that can be down for hours, in
+    which case jax backend init blocks forever — a bare hang tells the
+    driver nothing. Probe in a child (backend state is per-process, so the
+    parent can still init cleanly afterwards) and return
+    (platform, error_string)."""
+    import subprocess
+    import sys
+    code = 'import jax; print(jax.devices()[0].platform)'
+    try:
+        out = subprocess.run([sys.executable, '-c', code], text=True,
+                             capture_output=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, f'backend init timed out after {int(timeout_s)}s'
+    if out.returncode == 0 and out.stdout.strip():
+        return out.stdout.strip().splitlines()[-1], None
+    tail = (out.stderr.strip().splitlines() or ['backend init failed'])[-1]
+    return None, tail[:200]
+
+
 def main():
     from totalsegmentator2d_tpu.utils.logging import log_silent
     log_silent(True)  # exactly one JSON line on stdout
+
+    platform, err = probe_backend()
+    if platform is None:
+        print(json.dumps({
+            'metric': ('sec/scan UNMEASURED: accelerator backend '
+                       f'unavailable ({err}); the TPU relay tunnel is down '
+                       '— see ROADMAP.md environment note for the last '
+                       'measured on-device figures'),
+            'value': 0.0, 'unit': 's', 'vs_baseline': 0.0,
+        }))
+        return
+
     engine = build_engine()
 
     # PRIMARY: torso-sized realistic workload (honest vs the reference's
