@@ -1022,6 +1022,42 @@ class TestJpeg2000:
         if out_native is not None:
             np.testing.assert_array_equal(out_native, out_py)
 
+    def test_threaded_blocks_equal_serial(self, monkeypatch):
+        """Tier-1 threads across a slice's code blocks on multi-core
+        hosts (each native call runs outside the GIL); the pooled path
+        must be bit-identical to the serial one. Forced both ways, since
+        this sandbox is single-core."""
+        from totalsegmentator2d_tpu.io import jpeg2k
+        rng = np.random.default_rng(21)
+        arr = rng.integers(-1024, 3072, size=(128, 96)).astype(np.int16)
+        data = _j2k_encode(arr, codeblock_size=(16, 16))
+        monkeypatch.setattr(jpeg2k, '_thread_blocks', lambda n: False)
+        serial = jpeg2k.decode(data)
+        monkeypatch.setattr(jpeg2k, '_thread_blocks', lambda n: True)
+        pooled = jpeg2k.decode(data)
+        np.testing.assert_array_equal(serial, arr)
+        np.testing.assert_array_equal(pooled, serial)
+
+    def test_threaded_series_equals_serial(self, tmp_path, monkeypatch):
+        """The series reader threads across slice files when cores and
+        file count allow (io/dicom.py); force the pooled path on this
+        single-core sandbox and pin equality with the serial read."""
+        import os
+        from totalsegmentator2d_tpu.io import dicom as D
+        rng = np.random.default_rng(22)
+        vol = rng.integers(-900, 1500, size=(5, 12, 10)).astype(np.int16)
+        for i in range(5):
+            write_slice(str(tmp_path / f's{i:03d}.dcm'), vol[i],
+                        position=(0.0, 0.0, 2.5 * i), instance=i + 1,
+                        transfer_syntax=_J2KLL,
+                        codestream=_j2k_encode(vol[i]))
+        serial = D.read_dicom_series(str(tmp_path))
+        monkeypatch.setattr(os, 'cpu_count', lambda: 8)
+        pooled = D.read_dicom_series(str(tmp_path))
+        np.testing.assert_array_equal(serial.array, vol)
+        np.testing.assert_array_equal(pooled.array, serial.array)
+        assert pooled.spacing == serial.spacing
+
     def test_frame_split_across_fragments(self, tmp_path):
         rng = np.random.default_rng(6)
         arr = rng.integers(-200, 200, size=(16, 16)).astype(np.int16)

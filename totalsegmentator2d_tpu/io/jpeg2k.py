@@ -1043,6 +1043,43 @@ def _iter_packets(cod: _CodingStyle, resolutions: List[_Resolution]):
                     yield layer, res, p
 
 
+_block_pool = None
+_block_pool_lock = None
+
+
+def _t1_pool():
+    """One shared, lazily created pool for Tier-1 code-block decoding:
+    per-call pools would multiply under concurrent serve requests."""
+    global _block_pool, _block_pool_lock
+    if _block_pool_lock is None:
+        import threading
+        _block_pool_lock = threading.Lock()
+    with _block_pool_lock:
+        if _block_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            import os
+            _block_pool = ThreadPoolExecutor(
+                min(8, os.cpu_count() or 1), thread_name_prefix='ts2d-j2k')
+        return _block_pool
+
+
+def _thread_blocks(n_tasks: int) -> bool:
+    """Thread Tier-1 across a slice's code blocks? Only worthwhile when
+    the native decoder runs (the C loop releases the GIL through ctypes;
+    the pure-Python loop would serialize on it), on a multi-core host,
+    with enough blocks to amortize dispatch — and NOT when this decode
+    already runs inside the series-level pool (io/dicom.py threads across
+    slice files; those workers saturate the cores, and nesting pools
+    would just oversubscribe)."""
+    import os
+    import threading
+    if n_tasks < 4 or (os.cpu_count() or 1) <= 1:
+        return False
+    if not native.native_available():
+        return False
+    return not threading.current_thread().name.startswith('ts2d-dicom')
+
+
 def _decode_tile(data: bytes, tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,
                  quant: _Quant, depth: int) -> np.ndarray:
     resolutions = _build_resolutions(tcx0, tcy0, tcx1, tcy1, cod, quant)
@@ -1053,9 +1090,16 @@ def _decode_tile(data: bytes, tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,
         rd = _HeaderBits(data, pos)
         pos = _decode_packet(rd, res, layer, p, cod.cbstyle,
                              cod.sop, cod.eph, data)
-    # Tier-1 over every included code block, then assemble bands
     reversible = cod.transform == 1
-    ll: Optional[np.ndarray] = None
+    if cod.cbstyle & 0x01:
+        raise Jpeg2kError('Selective arithmetic bypass (code-block style '
+                          'bit 0) is not supported')
+
+    # Tier-1 over every included code block. Blocks are independent MQ
+    # streams writing disjoint band regions, so they decode in parallel
+    # (each native call runs outside the GIL); bands assemble after.
+    band_coeffs: Dict[int, List[np.ndarray]] = {}
+    tasks = []
     for res in resolutions:
         arrays = []
         for band in res.bands:
@@ -1071,33 +1115,44 @@ def _decode_tile(data: bytes, tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,
                 raise Jpeg2kError(
                     f'{mb} magnitude bit planes (max 31 supported)')
             for cb in band.blocks.values():
-                if not cb.segments:
-                    continue
-                cw, ch = cb.x1 - cb.x0, cb.y1 - cb.y0
-                dec = _BlockDecoder(cw, ch, band.orient, cod.cbstyle)
-                if cod.cbstyle & 0x01:
-                    raise Jpeg2kError(
-                        'Selective arithmetic bypass (code-block style '
-                        'bit 0) is not supported')
-                segs = _merge_segments(cb.segments, cod.cbstyle)
-                nat = native.j2k_t1_decode(
-                    segs, cw, ch, cod.cbstyle, mb - 1 - cb.zbp,
-                    _SIG_CTX[dec.orient], _SIGN_LUT)
-                if nat is not None:
-                    dec.mag, dec.lastp, nsigns = nat
-                    dec.signs[1:-1, 1:-1] = nsigns.astype(bool)
-                else:
-                    dec.run(segs, mb - 1 - cb.zbp)
-                vals = dec.values(reversible)
-                if not reversible:
-                    # dequantize (E-3): delta = 2^(Rb - eps) (1+mu/2^11)
-                    rb = depth + band.gain
-                    delta = (2.0 ** (rb - band.eps)
-                             * (1.0 + band.mantissa / 2048.0))
-                    vals = vals.astype(np.float64) * delta
-                coeffs[cb.y0 - band.y0:cb.y1 - band.y0,
-                       cb.x0 - band.x0:cb.x1 - band.x0] = vals
+                if cb.segments:
+                    tasks.append((coeffs, band, cb, mb))
             arrays.append(coeffs)
+        band_coeffs[res.r] = arrays
+
+    def decode_block(task):
+        coeffs, band, cb, mb = task
+        cw, ch = cb.x1 - cb.x0, cb.y1 - cb.y0
+        dec = _BlockDecoder(cw, ch, band.orient, cod.cbstyle)
+        segs = _merge_segments(cb.segments, cod.cbstyle)
+        nat = native.j2k_t1_decode(
+            segs, cw, ch, cod.cbstyle, mb - 1 - cb.zbp,
+            _SIG_CTX[dec.orient], _SIGN_LUT)
+        if nat is not None:
+            dec.mag, dec.lastp, nsigns = nat
+            dec.signs[1:-1, 1:-1] = nsigns.astype(bool)
+        else:
+            dec.run(segs, mb - 1 - cb.zbp)
+        vals = dec.values(reversible)
+        if not reversible:
+            # dequantize (E-3): delta = 2^(Rb - eps) (1+mu/2^11)
+            rb = depth + band.gain
+            delta = (2.0 ** (rb - band.eps)
+                     * (1.0 + band.mantissa / 2048.0))
+            vals = vals.astype(np.float64) * delta
+        coeffs[cb.y0 - band.y0:cb.y1 - band.y0,
+               cb.x0 - band.x0:cb.x1 - band.x0] = vals
+
+    if _thread_blocks(len(tasks)):
+        # list() re-raises the first worker exception here
+        list(_t1_pool().map(decode_block, tasks))
+    else:
+        for task in tasks:
+            decode_block(task)
+
+    ll: Optional[np.ndarray] = None
+    for res in resolutions:
+        arrays = band_coeffs[res.r]
         if res.r == 0:
             ll = arrays[0]
         else:
