@@ -1013,3 +1013,177 @@ long long ts2dio_jpegls_decode(const unsigned char* data, size_t len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG 2000 inverse DWT level synthesis (T.800 Annex F): the numpy
+// interleave + lifting in io/jpeg2k.py (_idwt_level/_idwt_1d_53/_idwt_1d_97)
+// as one native pass. Exactly the same arithmetic: integer lifting for the
+// reversible 5/3; float64 lifting in the same operation order for the
+// irreversible 9/7 (the Makefile compiles with -ffp-contract=off so no FMA
+// contraction can change the rounding vs the numpy elementwise ops).
+
+namespace j2kdwt {
+
+// whole-sample symmetric extension of global index g into [i0, i1),
+// returned as a LOCAL index (g - i0 reflected)
+static inline long long sym(long long g, long long i0, long long i1) {
+  long long n = i1 - i0;
+  if (n == 1) return 0;
+  long long period = 2 * (n - 1);
+  long long j = (g - i0) % period;
+  if (j < 0) j += period;
+  if (j >= n) j = period - j;
+  return j;
+}
+
+template <typename T>
+static void interleave(const T* ll, const T* hl, const T* lh, const T* hh,
+                       long long x0, long long y0, long long x1, long long y1,
+                       T* a) {
+  const long long w = x1 - x0;
+  const long long n_ec = ((x1 + 1) >> 1) - ((x0 + 1) >> 1);  // even cols
+  const long long n_oc = (x1 >> 1) - (x0 >> 1);              // odd cols
+  long long er = 0, orr = 0;
+  for (long long y = y0; y < y1; ++y) {
+    T* row = a + (y - y0) * w;
+    if ((y & 1) == 0) {
+      const T* l = ll + er * n_ec;
+      const T* h = hl + er * n_oc;
+      long long e = 0, o = 0;
+      for (long long x = x0; x < x1; ++x)
+        row[x - x0] = ((x & 1) == 0) ? l[e++] : h[o++];
+      er += 1;
+    } else {
+      const T* l = lh + orr * n_ec;
+      const T* h = hh + orr * n_oc;
+      long long e = 0, o = 0;
+      for (long long x = x0; x < x1; ++x)
+        row[x - x0] = ((x & 1) == 0) ? l[e++] : h[o++];
+      orr += 1;
+    }
+  }
+}
+
+// in-place inverse 5/3 along a contiguous row for global range [i0, i1)
+static void row_idwt53(int64_t* r, long long i0, long long i1) {
+  const long long n = i1 - i0;
+  if (n == 1) {
+    if (i0 & 1) r[0] = r[0] >> 1;  // // 2 on the lone high-pass sample
+    return;
+  }
+  // even (low) positions first, reading original odd neighbors
+  for (long long g = i0 + (i0 & 1); g < i1; g += 2) {
+    int64_t lm = r[sym(g - 1, i0, i1)], rp = r[sym(g + 1, i0, i1)];
+    r[g - i0] -= (lm + rp + 2) >> 2;
+  }
+  // odd (high) positions, reading updated evens
+  for (long long g = i0 + 1 - (i0 & 1); g < i1; g += 2) {
+    int64_t lm = r[sym(g - 1, i0, i1)], rp = r[sym(g + 1, i0, i1)];
+    r[g - i0] += (lm + rp) >> 1;
+  }
+}
+
+static const double kA97 = -1.586134342059924;
+static const double kB97 = -0.052980118572961;
+static const double kG97 = 0.882911075530934;
+static const double kD97 = 0.443506852043971;
+static const double kK97 = 1.230174104914001;
+
+static void row_idwt97(double* r, long long i0, long long i1) {
+  const long long n = i1 - i0;
+  if (n == 1) return;
+  for (long long g = i0 + (i0 & 1); g < i1; g += 2) r[g - i0] *= kK97;
+  for (long long g = i0 + 1 - (i0 & 1); g < i1; g += 2) r[g - i0] /= kK97;
+  const double coefs[4] = {kD97, kG97, kB97, kA97};
+  for (int step = 0; step < 4; ++step) {
+    long long start = (step & 1) ? i0 + 1 - (i0 & 1) : i0 + (i0 & 1);
+    double c = coefs[step];
+    for (long long g = start; g < i1; g += 2) {
+      double lm = r[sym(g - 1, i0, i1)], rp = r[sym(g + 1, i0, i1)];
+      r[g - i0] -= c * (lm + rp);
+    }
+  }
+}
+
+// vertical pass, row-vectorized: each lifting sweep walks rows of one
+// parity and updates them from their (opposite-parity) neighbor rows —
+// symmetric reflection preserves parity, so sweeps never read a row
+// modified within the same sweep (matching the numpy vectorized update).
+static void vert_idwt53(int64_t* a, long long w, long long y0, long long y1) {
+  const long long n = y1 - y0;
+  if (n == 1) {
+    if (y0 & 1)
+      for (long long x = 0; x < w; ++x) a[x] = a[x] >> 1;
+    return;
+  }
+  for (long long g = y0 + (y0 & 1); g < y1; g += 2) {
+    const int64_t* lm = a + sym(g - 1, y0, y1) * w;
+    const int64_t* rp = a + sym(g + 1, y0, y1) * w;
+    int64_t* row = a + (g - y0) * w;
+    for (long long x = 0; x < w; ++x) row[x] -= (lm[x] + rp[x] + 2) >> 2;
+  }
+  for (long long g = y0 + 1 - (y0 & 1); g < y1; g += 2) {
+    const int64_t* lm = a + sym(g - 1, y0, y1) * w;
+    const int64_t* rp = a + sym(g + 1, y0, y1) * w;
+    int64_t* row = a + (g - y0) * w;
+    for (long long x = 0; x < w; ++x) row[x] += (lm[x] + rp[x]) >> 1;
+  }
+}
+
+static void vert_idwt97(double* a, long long w, long long y0, long long y1) {
+  const long long n = y1 - y0;
+  if (n == 1) return;
+  for (long long g = y0 + (y0 & 1); g < y1; g += 2) {
+    double* row = a + (g - y0) * w;
+    for (long long x = 0; x < w; ++x) row[x] *= kK97;
+  }
+  for (long long g = y0 + 1 - (y0 & 1); g < y1; g += 2) {
+    double* row = a + (g - y0) * w;
+    for (long long x = 0; x < w; ++x) row[x] /= kK97;
+  }
+  const double coefs[4] = {kD97, kG97, kB97, kA97};
+  for (int step = 0; step < 4; ++step) {
+    long long start = (step & 1) ? y0 + 1 - (y0 & 1) : y0 + (y0 & 1);
+    double c = coefs[step];
+    for (long long g = start; g < y1; g += 2) {
+      const double* lm = a + sym(g - 1, y0, y1) * w;
+      const double* rp = a + sym(g + 1, y0, y1) * w;
+      double* row = a + (g - y0) * w;
+      for (long long x = 0; x < w; ++x) row[x] -= c * (lm[x] + rp[x]);
+    }
+  }
+}
+
+}  // namespace j2kdwt
+
+extern "C" {
+
+// One 2D synthesis level of the reversible 5/3 transform: combine the four
+// int64 subbands of region [x0,x1) x [y0,y1) into ``out`` ((y1-y0, x1-x0)
+// int64, caller-allocated). Returns the number of output samples.
+long long ts2dio_j2k_idwt53(const int64_t* ll, const int64_t* hl,
+                            const int64_t* lh, const int64_t* hh,
+                            long long x0, long long y0, long long x1,
+                            long long y1, int64_t* out) {
+  const long long w = x1 - x0, h = y1 - y0;
+  if (w <= 0 || h <= 0) return -1;
+  j2kdwt::interleave(ll, hl, lh, hh, x0, y0, x1, y1, out);
+  for (long long y = 0; y < h; ++y) j2kdwt::row_idwt53(out + y * w, x0, x1);
+  j2kdwt::vert_idwt53(out, w, y0, y1);
+  return w * h;
+}
+
+// Same for the irreversible 9/7 transform (float64 subbands).
+long long ts2dio_j2k_idwt97(const double* ll, const double* hl,
+                            const double* lh, const double* hh,
+                            long long x0, long long y0, long long x1,
+                            long long y1, double* out) {
+  const long long w = x1 - x0, h = y1 - y0;
+  if (w <= 0 || h <= 0) return -1;
+  j2kdwt::interleave(ll, hl, lh, hh, x0, y0, x1, y1, out);
+  for (long long y = 0; y < h; ++y) j2kdwt::row_idwt97(out + y * w, x0, x1);
+  j2kdwt::vert_idwt97(out, w, y0, y1);
+  return w * h;
+}
+
+}  // extern "C"

@@ -1022,6 +1022,24 @@ class TestJpeg2000:
         if out_native is not None:
             np.testing.assert_array_equal(out_native, out_py)
 
+    def test_python_fallback_equals_native_97(self, monkeypatch):
+        """Same bit-for-bit contract on the irreversible 9/7 path: the
+        native inverse DWT runs float64 lifting in numpy's operation
+        order with FP contraction off, so even the lossy reconstruction
+        must match the Python loop exactly."""
+        from totalsegmentator2d_tpu.io import jpeg2k, native
+        rng = np.random.default_rng(17)
+        arr = rng.integers(0, 4096, size=(37, 41)).astype(np.uint16)
+        data = _j2k_encode(arr, irreversible=True)
+        out_native = jpeg2k.decode(data) if native.native_available() \
+            else None
+        monkeypatch.setattr(native, '_lib', None)
+        monkeypatch.setattr(native, '_checked', True)
+        out_py = jpeg2k.decode(data)
+        assert np.abs(out_py.astype(np.int64) - arr).max() <= 1
+        if out_native is not None:
+            np.testing.assert_array_equal(out_native, out_py)
+
     def test_threaded_blocks_equal_serial(self, monkeypatch):
         """Tier-1 threads across a slice's code blocks on multi-core
         hosts (each native call runs outside the GIL); the pooled path

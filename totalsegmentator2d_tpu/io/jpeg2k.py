@@ -1004,6 +1004,11 @@ def _idwt_level(ll: np.ndarray, hl: np.ndarray, lh: np.ndarray,
     """One 2D synthesis level: combine the four subbands of the region
     [x0,x1) x [y0,y1) (resolution-grid coordinates)."""
     h, w = y1 - y0, x1 - x0
+    if h > 0 and w > 0:
+        nat = native.j2k_idwt_level(ll, hl, lh, hh, x0, y0, x1, y1,
+                                    reversible)
+        if nat is not None:
+            return nat
     dtype = np.int64 if reversible else np.float64
     a = np.zeros((h, w), dtype)
     # interleave: even rows/cols = L, odd = H (global parity)

@@ -84,6 +84,16 @@ def _load():
                     ctypes.c_longlong, ctypes.c_longlong,
                     ctypes.c_char_p, ctypes.c_char_p,
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            for nm in ('ts2dio_j2k_idwt53', 'ts2dio_j2k_idwt97'):
+                fn = getattr(lib, nm, None)
+                if fn is not None:  # absent in pre-DWT builds of the lib
+                    fn.restype = ctypes.c_longlong
+                    fn.argtypes = [
+                        ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_longlong, ctypes.c_longlong,
+                        ctypes.c_longlong, ctypes.c_longlong,
+                        ctypes.c_void_p]
             fn = getattr(lib, 'ts2dio_jpegls_decode', None)
             if fn is not None:  # absent in pre-decoder builds of the lib
                 fn.restype = ctypes.c_longlong
@@ -239,6 +249,35 @@ def j2k_t1_decode(segments, w: int, h: int, style: int, start_plane: int,
             'Segmentation symbol mismatch (corrupt entropy data)'
             if got == -3 else f'native Tier-1 decode failed (code {got})')
     return mag, lastp, signs
+
+
+def j2k_idwt_level(ll, hl, lh, hh, x0: int, y0: int, x1: int, y1: int,
+                   reversible: bool):
+    """One 2D inverse-DWT synthesis level (T.800 Annex F) in the native
+    library: interleave the four subbands of region [x0,x1) x [y0,y1) and
+    run the 5/3 (int64) or 9/7 (float64) lifting. Bit-identical to
+    io/jpeg2k.py's _idwt_level (the library builds with -ffp-contract=off
+    so the 9/7 doubles round exactly like numpy). Returns the (h, w)
+    array, or None when the native library is absent."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    name = 'ts2dio_j2k_idwt53' if reversible else 'ts2dio_j2k_idwt97'
+    fn = getattr(lib, name, None)
+    if fn is None:  # stale library built before the DWT existed
+        return None
+    dt = np.int64 if reversible else np.float64
+    ll = np.ascontiguousarray(ll, dt)
+    hl = np.ascontiguousarray(hl, dt)
+    lh = np.ascontiguousarray(lh, dt)
+    hh = np.ascontiguousarray(hh, dt)
+    out = np.empty((y1 - y0, x1 - x0), dt)
+    got = fn(ll.ctypes.data, hl.ctypes.data, lh.ctypes.data, hh.ctypes.data,
+             x0, y0, x1, y1, out.ctypes.data)
+    if got != (y1 - y0) * (x1 - x0):
+        return None
+    return out
 
 
 def jpegls_decode(data: bytes, w: int, h: int, maxval: int, near: int,
