@@ -10,6 +10,7 @@
 
 #include <cstdint>
 #include <algorithm>
+#include <cmath>
 #include <cstring>
 #include <vector>
 #include <zlib.h>
@@ -444,6 +445,7 @@ struct MQDecoder {
   }
 };
 
+template <bool CAUSAL>
 struct T1 {
   long long w, h;
   int style;
@@ -468,14 +470,12 @@ struct T1 {
   std::vector<uint16_t> f;
   int32_t* mag;
   int32_t* lastp;
-  bool causal;
   uint8_t ctx[kNCtx][2];
 
   T1(long long w_, long long h_, int style_, const uint8_t* st,
      const uint8_t* sl, int32_t* m, int32_t* lp)
       : w(w_), h(h_), style(style_), sig_tab(st), sign_lut(sl),
-        f((h_ + 2) * (w_ + 2), 0), mag(m), lastp(lp),
-        causal((style_ & 0x08) != 0) {
+        f((h_ + 2) * (w_ + 2), 0), mag(m), lastp(lp) {
     fresh_contexts();
   }
 
@@ -493,9 +493,10 @@ struct T1 {
 
   // neighborhood index for context formation: incremental in the common
   // case, recomputed (with the row below masked on stripe row 3) for
-  // vertically-causal blocks
+  // vertically-causal blocks (CAUSAL is a compile-time specialization:
+  // the common non-causal path is a single masked load)
   int nb_index(long long y, long long x, uint16_t v) {
-    if (!causal) return v & kIdx;
+    if (!CAUSAL) return v & kIdx;
     int below = ((y & 3) == 3) ? 0 : 1;
     const uint16_t* c = &F(y, x);
     const long long row = w + 2;
@@ -523,7 +524,7 @@ struct T1 {
   }
 
   int decode_sign(MQDecoder& mq, long long y, long long x) {
-    int below = ((style & 0x08) && ((y & 3) == 3)) ? 0 : 1;
+    int below = (CAUSAL && ((y & 3) == 3)) ? 0 : 1;
     const uint16_t* c = &F(y, x);
     const long long row = w + 2;
     auto contrib = [](uint16_t v) -> int {
@@ -538,61 +539,105 @@ struct T1 {
     return mq.decode(ctx[e[0]]) ^ e[1];
   }
 
+  inline void sig_visit(MQDecoder& mq, int32_t bit, int p, long long y,
+                        long long x) {
+    uint16_t v = F(y, x);
+    if (v & kSig) return;
+    int ni = nb_index(y, x, v);
+    if (ni == 0) return;  // no significant neighbor: cleanup's job
+    F(y, x) = v | kVis;
+    if (mq.decode(ctx[sig_tab[ni]])) {
+      mark_significant(y, x);
+      mag[y * w + x] |= bit;
+      lastp[y * w + x] = p;
+      if (decode_sign(mq, y, x)) F(y, x) |= kNeg;
+    }
+  }
+
   void pass_sig(MQDecoder& mq_io, int p) {
     // by-value MQ copy: the coder registers (c/a/ct) live in machine
     // registers for the whole pass instead of being spilled around every
-    // uint8_t context-state write (which may alias struct members)
+    // uint8_t context-state write (which may alias struct members).
+    // Full 4-row stripes run an unrolled column body (no per-row bound
+    // checks); the remainder stripe loops.
     MQDecoder mq = mq_io;
     int32_t bit = 1 << p;
-    for (long long y0 = 0; y0 < h; y0 += 4)
+    for (long long y0 = 0; y0 + 4 <= h; y0 += 4)
+      for (long long x = 0; x < w; ++x) {
+        sig_visit(mq, bit, p, y0, x);
+        sig_visit(mq, bit, p, y0 + 1, x);
+        sig_visit(mq, bit, p, y0 + 2, x);
+        sig_visit(mq, bit, p, y0 + 3, x);
+      }
+    if (h & 3)
       for (long long x = 0; x < w; ++x)
-        for (long long y = y0; y < y0 + 4 && y < h; ++y) {
-          uint16_t v = F(y, x);
-          if (v & kSig) continue;
-          int ni = nb_index(y, x, v);
-          if (ni == 0) continue;  // no significant neighbor: cleanup's job
-          F(y, x) = v | kVis;
-          if (mq.decode(ctx[sig_tab[ni]])) {
-            mark_significant(y, x);
-            mag[y * w + x] |= bit;
-            lastp[y * w + x] = p;
-            if (decode_sign(mq, y, x)) F(y, x) |= kNeg;
-          }
-        }
+        for (long long y = h & ~3LL; y < h; ++y) sig_visit(mq, bit, p, y, x);
     mq_io = mq;
+  }
+
+  inline void ref_visit(MQDecoder& mq, int32_t bit, int p, long long y,
+                        long long x) {
+    uint16_t v = F(y, x);
+    if (!(v & kSig) || (v & kVis)) return;
+    int cx;
+    if (v & kRef) {
+      cx = 16;
+    } else {
+      cx = nb_index(y, x, v) ? 15 : 14;
+      F(y, x) = v | kRef;
+    }
+    lastp[y * w + x] = p;
+    if (mq.decode(ctx[cx])) mag[y * w + x] |= bit;
   }
 
   void pass_ref(MQDecoder& mq_io, int p) {
     MQDecoder mq = mq_io;
     int32_t bit = 1 << p;
-    for (long long y0 = 0; y0 < h; y0 += 4)
+    for (long long y0 = 0; y0 + 4 <= h; y0 += 4)
+      for (long long x = 0; x < w; ++x) {
+        ref_visit(mq, bit, p, y0, x);
+        ref_visit(mq, bit, p, y0 + 1, x);
+        ref_visit(mq, bit, p, y0 + 2, x);
+        ref_visit(mq, bit, p, y0 + 3, x);
+      }
+    if (h & 3)
       for (long long x = 0; x < w; ++x)
-        for (long long y = y0; y < y0 + 4 && y < h; ++y) {
-          uint16_t v = F(y, x);
-          if (!(v & kSig) || (v & kVis)) continue;
-          int cx;
-          if (v & kRef) {
-            cx = 16;
-          } else {
-            cx = nb_index(y, x, v) ? 15 : 14;
-            F(y, x) = v | kRef;
-          }
-          lastp[y * w + x] = p;
-          if (mq.decode(ctx[cx])) mag[y * w + x] |= bit;
-        }
+        for (long long y = h & ~3LL; y < h; ++y) ref_visit(mq, bit, p, y, x);
     mq_io = mq;
+  }
+
+  inline void cln_visit(MQDecoder& mq, int32_t bit, int p, long long y,
+                        long long x) {
+    uint16_t v = F(y, x);
+    if (v & (kVis | kSig)) {
+      F(y, x) = v & ~kVis;
+      return;
+    }
+    int ni = nb_index(y, x, v);
+    if (mq.decode(ctx[sig_tab[ni]])) {
+      mark_significant(y, x);
+      mag[y * w + x] |= bit;
+      lastp[y * w + x] = p;
+      if (decode_sign(mq, y, x)) F(y, x) |= kNeg;
+    }
   }
 
   // returns 0, or -3 on a segmentation-symbol mismatch
   int pass_cleanup(MQDecoder& mq_io, int p) {
     MQDecoder mq = mq_io;
     int32_t bit = 1 << p;
-    for (long long y0 = 0; y0 < h; y0 += 4)
+    for (long long y0 = 0; y0 + 4 <= h; y0 += 4)
       for (long long x = 0; x < w; ++x) {
         long long y = y0;
-        long long stripe = h - y0 < 4 ? h - y0 : 4;
-        if (stripe == 4) {
-          bool rl = true;
+        // run-length mode when all four rows are insignificant,
+        // unvisited, and have no significant neighbor; non-causal
+        // blocks test that with one OR over the four flags words
+        bool rl;
+        if (!CAUSAL) {
+          rl = ((F(y0, x) | F(y0 + 1, x) | F(y0 + 2, x) | F(y0 + 3, x)) &
+                (kVis | kSig | kIdx)) == 0;
+        } else {
+          rl = true;
           for (long long yy = y0; yy < y0 + 4; ++yy) {
             uint16_t v = F(yy, x);
             if ((v & (kVis | kSig)) || nb_index(yy, x, v) != 0) {
@@ -600,32 +645,22 @@ struct T1 {
               break;
             }
           }
-          if (rl) {
-            if (!mq.decode(ctx[kCtxRL])) continue;  // column stays zero
-            int r = (mq.decode(ctx[kCtxUNI]) << 1) | mq.decode(ctx[kCtxUNI]);
-            y = y0 + r;
-            mark_significant(y, x);
-            mag[y * w + x] |= bit;
-            lastp[y * w + x] = p;
-            if (decode_sign(mq, y, x)) F(y, x) |= kNeg;
-            y += 1;
-          }
         }
-        for (long long yy = y; yy < y0 + stripe; ++yy) {
-          uint16_t v = F(yy, x);
-          if (v & (kVis | kSig)) {
-            F(yy, x) = v & ~kVis;
-            continue;
-          }
-          int ni = nb_index(yy, x, v);
-          if (mq.decode(ctx[sig_tab[ni]])) {
-            mark_significant(yy, x);
-            mag[yy * w + x] |= bit;
-            lastp[yy * w + x] = p;
-            if (decode_sign(mq, yy, x)) F(yy, x) |= kNeg;
-          }
+        if (rl) {
+          if (!mq.decode(ctx[kCtxRL])) continue;  // column stays zero
+          int r = (mq.decode(ctx[kCtxUNI]) << 1) | mq.decode(ctx[kCtxUNI]);
+          y = y0 + r;
+          mark_significant(y, x);
+          mag[y * w + x] |= bit;
+          lastp[y * w + x] = p;
+          if (decode_sign(mq, y, x)) F(y, x) |= kNeg;
+          y += 1;
         }
+        for (long long yy = y; yy < y0 + 4; ++yy) cln_visit(mq, bit, p, yy, x);
       }
+    if (h & 3)
+      for (long long x = 0; x < w; ++x)
+        for (long long yy = h & ~3LL; yy < h; ++yy) cln_visit(mq, bit, p, yy, x);
     for (auto& v : f) v &= static_cast<uint16_t>(~kVis);
     if (style & 0x20) {  // segmentation symbols: 1010 in the UNI context
       int sym = 0;
@@ -640,37 +675,16 @@ struct T1 {
   }
 };
 
-}  // namespace j2k
-
-extern "C" {
-
-// Decodes one code block's coding passes. ``data`` holds the
-// concatenated codeword-segment bytes; ``seg_lens``/``seg_passes``
-// (nsegs entries) split it exactly as io/jpeg2k.py's _BlockDecoder.run
-// receives them (already merged across quality layers unless the
-// termination-on-each-pass style bit is set). ``sig_tab`` is the
-// 75-entry significance-context row for the block's subband
-// orientation; ``sign_lut`` the 9 x (context, xor) sign table. ``mag``,
-// ``lastp`` (both int32, zeroed) and ``signs`` (uint8, zeroed) are h*w
-// outputs. Returns the number of passes decoded, -2 when the stream
-// signals more passes than bit planes, -3 on a segmentation-symbol
-// mismatch. The fresh-block state (contexts, significance) matches
-// _BlockDecoder exactly; selective arithmetic bypass is rejected on the
-// Python side before this is called.
-long long ts2dio_j2k_t1_decode(const unsigned char* data,
-                               const long long* seg_lens,
-                               const long long* seg_passes, long long nsegs,
-                               long long w, long long h, long long style,
-                               long long start_plane,
-                               const unsigned char* sig_tab,
-                               const unsigned char* sign_lut, int32_t* mag,
-                               int32_t* lastp, uint8_t* signs) {
-  j2k::T1 t1(w, h, static_cast<int>(style), sig_tab, sign_lut, mag, lastp);
+template <bool CAUSAL>
+static long long t1_exec(T1<CAUSAL>& t1, const unsigned char* data,
+                         const long long* seg_lens,
+                         const long long* seg_passes, long long nsegs,
+                         long long style, long long start_plane) {
   const bool term_each = style & 0x04;
   const bool reset = style & 0x02;
   long long total = 0;
   for (long long i = 0; i < nsegs; ++i) total += seg_passes[i];
-  j2k::MQDecoder mq;
+  MQDecoder mq;
   bool mq_live = false;
   const unsigned char* seg_ptr = data;
   long long seg_i = 0, seg_left = 0;
@@ -711,10 +725,123 @@ long long ts2dio_j2k_t1_decode(const unsigned char* data,
     seg_left -= 1;
     if (reset && seg_left) t1.fresh_contexts();
   }
+  return passes_done;
+}
+
+template <bool CAUSAL>
+static long long t1_run(const unsigned char* data, const long long* seg_lens,
+                        const long long* seg_passes, long long nsegs,
+                        long long w, long long h, long long style,
+                        long long start_plane, const unsigned char* sig_tab,
+                        const unsigned char* sign_lut, int32_t* mag,
+                        int32_t* lastp, uint8_t* signs) {
+  T1<CAUSAL> t1(w, h, static_cast<int>(style), sig_tab, sign_lut, mag, lastp);
+  long long rc = t1_exec(t1, data, seg_lens, seg_passes, nsegs, style,
+                         start_plane);
+  if (rc < 0) return rc;
   for (long long y = 0; y < h; ++y)
     for (long long x = 0; x < w; ++x)
-      signs[y * w + x] = (t1.F(y, x) & j2k::T1::kNeg) ? 1 : 0;
-  return passes_done;
+      signs[y * w + x] = (t1.F(y, x) & T1<CAUSAL>::kNeg) ? 1 : 0;
+  return rc;
+}
+
+// Decode + reconstruct in one native call, writing the final coefficient
+// values straight into the destination band region (stride in elements).
+// Same arithmetic as _BlockDecoder.values + the dequantization in
+// _decode_tile: midpoint reconstruction adds half of 2^lastp to every
+// significant magnitude; the irreversible path multiplies by delta after
+// (one rounding, matching numpy's (mag + half) * delta order).
+template <bool CAUSAL>
+static long long t1_block(const unsigned char* data, const long long* seg_lens,
+                          const long long* seg_passes, long long nsegs,
+                          long long w, long long h, long long style,
+                          long long start_plane,
+                          const unsigned char* sig_tab,
+                          const unsigned char* sign_lut, long long reversible,
+                          double delta, void* dst, long long dst_stride) {
+  std::vector<int32_t> mag(w * h, 0), lastp(w * h, 0);
+  T1<CAUSAL> t1(w, h, static_cast<int>(style), sig_tab, sign_lut, mag.data(),
+                lastp.data());
+  long long rc = t1_exec(t1, data, seg_lens, seg_passes, nsegs, style,
+                         start_plane);
+  if (rc < 0) return rc;
+  if (reversible) {
+    int64_t* out = static_cast<int64_t*>(dst);
+    for (long long y = 0; y < h; ++y)
+      for (long long x = 0; x < w; ++x) {
+        int64_t m = mag[y * w + x];
+        if (m > 0) m += (static_cast<int64_t>(1) << lastp[y * w + x]) >> 1;
+        out[y * dst_stride + x] = (t1.F(y, x) & T1<CAUSAL>::kNeg) ? -m : m;
+      }
+  } else {
+    double* out = static_cast<double*>(dst);
+    for (long long y = 0; y < h; ++y)
+      for (long long x = 0; x < w; ++x) {
+        int32_t m = mag[y * w + x];
+        double v = static_cast<double>(m);
+        if (m > 0) v += 0.5 * std::exp2(static_cast<double>(lastp[y * w + x]));
+        v *= delta;
+        out[y * dst_stride + x] = (t1.F(y, x) & T1<CAUSAL>::kNeg) ? -v : v;
+      }
+  }
+  return rc;
+}
+
+}  // namespace j2k
+
+extern "C" {
+
+// Decodes one code block's coding passes. ``data`` holds the
+// concatenated codeword-segment bytes; ``seg_lens``/``seg_passes``
+// (nsegs entries) split it exactly as io/jpeg2k.py's _BlockDecoder.run
+// receives them (already merged across quality layers unless the
+// termination-on-each-pass style bit is set). ``sig_tab`` is the
+// 75-entry significance-context row for the block's subband
+// orientation; ``sign_lut`` the 9 x (context, xor) sign table. ``mag``,
+// ``lastp`` (both int32, zeroed) and ``signs`` (uint8, zeroed) are h*w
+// outputs. Returns the number of passes decoded, -2 when the stream
+// signals more passes than bit planes, -3 on a segmentation-symbol
+// mismatch. The fresh-block state (contexts, significance) matches
+// _BlockDecoder exactly; selective arithmetic bypass is rejected on the
+// Python side before this is called.
+long long ts2dio_j2k_t1_decode(const unsigned char* data,
+                               const long long* seg_lens,
+                               const long long* seg_passes, long long nsegs,
+                               long long w, long long h, long long style,
+                               long long start_plane,
+                               const unsigned char* sig_tab,
+                               const unsigned char* sign_lut, int32_t* mag,
+                               int32_t* lastp, uint8_t* signs) {
+  if (style & 0x08)
+    return j2k::t1_run<true>(data, seg_lens, seg_passes, nsegs, w, h, style,
+                             start_plane, sig_tab, sign_lut, mag, lastp,
+                             signs);
+  return j2k::t1_run<false>(data, seg_lens, seg_passes, nsegs, w, h, style,
+                            start_plane, sig_tab, sign_lut, mag, lastp,
+                            signs);
+}
+
+// One-call block decode: Tier-1 coding passes + midpoint reconstruction
+// (+ dequantization by ``delta`` when ``reversible`` is 0), written
+// directly into the destination band region at ``dst`` with row stride
+// ``dst_stride`` ELEMENTS (int64 when reversible, float64 otherwise).
+// Same inputs and error codes as ts2dio_j2k_t1_decode.
+long long ts2dio_j2k_t1_block(const unsigned char* data,
+                              const long long* seg_lens,
+                              const long long* seg_passes, long long nsegs,
+                              long long w, long long h, long long style,
+                              long long start_plane,
+                              const unsigned char* sig_tab,
+                              const unsigned char* sign_lut,
+                              long long reversible, double delta, void* dst,
+                              long long dst_stride) {
+  if (style & 0x08)
+    return j2k::t1_block<true>(data, seg_lens, seg_passes, nsegs, w, h,
+                               style, start_plane, sig_tab, sign_lut,
+                               reversible, delta, dst, dst_stride);
+  return j2k::t1_block<false>(data, seg_lens, seg_passes, nsegs, w, h, style,
+                              start_plane, sig_tab, sign_lut, reversible,
+                              delta, dst, dst_stride);
 }
 
 }  // extern "C"

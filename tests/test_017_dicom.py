@@ -1970,3 +1970,52 @@ class TestJpegDct:
         buf = b'\xff\xd8' + seg + b'\xff\xd9'
         with pytest.raises(jpegdct.JpegError, match='Truncated DQT'):
             jpegdct.decode(buf)
+
+
+class TestJ2kT1Differential:
+    """Native vs pure-Python Tier-1 on RANDOM entropy bytes, across every
+    code-block style combination — including vertically-causal, context
+    reset, termination-on-each-pass, and segmentation symbols, which no
+    encoder available here emits. MQ decisions over arbitrary bytes are
+    deterministic, so the two independent implementations must produce
+    bit-identical state (or reject with the identical error)."""
+
+    @pytest.mark.parametrize('style', [0x00, 0x02, 0x04, 0x08, 0x20,
+                                       0x28, 0x0E, 0x2A])
+    def test_matches_python(self, style):
+        from totalsegmentator2d_tpu.io import jpeg2k, native
+        if not native.native_available():
+            pytest.skip('native library not built')
+        rng = np.random.default_rng(style)
+        for _ in range(4):
+            w, h = int(rng.integers(3, 40)), int(rng.integers(3, 40))
+            orient = int(rng.integers(0, 4))
+            npasses = int(rng.integers(1, 10))
+            start_plane = int(rng.integers(3, 12))
+            if style & 0x04:  # per-pass termination: one segment per pass
+                segments = [(rng.bytes(int(rng.integers(1, 60))), 1)
+                            for _ in range(npasses)]
+            else:
+                segments = [(rng.bytes(int(rng.integers(10, 200))),
+                             npasses)]
+            dec = jpeg2k._BlockDecoder(w, h, orient, style)
+            py_err = nat_err = None
+            try:
+                dec.run(list(segments), start_plane)
+            except jpeg2k.Jpeg2kError as ex:
+                py_err = str(ex)
+            try:
+                nat = native.j2k_t1_decode(
+                    segments, w, h, style, start_plane,
+                    jpeg2k._SIG_CTX[dec.orient], jpeg2k._SIGN_LUT)
+            except jpeg2k.Jpeg2kError as ex:
+                nat_err = str(ex)
+            if py_err or nat_err:
+                assert py_err == nat_err
+                continue
+            assert nat is not None
+            mag, lastp, signs = nat
+            np.testing.assert_array_equal(mag, dec.mag)
+            np.testing.assert_array_equal(lastp, dec.lastp)
+            np.testing.assert_array_equal(signs.astype(bool),
+                                          dec.signs[1:-1, 1:-1])

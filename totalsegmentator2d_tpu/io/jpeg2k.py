@@ -376,9 +376,7 @@ class _BlockDecoder:
     def __init__(self, w: int, h: int, orient: int, style: int):
         self.w = w
         self.h = h
-        # orient codes: 0=LL, 1=HL, 2=LH, 3=HH -> table rows LL/LH=0,
-        # HL=1, HH=2 (T.800 D.1 groups LL with LH)
-        self.orient = 2 if orient == 3 else (1 if orient == 1 else 0)
+        self.orient = self.table_orient(orient)
         self.style = style
         self.ctx = _fresh_contexts()
         self.sig = np.zeros((h + 2, w + 2), bool)     # padded borders
@@ -393,6 +391,12 @@ class _BlockDecoder:
         self.lastp = np.zeros((h, w), np.int32)
         self.passes_done = 0
         self.plane: Optional[int] = None  # current bit plane
+
+    @staticmethod
+    def table_orient(orient: int) -> int:
+        """Subband code (0=LL, 1=HL, 2=LH, 3=HH) -> significance-context
+        table row: LL/LH=0, HL=1, HH=2 (T.800 D.1 groups LL with LH)."""
+        return 2 if orient == 3 else (1 if orient == 1 else 0)
 
     # -- neighborhood helpers (operate on the padded arrays) ---------------
 
@@ -1128,25 +1132,37 @@ def _decode_tile(data: bytes, tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,
     def decode_block(task):
         coeffs, band, cb, mb = task
         cw, ch = cb.x1 - cb.x0, cb.y1 - cb.y0
-        dec = _BlockDecoder(cw, ch, band.orient, cod.cbstyle)
         segs = _merge_segments(cb.segments, cod.cbstyle)
+        start_plane = mb - 1 - cb.zbp
+        if reversible:
+            delta = 1.0
+        else:
+            # dequantize (E-3): delta = 2^(Rb - eps) (1+mu/2^11)
+            rb = depth + band.gain
+            delta = (2.0 ** (rb - band.eps)
+                     * (1.0 + band.mantissa / 2048.0))
+        dst = coeffs[cb.y0 - band.y0:cb.y1 - band.y0,
+                     cb.x0 - band.x0:cb.x1 - band.x0]
+        orient = _BlockDecoder.table_orient(band.orient)
+        # fused native path: Tier-1 + reconstruction straight into the
+        # band region; falls back to the two-call / pure-Python chain
+        if native.j2k_t1_block(segs, cw, ch, cod.cbstyle, start_plane,
+                               _SIG_CTX[orient], _SIGN_LUT, reversible,
+                               delta, dst):
+            return
+        dec = _BlockDecoder(cw, ch, band.orient, cod.cbstyle)
         nat = native.j2k_t1_decode(
-            segs, cw, ch, cod.cbstyle, mb - 1 - cb.zbp,
+            segs, cw, ch, cod.cbstyle, start_plane,
             _SIG_CTX[dec.orient], _SIGN_LUT)
         if nat is not None:
             dec.mag, dec.lastp, nsigns = nat
             dec.signs[1:-1, 1:-1] = nsigns.astype(bool)
         else:
-            dec.run(segs, mb - 1 - cb.zbp)
+            dec.run(segs, start_plane)
         vals = dec.values(reversible)
         if not reversible:
-            # dequantize (E-3): delta = 2^(Rb - eps) (1+mu/2^11)
-            rb = depth + band.gain
-            delta = (2.0 ** (rb - band.eps)
-                     * (1.0 + band.mantissa / 2048.0))
             vals = vals.astype(np.float64) * delta
-        coeffs[cb.y0 - band.y0:cb.y1 - band.y0,
-               cb.x0 - band.x0:cb.x1 - band.x0] = vals
+        dst[...] = vals
 
     if _thread_blocks(len(tasks)):
         # list() re-raises the first worker exception here

@@ -84,6 +84,16 @@ def _load():
                     ctypes.c_longlong, ctypes.c_longlong,
                     ctypes.c_char_p, ctypes.c_char_p,
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            fn = getattr(lib, 'ts2dio_j2k_t1_block', None)
+            if fn is not None:  # absent in pre-fusion builds of the lib
+                fn.restype = ctypes.c_longlong
+                fn.argtypes = [
+                    ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_longlong, ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_char_p, ctypes.c_char_p,
+                    ctypes.c_longlong, ctypes.c_double,
+                    ctypes.c_void_p, ctypes.c_longlong]
             for nm in ('ts2dio_j2k_idwt53', 'ts2dio_j2k_idwt97'):
                 fn = getattr(lib, nm, None)
                 if fn is not None:  # absent in pre-DWT builds of the lib
@@ -249,6 +259,46 @@ def j2k_t1_decode(segments, w: int, h: int, style: int, start_plane: int,
             'Segmentation symbol mismatch (corrupt entropy data)'
             if got == -3 else f'native Tier-1 decode failed (code {got})')
     return mag, lastp, signs
+
+
+def j2k_t1_block(segments, w: int, h: int, style: int, start_plane: int,
+                 sig_tab, sign_lut, reversible: bool, delta: float, dst):
+    """One-call code-block decode: Tier-1 passes + midpoint
+    reconstruction (+ dequantization by ``delta`` on the irreversible
+    path), written directly into ``dst`` — a 2D view into the band's
+    coefficient array (int64 when reversible, float64 otherwise; rows
+    must be contiguous). Returns True on success, False when the native
+    library/entry is absent (callers fall back to j2k_t1_decode or the
+    pure-Python loop). Raises Jpeg2kError on corrupt streams."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return False
+    fn = getattr(lib, 'ts2dio_j2k_t1_block', None)
+    if fn is None:  # stale library built before the fused entry existed
+        return False
+    want = np.int64 if reversible else np.float64
+    if (dst.dtype != want or dst.ndim != 2
+            or dst.strides[1] != dst.itemsize
+            or dst.strides[0] % dst.itemsize):
+        return False
+    data = b''.join(d for d, _ in segments)
+    seg_lens = np.array([len(d) for d, _ in segments], np.int64)
+    seg_passes = np.array([n for _, n in segments], np.int64)
+    sig_tab = np.ascontiguousarray(sig_tab, np.uint8)
+    sign_lut = np.ascontiguousarray(sign_lut, np.uint8)
+    got = fn(data, seg_lens.ctypes.data, seg_passes.ctypes.data,
+             len(segments), w, h, style, start_plane,
+             sig_tab.tobytes(), sign_lut.tobytes(),
+             1 if reversible else 0, float(delta), dst.ctypes.data,
+             dst.strides[0] // dst.itemsize)
+    if got < 0:
+        from .jpeg2k import Jpeg2kError
+        raise Jpeg2kError(
+            'More coding passes than bit planes' if got == -2 else
+            'Segmentation symbol mismatch (corrupt entropy data)'
+            if got == -3 else f'native Tier-1 decode failed (code {got})')
+    return True
 
 
 def j2k_idwt_level(ll, hl, lh, hh, x0: int, y0: int, x1: int, y1: int,
