@@ -219,12 +219,15 @@ def main():
 
     platform, err = probe_backend()
     if platform is None:
+        # value -1 (not 0): a numeric lower-is-better consumer must never
+        # read the failure line as an infinitely fast scan
         print(json.dumps({
             'metric': ('sec/scan UNMEASURED: accelerator backend '
                        f'unavailable ({err}); the TPU relay tunnel is down '
                        '— see ROADMAP.md environment note for the last '
                        'measured on-device figures'),
-            'value': 0.0, 'unit': 's', 'vs_baseline': 0.0,
+            'value': -1.0, 'unit': 's', 'vs_baseline': 0.0,
+            'unmeasured': True,
         }))
         return
 

@@ -47,10 +47,12 @@ from __future__ import annotations
 
 import os
 import struct
+import threading as _threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from . import native
 from .image import MedicalImage
 
 _IMPLICIT_LE = '1.2.840.10008.1.2'
@@ -730,17 +732,14 @@ def _series_files(path: str) -> List[str]:
 
 
 _decode_pool = None
-_decode_pool_lock = None
+_decode_pool_lock = _threading.Lock()
 
 
 def _series_decode_pool():
     """One shared, lazily created pool for series decoding: per-call
     pools would multiply under concurrent serve requests (one HTTP thread
     each), oversubscribing the cores the batching work keeps busy."""
-    global _decode_pool, _decode_pool_lock
-    if _decode_pool_lock is None:
-        import threading
-        _decode_pool_lock = threading.Lock()
+    global _decode_pool
     with _decode_pool_lock:
         if _decode_pool is None:
             from concurrent.futures import ThreadPoolExecutor
@@ -748,6 +747,17 @@ def _series_decode_pool():
                 min(8, os.cpu_count() or 1),
                 thread_name_prefix='ts2d-dicom')
         return _decode_pool
+
+
+def _pooled_read(path: str):
+    """read_dicom_file inside a series-pool worker: mark the thread so
+    nested per-stage pools (io/jpeg2k.py's code-block fan-out) stay
+    serial — file-level threading already saturates the cores."""
+    native.decode_worker_local.in_file_worker = True
+    try:
+        return read_dicom_file(path)
+    finally:
+        native.decode_worker_local.in_file_worker = False
 
 
 def resolve_series_root(root: str) -> str:
@@ -788,7 +798,7 @@ def read_dicom_series(path: str) -> MedicalImage:
     # codec decode is compute-bound.) Serial below 4 files or on
     # single-core hosts.
     if (os.cpu_count() or 1) > 1 and len(files) >= 4:
-        parsed = list(_series_decode_pool().map(read_dicom_file, files))
+        parsed = list(_series_decode_pool().map(_pooled_read, files))
     else:
         parsed = [read_dicom_file(f) for f in files]
 

@@ -35,6 +35,7 @@ pure-Python loop as the correctness fallback.
 from __future__ import annotations
 
 import struct
+import threading as _threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -1053,16 +1054,13 @@ def _iter_packets(cod: _CodingStyle, resolutions: List[_Resolution]):
 
 
 _block_pool = None
-_block_pool_lock = None
+_block_pool_lock = _threading.Lock()
 
 
 def _t1_pool():
     """One shared, lazily created pool for Tier-1 code-block decoding:
     per-call pools would multiply under concurrent serve requests."""
-    global _block_pool, _block_pool_lock
-    if _block_pool_lock is None:
-        import threading
-        _block_pool_lock = threading.Lock()
+    global _block_pool
     with _block_pool_lock:
         if _block_pool is None:
             from concurrent.futures import ThreadPoolExecutor
@@ -1077,16 +1075,16 @@ def _thread_blocks(n_tasks: int) -> bool:
     the native decoder runs (the C loop releases the GIL through ctypes;
     the pure-Python loop would serialize on it), on a multi-core host,
     with enough blocks to amortize dispatch — and NOT when this decode
-    already runs inside the series-level pool (io/dicom.py threads across
-    slice files; those workers saturate the cores, and nesting pools
-    would just oversubscribe)."""
+    already runs inside a file-level decode pool (io/dicom.py threads
+    across slice files; those workers saturate the cores, and nesting
+    pools would just oversubscribe). File-pool workers are marked via
+    native.decode_worker_local, not thread-name sniffing."""
     import os
-    import threading
     if n_tasks < 4 or (os.cpu_count() or 1) <= 1:
         return False
     if not native.native_available():
         return False
-    return not threading.current_thread().name.startswith('ts2d-dicom')
+    return not getattr(native.decode_worker_local, 'in_file_worker', False)
 
 
 def _decode_tile(data: bytes, tcx0, tcy0, tcx1, tcy1, cod: _CodingStyle,

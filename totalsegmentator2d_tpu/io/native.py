@@ -12,10 +12,17 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 import zlib
 
 _lib = None
 _checked = False
+
+# Threads belonging to a FILE-level decode pool (io/dicom.py series
+# ingest) set .in_file_worker here; nested decode stages (io/jpeg2k.py's
+# per-code-block pool) consult it and stay serial inside such workers so
+# the two levels of parallelism never oversubscribe the cores.
+decode_worker_local = threading.local()
 
 
 def _load():
