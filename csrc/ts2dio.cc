@@ -1314,3 +1314,66 @@ long long ts2dio_j2k_idwt97(const double* ll, const double* hl,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sequential-DCT JPEG reconstruction (io/jpegdct.py _blocks_to_image):
+// dequantize, de-zigzag, 2-D IDCT (row-column double arithmetic with the
+// SAME orthonormal matrix the Python path uses, passed in), level shift,
+// half-even rounding (nearbyint under the default FE_TONEAREST mode,
+// matching np.rint), clamp, and blockwise reassembly with edge cropping.
+// The entropy decoder (ts2dio_jpegdct_decode_blocks) feeds this directly,
+// so a full lossy decode stays native end to end.
+
+extern "C" {
+
+// coefs: (nblocks, 64) int32 zigzag-order quantized coefficients,
+// nblocks = bw*bh in raster block order. q: 64 uint16 zigzag quantizers.
+// zigzag: 64 int32 mapping zigzag index -> natural (row-major) index.
+// m: the (8,8) float64 IDCT basis matrix (out = M X M^T). out: rows*cols
+// uint8 (precision 8) or uint16 (else). Returns rows*cols.
+long long ts2dio_jpegdct_reconstruct(const int32_t* coefs, const uint16_t* q,
+                                     const int32_t* zigzag, const double* m,
+                                     long long bw, long long bh,
+                                     long long rows, long long cols,
+                                     long long precision, void* out) {
+  if (bw <= 0 || bh <= 0 || rows <= 0 || cols <= 0) return -1;
+  const double shift = static_cast<double>(1LL << (precision - 1));
+  const double maxval = static_cast<double>((1LL << precision) - 1);
+  uint8_t* out8 = static_cast<uint8_t*>(out);
+  uint16_t* out16 = static_cast<uint16_t*>(out);
+  double x8[64], t[64], p[64];
+  for (long long n = 0; n < bw * bh; ++n) {
+    const int32_t* c = coefs + n * 64;
+    for (int i = 0; i < 64; ++i) x8[i] = 0.0;
+    for (int z = 0; z < 64; ++z)
+      x8[zigzag[z]] = static_cast<double>(c[z]) * q[z];
+    // T = M X  (sum over u ascending), P = T M^T (sum over v ascending)
+    for (int x = 0; x < 8; ++x)
+      for (int v = 0; v < 8; ++v) {
+        double s = 0.0;
+        for (int u = 0; u < 8; ++u) s += m[x * 8 + u] * x8[u * 8 + v];
+        t[x * 8 + v] = s;
+      }
+    for (int x = 0; x < 8; ++x)
+      for (int y = 0; y < 8; ++y) {
+        double s = 0.0;
+        for (int v = 0; v < 8; ++v) s += t[x * 8 + v] * m[y * 8 + v];
+        p[x * 8 + y] = s;
+      }
+    const long long r0 = (n / bw) * 8, c0 = (n % bw) * 8;
+    const long long xmax = std::min<long long>(8, rows - r0);
+    const long long ymax = std::min<long long>(8, cols - c0);
+    for (long long x = 0; x < xmax; ++x)
+      for (long long y = 0; y < ymax; ++y) {
+        double v = std::nearbyint(p[x * 8 + y] + shift);
+        v = v < 0.0 ? 0.0 : (v > maxval ? maxval : v);
+        if (precision == 8)
+          out8[(r0 + x) * cols + (c0 + y)] = static_cast<uint8_t>(v);
+        else
+          out16[(r0 + x) * cols + (c0 + y)] = static_cast<uint16_t>(v);
+      }
+  }
+  return rows * cols;
+}
+
+}  // extern "C"

@@ -1931,8 +1931,14 @@ class TestJpegDct:
         out_default = jpegdct.decode(data)
         monkeypatch.setattr(native, 'jpegdct_decode_blocks',
                             lambda *a, **k: None)
+        monkeypatch.setattr(native, 'jpegdct_reconstruct',
+                            lambda *a, **k: None)
         out_py = jpegdct.decode(data)
-        np.testing.assert_array_equal(out_default, out_py)
+        # entropy decode is bit-identical; the native IDCT uses the same
+        # constants and half-even rounding but a fixed summation order,
+        # so a .5-boundary can land one code apart from numpy's BLAS
+        # order — within the codec's own T.83 decoder tolerance
+        assert np.abs(out_default.astype(int) - out_py.astype(int)).max() <= 1
 
     @pytest.mark.parametrize('force_py', [False, True])
     def test_truncated_entropy_rejected(self, monkeypatch, force_py):

@@ -296,6 +296,11 @@ def _blocks_to_image(coefs: np.ndarray, q: np.ndarray, rows: int, cols: int,
     at once. ``coefs`` is (nblocks, 64) int32 in zigzag order."""
     bw = (cols + 7) // 8
     bh = (rows + 7) // 8
+    from . import native
+    nat = native.jpegdct_reconstruct(coefs, q, _ZIGZAG, _IDCT_M,
+                                     bw, bh, rows, cols, precision)
+    if nat is not None:
+        return nat
     deq = (coefs * q[None, :]).astype(np.float64)
     nat = np.zeros_like(deq)
     nat[:, _ZIGZAG] = deq  # zigzag -> raster

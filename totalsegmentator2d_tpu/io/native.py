@@ -91,6 +91,15 @@ def _load():
                     ctypes.c_longlong, ctypes.c_longlong,
                     ctypes.c_char_p, ctypes.c_char_p,
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            fn = getattr(lib, 'ts2dio_jpegdct_reconstruct', None)
+            if fn is not None:  # absent in pre-reconstruct builds
+                fn.restype = ctypes.c_longlong
+                fn.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p,
+                    ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_longlong, ctypes.c_void_p]
             fn = getattr(lib, 'ts2dio_j2k_t1_block', None)
             if fn is not None:  # absent in pre-fusion builds of the lib
                 fn.restype = ctypes.c_longlong
@@ -266,6 +275,36 @@ def j2k_t1_decode(segments, w: int, h: int, style: int, start_plane: int,
             'Segmentation symbol mismatch (corrupt entropy data)'
             if got == -3 else f'native Tier-1 decode failed (code {got})')
     return mag, lastp, signs
+
+
+def jpegdct_reconstruct(coefs, q, zigzag, m, bw: int, bh: int, rows: int,
+                        cols: int, precision: int):
+    """Dequantize + de-zigzag + 2-D IDCT + level shift + reassemble all
+    of a sequential-DCT JPEG's blocks in the native library. ``coefs`` is
+    the (nblocks, 64) int32 zigzag-order output of the entropy decoder;
+    ``q``/``zigzag``/``m`` are the caller's quantizer row, zigzag map and
+    orthonormal IDCT matrix (identical constants to the numpy path; both
+    round half-even, so outputs can differ only by ±1 where a .5-boundary
+    falls on opposite sides of the two summation orders — within the
+    codec's own T.83 decoder tolerance). Returns the (rows, cols) uint8/
+    uint16 image, or None when the native library is absent."""
+    import numpy as np
+    lib = _load()
+    if lib is None:
+        return None
+    fn = getattr(lib, 'ts2dio_jpegdct_reconstruct', None)
+    if fn is None:  # stale library built before the kernel existed
+        return None
+    coefs = np.ascontiguousarray(coefs, np.int32)
+    q = np.ascontiguousarray(q, np.uint16)
+    zigzag = np.ascontiguousarray(zigzag, np.int32)
+    m = np.ascontiguousarray(m, np.float64)
+    out = np.empty((rows, cols), np.uint8 if precision == 8 else np.uint16)
+    got = fn(coefs.ctypes.data, q.ctypes.data, zigzag.ctypes.data,
+             m.ctypes.data, bw, bh, rows, cols, precision, out.ctypes.data)
+    if got != rows * cols:
+        return None
+    return out
 
 
 def j2k_t1_block(segments, w: int, h: int, style: int, start_plane: int,
