@@ -413,7 +413,9 @@ struct MQDecoder {
     uint32_t qe = row.qe;
     a -= qe;
     int d;
-    if (((c >> 16) & 0xFFFF) < qe) {
+    // the MPS-without-renormalization exit dominates real streams; tell
+    // the compiler so the hot path is the fallthrough
+    if (__builtin_expect(((c >> 16) & 0xFFFF) < qe, 0)) {
       if (a < qe) {  // LPS exchange
         d = st[1];
         st[0] = row.nmps;
@@ -425,7 +427,7 @@ struct MQDecoder {
       a = qe;
     } else {
       c -= qe << 16;
-      if (a & 0x8000) return st[1];
+      if (__builtin_expect(a & 0x8000, 1)) return st[1];
       if (a < qe) {  // MPS exchange
         d = 1 - st[1];
         if (row.sw) st[1] ^= 1;
