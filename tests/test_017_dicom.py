@@ -1244,6 +1244,34 @@ class TestErrors:
             read_dicom_series(str(tmp_path))
 
 
+class TestTruncatedMarkerContainment:
+    """A stream cut INSIDE a marker segment header (e.g. an SOF with an
+    empty body) must raise the codec error type, not leak IndexError —
+    found by a truncation sweep over every cut position."""
+
+    def test_jll_truncated_sof(self):
+        from totalsegmentator2d_tpu.io import jpegll
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 4096, (8, 9)).astype(np.uint16)
+        base = bytes(_jpegll_frame(arr))
+        for cut in range(2, len(base)):
+            try:
+                jpegll.decode(base[:cut])
+            except jpegll.JpegError:
+                pass  # the only acceptable failure type
+
+    def test_jdct_truncated_sof(self):
+        from totalsegmentator2d_tpu.io import jpegdct, jpegll
+        rng = np.random.default_rng(1)
+        arr = rng.integers(0, 256, (8, 9)).astype(np.uint8)
+        base = bytes(_jpegdct_frame(arr, precision=8))
+        for cut in range(2, len(base)):
+            try:
+                jpegdct.decode(base[:cut])
+            except jpegll.JpegError:
+                pass
+
+
 class TestMutationRobustness:
     """Seeded slice of the development-time mutation fuzz (4800 random
     corruptions, no crashes/hangs): every corruption either decodes to

@@ -310,6 +310,17 @@ def decode(buf: bytes) -> np.ndarray:
     """Decode one JPEG Lossless (SOF3) stream into a (rows, cols) uint16
     array (point transform re-applied, i.e. values are shifted back to
     their stated precision)."""
+    try:
+        return _decode(buf)
+    except JpegError:
+        raise
+    except (IndexError, ValueError, struct.error) as ex:
+        # malformed marker bodies must surface as the codec error type so
+        # io/dicom.py's error wrapping keeps its DicomError contract
+        raise JpegError(f'Corrupt JPEG stream ({ex})') from ex
+
+
+def _decode(buf: bytes) -> np.ndarray:
     frame, lut, (predictor, pt, dri, entropy_at) = _find_frame(buf)
     rows, cols = frame.rows, frame.cols
     if rows <= 0 or cols <= 0:
