@@ -226,3 +226,75 @@ class TestGzipAndSkips:
         px2 = vis.array[15, 15]
         assert not np.array_equal(px1, [255, 255, 255])
         assert not np.array_equal(px1, px2)
+
+
+class TestReaderContainment:
+    """Malformed container files must surface as ValueError (the io error
+    contract), never a foreign exception — KeyError from header lookups,
+    zlib/gzip errors from corrupt payloads, FileNotFoundError from a
+    mutated detached-data reference (seeded slice of a 4800-case
+    development fuzz that found all of those leaking)."""
+
+    @pytest.mark.parametrize('name,compress', [
+        ('a.nrrd', True), ('b.nrrd', False), ('c.nii', False),
+        ('d.nii.gz', True), ('e.mha', True), ('f.mha', False)])
+    def test_mutations_contained(self, tmp_path, name, compress):
+        from totalsegmentator2d_tpu.io import read_image, write_image
+        rng = np.random.default_rng(hash(name) % (2 ** 31))
+        arr = rng.integers(-500, 1500, (4, 8, 9)).astype(np.int16)
+        img = MedicalImage(array=arr, spacing=(0.7, 0.8, 2.5))
+        p = tmp_path / name
+        write_image(img, str(p), compress=compress)
+        base = bytearray(p.read_bytes())
+        pm = tmp_path / ('mut_' + name)
+        for trial in range(120):
+            data = bytearray(base)
+            for _ in range(int(rng.integers(1, 6))):
+                data[int(rng.integers(0, len(data)))] = \
+                    int(rng.integers(0, 256))
+            pm.write_bytes(bytes(data))
+            try:
+                out = read_image(str(pm))
+                assert out.array.size <= 1 << 28
+            except ValueError:
+                pass
+        for _ in range(40):
+            cut = int(rng.integers(1, len(base)))
+            pm.write_bytes(bytes(base[:cut]))
+            try:
+                read_image(str(pm))
+            except ValueError:
+                pass
+
+    def test_datafile_traversal_rejected(self, tmp_path):
+        """A detached header is untrusted input: absolute or escaping
+        data-file references must be refused, not followed."""
+        from totalsegmentator2d_tpu.io import metaimage, nrrd
+        victim = tmp_path / 'victim.bin'
+        victim.write_bytes(b'\x01\x02' * 40)
+        sub = tmp_path / 'sub'
+        sub.mkdir()
+        for ref in ['../victim.bin', str(victim)]:
+            mhd = sub / 'x.mhd'
+            mhd.write_text('NDims = 2\nDimSize = 4 5\n'
+                           'ElementType = MET_SHORT\n'
+                           f'ElementDataFile = {ref}\n')
+            with pytest.raises(ValueError, match='data file reference'):
+                metaimage.read(str(mhd))
+            nhdr = sub / 'x.nhdr'
+            nhdr.write_text('NRRD0004\ntype: short\ndimension: 2\n'
+                            f'sizes: 4 5\ndata file: {ref}\n\n')
+            with pytest.raises(ValueError, match='data file reference'):
+                nrrd.read(str(nhdr))
+
+    def test_sibling_datafile_still_reads(self, tmp_path):
+        """The guard must not break legitimate detached headers."""
+        from totalsegmentator2d_tpu.io import nrrd
+        arr = (np.arange(20) % 7).astype(np.int16).reshape(4, 5)
+        (tmp_path / 'x.raw').write_bytes(arr.tobytes())
+        nhdr = tmp_path / 'x.nhdr'
+        nhdr.write_text('NRRD0004\ntype: short\ndimension: 2\n'
+                        'sizes: 5 4\nencoding: raw\n'
+                        'data file: x.raw\n\n')
+        out = nrrd.read(str(nhdr))
+        np.testing.assert_array_equal(out.array, arr)

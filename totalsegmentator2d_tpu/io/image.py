@@ -189,3 +189,51 @@ def is_label_dtype(dtype) -> bool:
 
 def is_label_image(img: MedicalImage) -> bool:
     return is_label_dtype(img.array.dtype)
+
+
+def reader_guard(fmt: str):
+    """Wrap a format reader so malformed files surface as ValueError (the
+    io error contract) instead of leaking parser internals — KeyError
+    from header-field/type-code lookups, zlib/gzip errors from corrupt
+    compressed payloads, struct/Unicode/EOF/Index errors from truncated
+    bytes. Deliberate ValueErrors pass through unchanged; a missing
+    INPUT file still raises FileNotFoundError (only the specific gzip
+    subclass of OSError is caught)."""
+    import functools
+    import gzip
+    import struct
+    import zlib
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(path, *args, **kwargs):
+            try:
+                return fn(path, *args, **kwargs)
+            except ValueError:
+                raise
+            except (KeyError, IndexError, struct.error, UnicodeDecodeError,
+                    EOFError, OverflowError, zlib.error,
+                    gzip.BadGzipFile) as ex:
+                raise ValueError(
+                    f'Corrupt {fmt} file ({type(ex).__name__}: {ex})') from ex
+        return wrapped
+    return deco
+
+
+def resolve_datafile(header_path: str, rel: str, fmt: str) -> str:
+    """Resolve a detached-header data-file reference (NRRD ``data file``,
+    MetaImage ``ElementDataFile``) against the header's directory,
+    rejecting absolute paths and references that escape it — a header is
+    untrusted input (uploads, archives), and following an arbitrary path
+    would read unrelated host files into the image."""
+    import os
+    if os.path.isabs(rel):
+        raise ValueError(
+            f'{fmt} data file reference must be relative: {rel!r}')
+    base = os.path.dirname(os.path.abspath(header_path))
+    full = os.path.normpath(os.path.join(base, rel))
+    if not (full == base or full.startswith(base + os.sep)):
+        raise ValueError(
+            f'{fmt} data file reference escapes the header directory: '
+            f'{rel!r}')
+    return full

@@ -11,7 +11,7 @@ import os
 from typing import Dict
 import numpy as np
 
-from .image import MedicalImage
+from .image import MedicalImage, reader_guard, resolve_datafile
 from . import native as _native
 
 _MET_TYPES = {
@@ -24,6 +24,7 @@ _MET_TYPES = {
 _MET_INV = {np.dtype(v): k for k, v in _MET_TYPES.items()}
 
 
+@reader_guard('MetaImage')
 def read(path: str) -> MedicalImage:
     header: Dict[str, str] = {}
     with open(path, 'rb') as f:
@@ -54,8 +55,16 @@ def read(path: str) -> MedicalImage:
         if datafile.upper() == 'LOCAL':
             raw = f.read()
         else:
-            with open(os.path.join(os.path.dirname(path), datafile), 'rb') as df:
-                raw = df.read()
+            dpath = resolve_datafile(path, datafile, 'MetaImage')
+            try:
+                with open(dpath, 'rb') as df:
+                    raw = df.read()
+            except OSError as ex:
+                # the reference comes from the (untrusted) header, not
+                # the caller: surface per the io error contract
+                raise ValueError(
+                    f'MetaImage data file not readable: {datafile!r} '
+                    f'({ex})') from ex
 
     if compressed:
         raw = _native.gzip_decompress(raw)

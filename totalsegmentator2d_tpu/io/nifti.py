@@ -16,7 +16,7 @@ import gzip
 import struct
 import numpy as np
 
-from .image import MedicalImage
+from .image import MedicalImage, reader_guard
 from . import native as _native
 
 _DT = {
@@ -73,6 +73,7 @@ def _parse_header(buf: bytes) -> dict:
     return hdr
 
 
+@reader_guard('NIfTI')
 def read(path: str) -> MedicalImage:
     raw = open(path, 'rb').read()
     if raw[:2] == b'\x1f\x8b':

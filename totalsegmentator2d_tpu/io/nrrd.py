@@ -19,7 +19,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from .image import MedicalImage
+from .image import MedicalImage, reader_guard, resolve_datafile
 from . import native as _native
 
 _MAGIC = b'NRRD'
@@ -131,6 +131,7 @@ def _decode_payload(f, encoding: str, dtype: np.dtype, count: int,
     raise ValueError(f'Unsupported NRRD encoding: {encoding}')
 
 
+@reader_guard('NRRD')
 def read(path: str) -> MedicalImage:
     with open(path, 'rb') as f:
         fields, keyvalues = read_header(f)
@@ -145,8 +146,15 @@ def read(path: str) -> MedicalImage:
         line_skip = int(fields.get('line skip', fields.get('lineskip', 0)))
         if 'data file' in fields or 'datafile' in fields:
             rel = fields.get('data file', fields.get('datafile'))
-            dpath = os.path.join(os.path.dirname(path), rel)
-            with open(dpath, 'rb') as df:
+            dpath = resolve_datafile(path, rel, 'NRRD')
+            try:
+                df = open(dpath, 'rb')
+            except OSError as ex:
+                # the reference comes from the (untrusted) header, not
+                # the caller: surface per the io error contract
+                raise ValueError(
+                    f'NRRD data file not readable: {rel!r} ({ex})') from ex
+            with df:
                 flat = _decode_payload(df, fields.get('encoding', 'raw'),
                                        dtype, int(np.prod(sizes)),
                                        byte_skip, line_skip)
