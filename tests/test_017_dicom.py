@@ -1272,6 +1272,38 @@ class TestTruncatedMarkerContainment:
                 pass
 
 
+class TestDicomLayerContainment:
+    """The element/tag parser itself (not just the pixel codecs) must
+    surface malformed files as DicomError — corrupt DS numeric strings
+    and truncated headers leaked ValueError/struct.error before."""
+
+    @pytest.mark.parametrize('ts', [_EXPLICIT, _IMPLICIT, _RLE])
+    def test_mutations_contained(self, tmp_path, ts):
+        rng = np.random.default_rng(len(ts))
+        arr = rng.integers(-500, 1500, (10, 12)).astype(np.int16)
+        p = tmp_path / 'a.dcm'
+        write_slice(str(p), arr, position=(0, 0, 0), transfer_syntax=ts)
+        base = bytearray(p.read_bytes())
+        pm = tmp_path / 'm.dcm'
+        for trial in range(120):
+            data = bytearray(base)
+            for _ in range(int(rng.integers(1, 6))):
+                data[int(rng.integers(0, len(data)))] = \
+                    int(rng.integers(0, 256))
+            pm.write_bytes(bytes(data))
+            try:
+                read_dicom_file(str(pm))
+            except DicomError:
+                pass
+        for _ in range(40):
+            cut = int(rng.integers(1, len(base)))
+            pm.write_bytes(bytes(base[:cut]))
+            try:
+                read_dicom_file(str(pm))
+            except DicomError:
+                pass
+
+
 class TestMutationRobustness:
     """Seeded slice of the development-time mutation fuzz (4800 random
     corruptions, no crashes/hangs): every corruption either decodes to

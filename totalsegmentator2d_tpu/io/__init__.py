@@ -73,7 +73,16 @@ def write_image(img: MedicalImage, path: str, compress: bool = True) -> None:
 
 def _read_raster(path: str) -> MedicalImage:
     from PIL import Image as PILImage
-    arr = np.asarray(PILImage.open(path))
+    try:
+        with PILImage.open(path) as im:
+            arr = np.asarray(im)
+    except ValueError:
+        raise
+    except (OSError, SyntaxError) as ex:
+        # PIL raises UnidentifiedImageError/OSError/SyntaxError on broken
+        # rasters; surface per the io ValueError contract
+        raise ValueError(
+            f'Corrupt raster image file ({type(ex).__name__}: {ex})') from ex
     is_vector = arr.ndim == 3
     return MedicalImage(array=arr, is_vector=is_vector)
 

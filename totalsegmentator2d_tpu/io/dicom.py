@@ -429,7 +429,21 @@ def read_dicom_file(path: str) -> dict:
     orientation, pixel_spacing, instance, series_uid} (plus array/position
     aliases of frame 0). Multi-frame files yield one entry per frame:
     Enhanced-CT per-frame plane positions, or legacy top-level position +
-    SpacingBetweenSlices. Raises DicomError on unsupported encodings."""
+    SpacingBetweenSlices. Raises DicomError on unsupported encodings AND
+    on malformed files (corrupt numeric strings, truncated headers —
+    parser internals must not leak as foreign exception types)."""
+    try:
+        return _read_dicom_file(path)
+    except DicomError:
+        raise
+    except (ValueError, KeyError, IndexError, struct.error,
+            UnicodeDecodeError, EOFError, OverflowError) as ex:
+        raise DicomError(
+            f'{os.path.basename(path)}: corrupt DICOM file '
+            f'({type(ex).__name__}: {ex})') from ex
+
+
+def _read_dicom_file(path: str) -> dict:
     name = os.path.basename(path)
     with open(path, 'rb') as f:
         buf = f.read()
