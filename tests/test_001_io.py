@@ -239,8 +239,11 @@ class TestReaderContainment:
         ('a.nrrd', True), ('b.nrrd', False), ('c.nii', False),
         ('d.nii.gz', True), ('e.mha', True), ('f.mha', False)])
     def test_mutations_contained(self, tmp_path, name, compress):
+        import zlib
         from totalsegmentator2d_tpu.io import read_image, write_image
-        rng = np.random.default_rng(hash(name) % (2 ** 31))
+        # crc32, not hash(): str hashes are salted per process, and a
+        # seeded fuzz slice must reproduce across runs
+        rng = np.random.default_rng(zlib.crc32(name.encode()))
         arr = rng.integers(-500, 1500, (4, 8, 9)).astype(np.int16)
         img = MedicalImage(array=arr, spacing=(0.7, 0.8, 2.5))
         p = tmp_path / name

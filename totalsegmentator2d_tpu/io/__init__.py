@@ -76,11 +76,12 @@ def _read_raster(path: str) -> MedicalImage:
     try:
         with PILImage.open(path) as im:
             arr = np.asarray(im)
-    except ValueError:
-        raise
-    except (OSError, SyntaxError) as ex:
+    except (OSError, SyntaxError,
+            PILImage.DecompressionBombError) as ex:
         # PIL raises UnidentifiedImageError/OSError/SyntaxError on broken
-        # rasters; surface per the io ValueError contract
+        # rasters and DecompressionBombError (a bare Exception subclass)
+        # on absurd declared dimensions; surface per the io ValueError
+        # contract
         raise ValueError(
             f'Corrupt raster image file ({type(ex).__name__}: {ex})') from ex
     is_vector = arr.ndim == 3

@@ -432,12 +432,12 @@ def read_dicom_file(path: str) -> dict:
     SpacingBetweenSlices. Raises DicomError on unsupported encodings AND
     on malformed files (corrupt numeric strings, truncated headers —
     parser internals must not leak as foreign exception types)."""
+    from .image import PARSER_ERRORS
     try:
         return _read_dicom_file(path)
     except DicomError:
         raise
-    except (ValueError, KeyError, IndexError, struct.error,
-            UnicodeDecodeError, EOFError, OverflowError) as ex:
+    except (ValueError, *PARSER_ERRORS) as ex:
         raise DicomError(
             f'{os.path.basename(path)}: corrupt DICOM file '
             f'({type(ex).__name__}: {ex})') from ex

@@ -191,18 +191,33 @@ def is_label_image(img: MedicalImage) -> bool:
     return is_label_dtype(img.array.dtype)
 
 
-def reader_guard(fmt: str):
-    """Wrap a format reader so malformed files surface as ValueError (the
-    io error contract) instead of leaking parser internals — KeyError
-    from header-field/type-code lookups, zlib/gzip errors from corrupt
-    compressed payloads, struct/Unicode/EOF/Index errors from truncated
-    bytes. Deliberate ValueErrors pass through unchanged; a missing
-    INPUT file still raises FileNotFoundError (only the specific gzip
-    subclass of OSError is caught)."""
-    import functools
+def _parser_errors():
+    """The foreign exception types a malformed byte stream can raise out
+    of any of this package's parsers: KeyError from header-field /
+    type-code lookups, zlib/gzip errors from corrupt compressed
+    payloads, struct/EOF/Index/Overflow errors from truncated or
+    nonsense bytes. ONE list, shared by every containment wrapper
+    (reader_guard here, read_dicom_file, jpegll/jpegdct.decode), so a
+    new leak class fixed in one place is fixed everywhere.
+    UnicodeDecodeError is deliberately absent: it subclasses ValueError,
+    which each wrapper already handles per its own contract."""
     import gzip
     import struct
     import zlib
+    return (KeyError, IndexError, struct.error, EOFError, OverflowError,
+            zlib.error, gzip.BadGzipFile)
+
+
+PARSER_ERRORS = _parser_errors()
+
+
+def reader_guard(fmt: str):
+    """Wrap a format reader so malformed files surface as ValueError (the
+    io error contract) instead of leaking parser internals
+    (PARSER_ERRORS). Deliberate ValueErrors pass through unchanged; a
+    missing INPUT file still raises FileNotFoundError (only the specific
+    gzip subclass of OSError is in the list)."""
+    import functools
 
     def deco(fn):
         @functools.wraps(fn)
@@ -211,9 +226,7 @@ def reader_guard(fmt: str):
                 return fn(path, *args, **kwargs)
             except ValueError:
                 raise
-            except (KeyError, IndexError, struct.error, UnicodeDecodeError,
-                    EOFError, OverflowError, zlib.error,
-                    gzip.BadGzipFile) as ex:
+            except PARSER_ERRORS as ex:
                 raise ValueError(
                     f'Corrupt {fmt} file ({type(ex).__name__}: {ex})') from ex
         return wrapped

@@ -1218,11 +1218,12 @@ def _strip_jp2(buf: bytes) -> bytes:
 def decode(buf: bytes) -> np.ndarray:
     """Decode one JPEG 2000 codestream (raw or in a JP2 container) into a
     (rows, cols) int32 array (signed components) or uint8/uint16."""
+    from .image import PARSER_ERRORS
     try:
         return _decode(buf)
     except Jpeg2kError:
         raise
-    except (IndexError, ValueError, struct.error) as ex:
+    except (ValueError, *PARSER_ERRORS) as ex:
         # malformed marker bodies must surface as the codec error type so
         # io/dicom.py's error wrapping keeps its DicomError contract
         raise Jpeg2kError(f'Corrupt JPEG 2000 codestream ({ex})') from ex

@@ -320,11 +320,12 @@ def _blocks_to_image(coefs: np.ndarray, q: np.ndarray, rows: int, cols: int,
 def decode(buf: bytes) -> np.ndarray:
     """Decode one sequential-DCT JPEG stream (SOF0/SOF1, grayscale) into a
     (rows, cols) uint8 (8-bit) or uint16 (12-bit) array."""
+    from .image import PARSER_ERRORS
     try:
         return _decode(buf)
     except JpegError:
         raise
-    except (IndexError, ValueError, struct.error) as ex:
+    except (ValueError, *PARSER_ERRORS) as ex:
         # malformed marker bodies must surface as the codec error type so
         # io/dicom.py's error wrapping keeps its DicomError contract
         raise JpegError(f'Corrupt JPEG stream ({ex})') from ex

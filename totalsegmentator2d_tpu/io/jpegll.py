@@ -310,11 +310,12 @@ def decode(buf: bytes) -> np.ndarray:
     """Decode one JPEG Lossless (SOF3) stream into a (rows, cols) uint16
     array (point transform re-applied, i.e. values are shifted back to
     their stated precision)."""
+    from .image import PARSER_ERRORS
     try:
         return _decode(buf)
     except JpegError:
         raise
-    except (IndexError, ValueError, struct.error) as ex:
+    except (ValueError, *PARSER_ERRORS) as ex:
         # malformed marker bodies must surface as the codec error type so
         # io/dicom.py's error wrapping keeps its DicomError contract
         raise JpegError(f'Corrupt JPEG stream ({ex})') from ex

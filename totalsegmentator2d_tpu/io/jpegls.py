@@ -318,11 +318,12 @@ def _decode_scan_py(data: bytes, w: int, h: int, p: _Params) -> np.ndarray:
 
 def decode(buf: bytes) -> np.ndarray:
     """Decode one JPEG-LS stream into a (rows, cols) uint8/uint16 array."""
+    from .image import PARSER_ERRORS
     try:
         return _decode(buf)
     except JpegLsError:
         raise
-    except (IndexError, ValueError, struct.error) as ex:
+    except (ValueError, *PARSER_ERRORS) as ex:
         # malformed marker bodies must surface as the codec error type so
         # io/dicom.py's error wrapping keeps its DicomError contract
         raise JpegLsError(f'Corrupt JPEG-LS stream ({ex})') from ex

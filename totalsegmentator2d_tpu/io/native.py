@@ -296,6 +296,10 @@ def jpegdct_reconstruct(coefs, q, zigzag, m, bw: int, bh: int, rows: int,
     if fn is None:  # stale library built before the kernel existed
         return None
     coefs = np.ascontiguousarray(coefs, np.int32)
+    if coefs.shape != (bw * bh, 64):
+        # the C loop would read past a short buffer where the numpy
+        # fallback's reshape raises; refuse and let the fallback surface it
+        return None
     q = np.ascontiguousarray(q, np.uint16)
     zigzag = np.ascontiguousarray(zigzag, np.int32)
     m = np.ascontiguousarray(m, np.float64)
