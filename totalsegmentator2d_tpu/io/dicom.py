@@ -849,10 +849,20 @@ def read_dicom_series(path: str) -> MedicalImage:
             raise DicomError('Slices disagree on PixelSpacing')
 
     iop = ref_iop or [1, 0, 0, 0, 1, 0]
+    if len(iop) != 6:
+        # a corrupt ImageOrientationPatient with the wrong multiplicity
+        # would otherwise surface as numpy shape errors downstream
+        raise DicomError(
+            f'ImageOrientationPatient has {len(iop)} values (expected 6)')
     x_dir = np.asarray(iop[0:3], float)
     y_dir = np.asarray(iop[3:6], float)
     normal = np.cross(x_dir, y_dir)
 
+    for s in slices:
+        if s['position'] and len(s['position']) != 3:
+            raise DicomError(
+                f'ImagePositionPatient has {len(s["position"])} values '
+                f'(expected 3)')
     n_pos = sum(len(s['position']) == 3 for s in slices)
     if len(slices) > 1 and n_pos < len(slices):
         # guessing dz (and slice order) would silently produce wrong
@@ -885,6 +895,12 @@ def read_dicom_series(path: str) -> MedicalImage:
         else (0.0, 0.0, 0.0)
     direction = np.stack([x_dir, y_dir, z_dir], axis=1)
 
+    shapes = {s['array'].shape for s in slices}
+    if len(shapes) > 1:
+        # np.stack's bare ValueError would leak past the DicomError
+        # contract (and its message names numpy, not the file problem)
+        raise DicomError(
+            f'Inconsistent slice shapes in series: {sorted(shapes)}')
     vol = np.stack([s['array'] for s in slices])  # (Z, Y, X)
     return MedicalImage(array=vol, spacing=spacing, origin=origin,
                         direction=direction)
