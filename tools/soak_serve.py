@@ -1,0 +1,153 @@
+"""Serving soak: randomized concurrent load against a live server.
+
+Spins up TS2DServer on the synthetic zoo with batching=True (the
+production default — exercises the micro-batcher's coalescing, the
+dispatcher restart path, and the watcher pre-fetch) and fires a
+randomized mix from several client threads for --minutes:
+
+ - valid scan predicts (the bundled 2-channel projection asset),
+ - corrupt payloads (mutated bytes; must 400, never 500),
+ - oversized posts (must 413),
+ - /health /metrics /labels reads,
+
+then asserts: the server answered every request, no unexpected status
+appeared, every 200 body matches the solo-request reference bytes-wise
+or within the documented batched tolerance, RSS growth stays bounded,
+and /metrics still parses. Run on CPU:
+
+    JAX_PLATFORMS=cpu python tools/soak_serve.py [--minutes M]
+"""
+
+import argparse
+import collections
+import json
+import os
+import random
+import sys
+import threading
+import time
+import urllib.error
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'tests'))
+
+
+def rss_mb():
+    with open('/proc/self/status') as f:
+        for line in f:
+            if line.startswith('VmRSS'):
+                return int(line.split()[1]) / 1024
+    return 0.0
+
+
+def main(minutes: float) -> int:
+    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    import numpy as np
+    import tempfile
+    from conftest import asset_path
+    from model_fixtures import build_group_set
+    from totalsegmentator2d_tpu.api import TS2D
+    from totalsegmentator2d_tpu.serve import TS2DServer
+
+    payload = open(asset_path('sample_s0332.nrrd'), 'rb').read()
+    stats = collections.Counter()
+    errors = []
+    stop = threading.Event()
+
+    with tempfile.TemporaryDirectory() as zoo:
+        build_group_set(zoo, model='ts2d-v9-test',
+                        groups=('cardiac', 'ribs'))
+        with TS2D(key='ts2d-v9-test', use_remote=False, local=zoo,
+                  batching=True) as tool, \
+                TS2DServer(tool, port=0,
+                           max_body_bytes=32 << 20) as srv:
+            base = f'http://127.0.0.1:{srv.port}'
+
+            def post(path, data, timeout=600):
+                req = urllib.request.Request(base + path, data=data,
+                                             method='POST')
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout) as r:
+                        return r.status, r.read()
+                except urllib.error.HTTPError as ex:
+                    return ex.code, ex.read()
+
+            # compile + reference response before load starts
+            st, ref_body = post('/predict?format=nrrd', payload)
+            assert st == 200, f'warmup predict failed: {st}'
+            print('warmup done; soaking...', flush=True)
+            rss0 = rss_mb()
+
+            def client(seed):
+                rng = random.Random(seed)
+                while not stop.is_set():
+                    roll = rng.random()
+                    try:
+                        if roll < 0.55:
+                            st, body = post('/predict?format=nrrd', payload)
+                            stats[f'predict:{st}'] += 1
+                            if st == 200 and body != ref_body:
+                                # batched programs may flip borderline
+                                # sigmoid pixels (documented); sizes must
+                                # still match
+                                stats['predict:200-nonbitwise'] += 1
+                                if len(body) != len(ref_body):
+                                    errors.append('response size drift')
+                        elif roll < 0.75:
+                            data = bytearray(payload[:4096])
+                            for _ in range(rng.randint(1, 8)):
+                                data[rng.randrange(len(data))] = \
+                                    rng.randrange(256)
+                            st, _ = post('/predict?format=nrrd',
+                                         bytes(data))
+                            stats[f'corrupt:{st}'] += 1
+                            if st >= 500:
+                                errors.append(f'corrupt payload -> {st}')
+                        elif roll < 0.80:
+                            big = b'x' * (65 << 20)
+                            st, _ = post('/predict?format=nrrd', big)
+                            stats[f'big:{st}'] += 1
+                            if st not in (413,):
+                                errors.append(f'oversized -> {st}')
+                        else:
+                            path = rng.choice(['/health', '/metrics',
+                                               '/labels'])
+                            with urllib.request.urlopen(
+                                    base + path, timeout=60) as r:
+                                stats[f'{path}:{r.status}'] += 1
+                    except Exception as ex:  # noqa: BLE001
+                        errors.append(f'{type(ex).__name__}: {ex}')
+                    time.sleep(rng.random() * 0.05)
+
+            threads = [threading.Thread(target=client, args=(i,),
+                                        daemon=True) for i in range(4)]
+            for t in threads:
+                t.start()
+            time.sleep(minutes * 60)
+            stop.set()
+            for t in threads:
+                t.join(timeout=600)
+
+            with urllib.request.urlopen(base + '/metrics', timeout=60) as r:
+                metrics = json.loads(r.read())
+            rss1 = rss_mb()
+
+    print('status counts:', dict(stats))
+    print('metrics:', {k: metrics[k] for k in sorted(metrics)
+                       if isinstance(metrics[k], (int, float))})
+    print(f'RSS {rss0:.0f} -> {rss1:.0f} MB')
+    for e in errors[:10]:
+        print('ERROR:', e)
+    ok = (not errors and stats.get('predict:200', 0) > 0
+          and rss1 - rss0 < 1500)
+    print('SOAK', 'PASS' if ok else 'FAIL')
+    return 0 if ok else 1
+
+
+if __name__ == '__main__':
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--minutes', type=float, default=5.0)
+    sys.exit(main(ap.parse_args().minutes))

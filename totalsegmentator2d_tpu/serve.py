@@ -209,11 +209,26 @@ class TS2DServer:
                         {'error': 'Content-Length required'}).encode())
                     return
                 if length > server.max_body_bytes:
-                    # reject BEFORE reading: an over-limit body never
-                    # touches memory (the connection closes on it)
+                    # reject BEFORE buffering: an over-limit body never
+                    # accumulates in memory. A bounded lingering drain
+                    # (nginx-style) lets a plain client finish writing and
+                    # actually READ the 413 — responding and closing
+                    # immediately gives it EPIPE instead of the status.
                     self._send(413, 'application/json', json.dumps(
                         {'error': f'request body {length} bytes exceeds '
                                   f'limit {server.max_body_bytes}'}).encode())
+                    try:
+                        self.wfile.flush()
+                        import time as _time
+                        deadline = _time.monotonic() + 5.0
+                        left = length
+                        while left > 0 and _time.monotonic() < deadline:
+                            chunk = self.rfile.read(min(left, 1 << 20))
+                            if not chunk:
+                                break
+                            left -= len(chunk)
+                    except OSError:
+                        pass  # client already went away
                     self.close_connection = True
                     return
                 body = self.rfile.read(length)
