@@ -41,7 +41,24 @@ def rss_mb():
     return 0.0
 
 
-def main(minutes: float) -> int:
+def install_chaos(rate: float, active: threading.Event):
+    """Monkeypatch DynamicBatcher._dispatch to die randomly while
+    ``active`` is set — exercising the dispatcher-restart elasticity
+    (crash counter, waiter poisoning, budget reset on healthy dispatch)
+    under real traffic instead of the unit tests' controlled calls."""
+    from totalsegmentator2d_tpu.inference.batching import DynamicBatcher
+    real = DynamicBatcher._dispatch
+    rng = random.Random(1234)
+
+    def chaotic(self, key, take):
+        if active.is_set() and rng.random() < rate:
+            raise RuntimeError('chaos: injected dispatcher crash')
+        return real(self, key, take)
+
+    DynamicBatcher._dispatch = chaotic
+
+
+def main(minutes: float, chaos: float = 0.0) -> int:
     os.environ.setdefault('JAX_PLATFORMS', 'cpu')
     import jax
     jax.config.update('jax_platforms', 'cpu')
@@ -56,6 +73,9 @@ def main(minutes: float) -> int:
     stats = collections.Counter()
     errors = []
     stop = threading.Event()
+    chaos_on = threading.Event()
+    if chaos > 0:
+        install_chaos(chaos, chaos_on)
 
     with tempfile.TemporaryDirectory() as zoo:
         build_group_set(zoo, model='ts2d-v9-test',
@@ -88,6 +108,11 @@ def main(minutes: float) -> int:
                     try:
                         if roll < 0.55:
                             st, body = post('/predict?format=nrrd', payload)
+                            if st == 500 and chaos_on.is_set():
+                                # a request riding a killed dispatch fails;
+                                # elasticity means the NEXT one succeeds
+                                stats['predict:500-chaos'] += 1
+                                continue
                             stats[f'predict:{st}'] += 1
                             if st == 200 and body != ref_body:
                                 # batched programs may flip borderline
@@ -126,7 +151,19 @@ def main(minutes: float) -> int:
                                         daemon=True) for i in range(4)]
             for t in threads:
                 t.start()
-            time.sleep(minutes * 60)
+            if chaos > 0:
+                # chaos window in the middle third: the final third must
+                # recover to healthy service for the PASS criteria below
+                time.sleep(minutes * 20)
+                chaos_on.set()
+                print('chaos ON', flush=True)
+                time.sleep(minutes * 20)
+                chaos_on.clear()
+                print('chaos OFF', flush=True)
+                stats['predict:200'] = 0  # only post-chaos health counts
+                time.sleep(minutes * 20)
+            else:
+                time.sleep(minutes * 60)
             stop.set()
             for t in threads:
                 t.join(timeout=600)
@@ -150,4 +187,12 @@ def main(minutes: float) -> int:
 if __name__ == '__main__':
     ap = argparse.ArgumentParser()
     ap.add_argument('--minutes', type=float, default=5.0)
-    sys.exit(main(ap.parse_args().minutes))
+    ap.add_argument('--chaos', type=float, default=0.0,
+                    help='inject dispatcher crashes at this probability '
+                         'during the middle third of the run (exercises '
+                         'the restart elasticity; the final third must '
+                         'recover). Note the deliberate crash-loop cap: '
+                         '>=3 CONSECUTIVE injected crashes stop the '
+                         'batcher by design, failing the soak')
+    args = ap.parse_args()
+    sys.exit(main(args.minutes, args.chaos))
