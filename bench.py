@@ -155,7 +155,7 @@ def blocking_latency(engine, vol, spacing, n=5):
     return float(np.min(times))
 
 
-def pipelined_rate(engine, vol, spacing, n=48, rounds=3, threads=1,
+def pipelined_rate(engine, vol, spacing, n=48, rounds=6, threads=1,
                    linger_ms=0.0):
     """Sustained serving throughput: a stream of n scans is projected on the
     host and dispatched async; scans in flight coalesce into micro-batched
@@ -168,7 +168,8 @@ def pipelined_rate(engine, vol, spacing, n=48, rounds=3, threads=1,
     memory bandwidth (123 -> 338 ms/scan at 4 threads, perf_probe6.py).
     Best round is reported: the TPU here is reached through a shared tunnel
     whose throughput varies several-fold between moments, and min is the
-    contention-robust estimator of machine capability. n=48 keeps the
+    contention-robust estimator of machine capability (6 rounds ≈ 40 s of
+    sampling — a few independent tunnel moments). n=48 keeps the
     steady state (arrival-aware micro-batching reaches full batch-8
     occupancy after a ~3-solo burst ramp, tools/perf_probe13.py) dominant
     over the ramp-up transient."""
