@@ -380,3 +380,71 @@ class TestElasticRestart:
             assert b._inflight == 0, b._inflight  # -1 with the reset bug
         finally:
             b.stop()
+
+
+class TestSplitFetch:
+    """_BatchResult downloads large batches as concurrent per-row slice
+    fetches (tools/perf_probe16.py: one tunnel stream moves ~16 MB/s,
+    2+ streams aggregate ~38 MB/s, and the whole-batch fetch loses to
+    per-row fetches 2-4x). Must be bit-identical to the whole fetch and
+    must not trigger for solo/small results."""
+
+    def test_large_batch_split_is_bit_identical(self):
+        import jax
+        from totalsegmentator2d_tpu.inference.batching import _BatchResult
+
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 255, (8, 600_001), dtype=np.uint8)  # 4.8 MB
+        br = _BatchResult(jax.device_put(arr))
+        out = br.get()
+        assert out.dtype == np.uint8
+        assert out.shape == arr.shape
+        assert np.array_equal(out, arr)
+        # fetch-once: second get returns the cached host copy
+        assert br.get() is out
+
+    def test_small_or_solo_results_fetch_whole(self):
+        from totalsegmentator2d_tpu.inference.batching import _BatchResult
+
+        class Spy(SlowArray):
+            ndim, sliced = 2, False
+
+            @property
+            def shape(self):
+                return self.arr.shape
+
+            @property
+            def nbytes(self):
+                return self.arr.nbytes
+
+            def __getitem__(self, key):
+                type(self).sliced = True
+                return super().__getitem__(key)
+
+        small = Spy(np.ones((8, 16), np.uint8), 0.0)   # under threshold
+        assert np.array_equal(_BatchResult(small).get(), small.arr)
+        assert not Spy.sliced
+
+    def test_split_fetch_runs_streams_concurrently(self):
+        from totalsegmentator2d_tpu.inference.batching import _BatchResult
+
+        class BigSlow(SlowArray):
+            ndim = 2
+
+            @property
+            def shape(self):
+                return self.arr.shape
+
+            @property
+            def nbytes(self):
+                return int(4_000_000)  # over the split threshold
+
+        delay = 0.08
+        arr = np.arange(8 * 32, dtype=np.uint8).reshape(8, 32)
+        dev = BigSlow(arr, delay)
+        t0 = time.perf_counter()
+        out = _BatchResult(dev).get()
+        dt = time.perf_counter() - t0
+        assert np.array_equal(out, arr)
+        # 8 rows x 0.08 s serial = 0.64 s; 4 streams bound it near 0.16
+        assert dt < 8 * delay * 0.7, dt

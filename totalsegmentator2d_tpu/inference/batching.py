@@ -34,7 +34,23 @@ import numpy as np
 
 class _BatchResult:
     """Fetch-once holder for a batched device output: the first consumer
-    downloads the whole batch; the rest read the cached host copy."""
+    downloads the whole batch; the rest read the cached host copy.
+
+    Large batches download as CONCURRENT per-scan slice fetches: through
+    the remote tunnel a single device_get stream moves only ~16 MB/s while
+    two-plus parallel streams aggregate ~38 MB/s, and per-row fetches beat
+    the one whole-batch fetch 2-4x (tools/perf_probe16.py) — the download
+    wire is the pipeline floor there (probe14), so this halves it. The
+    row slices are tiny async device programs whose dispatch overlaps the
+    fetches themselves; np.stack of the rows is bit-identical to the
+    whole-array fetch.
+    """
+
+    # below this, one fetch stream is fine (solo results, small-CT/X-ray
+    # batches whose downloads are nowhere near the pipeline bound) and the
+    # extra slice dispatches aren't worth their queue hops
+    _SPLIT_MIN_BYTES = 4_000_000
+    _SPLIT_STREAMS = 4
 
     def __init__(self, dev):
         self._dev = dev
@@ -45,7 +61,17 @@ class _BatchResult:
         with self._lock:
             if self._np is None:
                 import jax
-                self._np = np.asarray(jax.device_get(self._dev))
+                dev = self._dev
+                if (getattr(dev, 'ndim', 0) >= 1 and dev.shape[0] > 1
+                        and dev.nbytes >= self._SPLIT_MIN_BYTES):
+                    rows = [dev[i] for i in range(dev.shape[0])]
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(self._SPLIT_STREAMS) as pool:
+                        parts = list(pool.map(
+                            lambda r: np.asarray(jax.device_get(r)), rows))
+                    self._np = np.stack(parts)
+                else:
+                    self._np = np.asarray(jax.device_get(dev))
                 self._dev = None
         return self._np
 
