@@ -313,6 +313,98 @@ def _full_chain_body(RC, InferenceEngine, rng) -> dict:
     return {'ok': ok, 'configs': configs, 'assets': assets}
 
 
+def check_device_full_chain() -> dict:
+    """The same composed chain, run on the DEFAULT backend (the real TPU
+    when one is attached) against the host oracle — quantifies what the
+    CPU-pinned `full-chain` check deliberately excludes: XLA's default
+    conv precision on the accelerator (~1e-2 logit drift, the documented
+    borderline-pixel flips of docs/performance.md). Synthetic configs
+    only (90x80 inputs): asset-sized programs take minutes to compile
+    through the relay tunnel for no extra semantic coverage.
+
+    Tolerances: 2e-2 max-abs logit error (device conv precision on top of
+    the 5e-3 cross-stack drift). A fixed mask-agreement percentage would
+    be dishonest here — the synthetic random-weight nets put orders of
+    magnitude more pixels at the decision boundary than trained
+    checkpoints do — so the mask criterion is *borderline-only flips*:
+    every disagreeing pixel's ORACLE decision must sit within 3x the
+    measured logit drift of the decision threshold (|logit| for
+    channelwise sigmoid>0.5, top-2 margin for argmax). Agreement is
+    still reported for the record."""
+    import jax
+
+    from tests import reference_chain as RC
+    from totalsegmentator2d_tpu.inference import InferenceEngine
+
+    platform = jax.devices()[0].platform
+    rng = np.random.default_rng(21)
+    configs = {}
+    ok = True
+    for name in ('multilabel', 'softmax', 'masked-norm', 'resampling',
+                 'multifold', 'ct-norm'):
+        arr, spacing = RC.config_input(name, rng)
+        spec, nets, fold_params = RC.build_config(name)
+        eng = InferenceEngine(spec, fold_params)
+        seg, logits, bbox = eng.predict_array(arr, spacing,
+                                              return_logits=True)
+        ref_seg, ref_logits, ref_bbox = RC.predict(arr, spacing, spec, nets)
+        drift = float(np.abs(logits - ref_logits).max())
+        dis = np.asarray(seg) != np.asarray(ref_seg)
+        margin = 3.0 * max(drift, 1e-4)
+        if seg.shape == ref_logits.shape:
+            # channelwise sigmoid > 0.5: threshold is logit 0
+            flips_borderline = bool(
+                np.all(np.abs(ref_logits[dis]) <= margin))
+        else:
+            # argmax: borderline iff the oracle's top-2 margin is small
+            part = np.partition(ref_logits, ref_logits.shape[-1] - 2,
+                                axis=-1)
+            top2 = part[..., -1] - part[..., -2]
+            while dis.ndim > top2.ndim:  # labelmap with a channel axis
+                dis = np.any(dis, axis=-1)
+            flips_borderline = bool(np.all(top2[dis] <= 2.0 * margin))
+        entry = {
+            'max_abs_logit_err': drift,
+            'mask_agreement': float((seg == ref_seg).mean()),
+            'flips_borderline_only': flips_borderline,
+            'bbox_match': bbox == ref_bbox,
+        }
+        entry['ok'] = (entry['bbox_match'] and drift < 2e-2
+                       and flips_borderline)
+        ok = ok and entry['ok']
+        configs[name] = entry
+    return {'ok': ok, 'platform': platform, 'configs': configs}
+
+
+def run_device(out_path: str) -> dict:
+    """Run the device-backend full-chain check and merge it into an
+    existing offline report (so parity_report.json accumulates both)."""
+    from bench import probe_backend
+    platform, err = probe_backend()
+    if platform in (None, 'cpu'):
+        check = {'ok': False,
+                 'error': f'no accelerator backend ({err or platform})'}
+    else:
+        try:
+            check = check_device_full_chain()
+        except Exception as ex:
+            check = {'ok': False, 'error': f'{type(ex).__name__}: {ex}'}
+    print(f'full-chain-device: {check}', file=sys.stderr)
+
+    report = {'mode': 'offline', 'checks': {}}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            if isinstance(prior.get('checks'), dict):
+                report = prior
+        except Exception:
+            pass
+    report['checks']['full-chain-device'] = check
+    report['ok'] = all(c.get('ok') for c in report['checks'].values())
+    return report
+
+
 def run_offline() -> dict:
     checks = {
         'gaussian-window': check_gaussian_window,
@@ -344,10 +436,17 @@ def main():
     ap.add_argument('--out', default='parity_report.json')
     ap.add_argument('--outdir', default='parity_out',
                     help='where to write our segmentations (real mode)')
+    ap.add_argument('--device', action='store_true',
+                    help='run the full chain on the attached accelerator '
+                         'backend and merge a full-chain-device check '
+                         'into --out (device conv-precision drift vs the '
+                         'host oracle)')
     args = ap.parse_args()
 
     if args.models:
         report = run_real(args.models, args.key, args.golden, args.outdir)
+    elif args.device:
+        report = run_device(args.out)
     else:
         report = run_offline()
     with open(args.out, 'w') as f:
