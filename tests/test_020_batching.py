@@ -383,11 +383,12 @@ class TestElasticRestart:
 
 
 class TestSplitFetch:
-    """_BatchResult downloads large batches as concurrent per-row slice
-    fetches (tools/perf_probe16.py: one tunnel stream moves ~16 MB/s,
-    2+ streams aggregate ~38 MB/s, and the whole-batch fetch loses to
-    per-row fetches 2-4x). Must be bit-identical to the whole fetch and
-    must not trigger for solo/small results."""
+    """_BatchResult downloads large results as a FIXED number of
+    concurrent contiguous-slab fetches (tools/perf_probe16/18.py: one
+    tunnel stream moves ~16 MB/s, 2+ streams aggregate ~38 MB/s, and the
+    whole-array fetch loses to split fetches 2-4x). Must be bit-identical
+    to the whole fetch, must not trigger for small results, and must never
+    fan out per-row (a solo output's axis 0 is the image height)."""
 
     def test_large_batch_split_is_bit_identical(self):
         import jax
@@ -424,6 +425,35 @@ class TestSplitFetch:
         small = Spy(np.ones((8, 16), np.uint8), 0.0)   # under threshold
         assert np.array_equal(_BatchResult(small).get(), small.arr)
         assert not Spy.sliced
+
+    def test_solo_tall_result_splits_into_bounded_slabs(self):
+        """A solo program output (axis 0 = image HEIGHT, not a batch) over
+        the size threshold must split into at most _SPLIT_STREAMS contiguous
+        slabs — never per-row (advisor r3: a tall solo result fanned out
+        into hundreds of per-row tunnel RPCs, a latency regression in
+        exactly the large-download case the split targets)."""
+        from totalsegmentator2d_tpu.inference.batching import _BatchResult
+
+        class Counting(SlowArray):
+            ndim, slices = 2, 0
+
+            @property
+            def shape(self):
+                return self.arr.shape
+
+            @property
+            def nbytes(self):
+                return int(5_000_000)  # over the split threshold
+
+            def __getitem__(self, key):
+                type(self).slices += 1
+                return super().__getitem__(key)
+
+        arr = np.arange(600 * 40, dtype=np.uint8).reshape(600, 40)
+        out = _BatchResult(Counting(arr, 0.0)).get()
+        assert np.array_equal(out, arr)
+        assert 2 <= Counting.slices <= _BatchResult._SPLIT_STREAMS, \
+            Counting.slices
 
     def test_split_fetch_runs_streams_concurrently(self):
         from totalsegmentator2d_tpu.inference.batching import _BatchResult

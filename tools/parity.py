@@ -349,9 +349,18 @@ def check_device_full_chain() -> dict:
                                               return_logits=True)
         ref_seg, ref_logits, ref_bbox = RC.predict(arr, spacing, spec, nets)
         drift = float(np.abs(logits - ref_logits).max())
+        # seg/ref_seg live on the FULL input grid (predict_array re-embeds
+        # the crop) while logits stay at crop resolution — restrict the
+        # disagreement map to the crop before indexing the oracle logits.
+        # Anything disagreeing OUTSIDE the crop is background vs background
+        # and can never be a borderline flip.
         dis = np.asarray(seg) != np.asarray(ref_seg)
+        (y0, y1), (x0, x1) = bbox
+        outside = dis.copy()
+        outside[y0:y1, x0:x1] = False
+        dis = dis[y0:y1, x0:x1]
         margin = 3.0 * max(drift, 1e-4)
-        if seg.shape == ref_logits.shape:
+        if spec.multilabel:
             # channelwise sigmoid > 0.5: threshold is logit 0
             flips_borderline = bool(
                 np.all(np.abs(ref_logits[dis]) <= margin))
@@ -363,6 +372,7 @@ def check_device_full_chain() -> dict:
             while dis.ndim > top2.ndim:  # labelmap with a channel axis
                 dis = np.any(dis, axis=-1)
             flips_borderline = bool(np.all(top2[dis] <= 2.0 * margin))
+        flips_borderline = flips_borderline and not outside.any()
         entry = {
             'max_abs_logit_err': drift,
             'mask_agreement': float((seg == ref_seg).mean()),

@@ -36,14 +36,18 @@ class _BatchResult:
     """Fetch-once holder for a batched device output: the first consumer
     downloads the whole batch; the rest read the cached host copy.
 
-    Large batches download as CONCURRENT per-scan slice fetches: through
+    Large results download as CONCURRENT contiguous-slab fetches: through
     the remote tunnel a single device_get stream moves only ~16 MB/s while
-    two-plus parallel streams aggregate ~38 MB/s, and per-row fetches beat
-    the one whole-batch fetch 2-4x (tools/perf_probe16.py) — the download
-    wire is the pipeline floor there (probe14), so this halves it. The
-    row slices are tiny async device programs whose dispatch overlaps the
-    fetches themselves; np.stack of the rows is bit-identical to the
-    whole-array fetch.
+    two-plus parallel streams aggregate ~38 MB/s, and split fetches beat
+    the one whole-array fetch 2-4x (tools/perf_probe16/18.py) — the
+    download wire is the pipeline floor there (probe14), so this halves
+    it. The split is a FIXED number of index-range slabs along axis 0
+    (never per-row: _BatchResult also wraps SOLO program outputs whose
+    axis 0 is the image height, and a per-row fan-out there would turn one
+    download into hundreds of tunnel RPCs). The slab slices are tiny async
+    device programs whose dispatch overlaps the fetches themselves;
+    np.concatenate of contiguous slabs is bit-identical to the whole-array
+    fetch.
     """
 
     # below this, one fetch stream is fine (solo results, small-CT/X-ray
@@ -62,14 +66,16 @@ class _BatchResult:
             if self._np is None:
                 import jax
                 dev = self._dev
-                if (getattr(dev, 'ndim', 0) >= 1 and dev.shape[0] > 1
-                        and dev.nbytes >= self._SPLIT_MIN_BYTES):
-                    rows = [dev[i] for i in range(dev.shape[0])]
+                n = dev.shape[0] if getattr(dev, 'ndim', 0) >= 1 else 0
+                if n >= 2 and dev.nbytes >= self._SPLIT_MIN_BYTES:
+                    k = min(self._SPLIT_STREAMS, n)
+                    bounds = [n * i // k for i in range(k + 1)]
+                    slabs = [dev[bounds[i]:bounds[i + 1]] for i in range(k)]
                     from concurrent.futures import ThreadPoolExecutor
-                    with ThreadPoolExecutor(self._SPLIT_STREAMS) as pool:
+                    with ThreadPoolExecutor(k) as pool:
                         parts = list(pool.map(
-                            lambda r: np.asarray(jax.device_get(r)), rows))
-                    self._np = np.stack(parts)
+                            lambda s: np.asarray(jax.device_get(s)), slabs))
+                    self._np = np.concatenate(parts)
                 else:
                     self._np = np.asarray(jax.device_get(dev))
                 self._dev = None
