@@ -34,8 +34,15 @@ import time
 
 import numpy as np
 
-CT_PATH = '/root/reference/assets/sample_s0521.nrrd'
-XRAY_PATH = '/root/reference/assets/sample_chexpert.nrrd'
+# synthetic regenerations of the reference's bundled samples (same
+# headers/geometry, phantom content) so the bench runs without the
+# read-only reference mount (tests/synth_assets.py)
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from tests.synth_assets import asset_path as _asset_path
+CT_PATH = _asset_path('sample_s0521.nrrd')
+XRAY_PATH = _asset_path('sample_chexpert.nrrd')
 GROUP_LABELS = {  # 117 labels total, ts2d-v2 style
     'cardiac': 24, 'muscles': 21, 'organs': 22, 'ribs': 24, 'vertebrae': 26,
 }

@@ -26,11 +26,10 @@ if not os.environ.get('TS2D_TEST_TPU'):
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-REFERENCE_ASSETS = '/root/reference/assets'
-
-
-def asset_path(name: str) -> str:
-    return os.path.join(REFERENCE_ASSETS, name)
+# Synthetic regenerations of the reference's four bundled sample inputs
+# (same headers/geometry corner cases, phantom content — tests/synth_assets
+# .py), so the suite has no dependency on the read-only reference mount.
+from tests.synth_assets import asset_path  # noqa: E402, F401
 
 
 @pytest.fixture

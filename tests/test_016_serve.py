@@ -313,6 +313,152 @@ class TestMetrics:
         assert after['predict_errors'] == before['predict_errors'] + 1
 
 
+class TestProductionKnobs:
+    """Round-4 serving polish: auth token, non-local bind warning,
+    per-request timeout, shutdown drain, zip per-member cap."""
+
+    def test_auth_token_required(self, server):
+        srv = TS2DServer(server.tool, port=0, auth_token='sekret')
+        srv.start()
+        try:
+            base = f'http://127.0.0.1:{srv.port}'
+            # /health stays open (load-balancer probes)
+            with urllib.request.urlopen(f'{base}/health') as r:
+                assert r.status == 200
+            for hdrs in ({}, {'Authorization': 'Bearer wrong'}):
+                req = urllib.request.Request(f'{base}/labels', headers=hdrs)
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    urllib.request.urlopen(req)
+                assert ei.value.code == 401
+                assert ei.value.headers['WWW-Authenticate'] == 'Bearer'
+            req = urllib.request.Request(
+                f'{base}/labels',
+                headers={'Authorization': 'Bearer sekret'})
+            with urllib.request.urlopen(req) as r:
+                assert r.status == 200
+            # POST path is guarded too: junk body with the right token gets
+            # a 400 (parse failure), not a 401
+            req = urllib.request.Request(
+                f'{base}/predict', data=b'junk', method='POST',
+                headers={'Authorization': 'Bearer sekret'})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 400
+        finally:
+            srv.stop()
+
+    def test_nonlocal_bind_without_token_warns(self, server, capsys):
+        srv = TS2DServer(server.tool, host='0.0.0.0', port=0)
+        srv.start()
+        srv.stop()
+        err = capsys.readouterr().err
+        assert 'no auth token' in err and 'non-loopback' in err
+        srv2 = TS2DServer(server.tool, host='0.0.0.0', port=0,
+                          auth_token='x')
+        srv2.start()
+        srv2.stop()
+        assert 'no auth token' not in capsys.readouterr().err
+
+    def test_request_timeout_times_out(self, server):
+        import time
+        srv = TS2DServer(server.tool, port=0, request_timeout=0.2)
+        srv._handle_predict = lambda body, query: (
+            time.sleep(1.0),
+            (200, 'application/json', b'{}'))[1]
+        srv.start()
+        try:
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{srv.port}/predict',
+                data=b'x', method='POST')
+            t0 = time.perf_counter()
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 504
+            assert time.perf_counter() - t0 < 0.9  # answered before the work
+            m = json.loads(_get(srv, '/metrics')[1])
+            assert m['predict_timeouts'] == 1
+        finally:
+            assert srv.stop()  # drain waits for the orphaned predict
+
+    def test_shutdown_drains_inflight_predicts(self, server):
+        import threading
+        import time
+        srv = TS2DServer(server.tool, port=0)
+        release = threading.Event()
+        done = []
+
+        def slow(body, query):
+            release.wait(5.0)
+            done.append(True)
+            return 200, 'application/json', b'{}'
+
+        srv._handle_predict = slow
+        srv.start()
+        port = srv.port
+        resp = {}
+
+        def post():
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/predict', data=b'x',
+                method='POST')
+            with urllib.request.urlopen(req) as r:
+                resp['status'] = r.status
+
+        t = threading.Thread(target=post)
+        t.start()
+        deadline = time.monotonic() + 5.0
+        while not srv._active and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv._active == 1
+        stopper = {}
+
+        def stop():
+            stopper['drained'] = srv.stop()
+
+        ts = threading.Thread(target=stop)
+        ts.start()
+        time.sleep(0.1)
+        assert ts.is_alive()  # stop() blocks on the in-flight predict
+        release.set()
+        ts.join(5.0)
+        t.join(5.0)
+        assert stopper['drained'] is True
+        assert done == [True]
+        assert resp['status'] == 200
+
+    def test_draining_rejects_new_predicts(self, server):
+        srv = TS2DServer(server.tool, port=0)
+        srv.start()
+        try:
+            with srv._active_cv:
+                srv._draining = True
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{srv.port}/predict', data=b'x',
+                method='POST')
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req)
+            assert ei.value.code == 503
+        finally:
+            srv.stop()
+
+    def test_zip_member_cap(self, tmp_path):
+        import zipfile
+        from totalsegmentator2d_tpu.inference.database import extract_zip
+        zp = tmp_path / 'big.zip'
+        with zipfile.ZipFile(zp, 'w') as zf:
+            zf.writestr('small.dcm', b'x' * 8)
+            zf.writestr('big.dcm', b'y' * 32)
+        dest = tmp_path / 'out'
+        dest.mkdir()
+        with pytest.raises(RuntimeError, match='per-member limit'):
+            extract_zip(str(zp), str(dest), max_member_bytes=16)
+        assert not (dest / 'big.dcm').exists()
+        ok = tmp_path / 'ok'
+        ok.mkdir()
+        extract_zip(str(zp), str(ok), max_member_bytes=64)
+        assert (ok / 'big.dcm').read_bytes() == b'y' * 32
+
+
 def test_production_wire_from_channel_names():
     """--warmup warms the int16 wire CT streams will hit: voxel-picking
     projection channels (max/mip/min/first) are integral, averaging

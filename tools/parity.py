@@ -48,11 +48,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ASSETS = ('sample_s0521', 'sample_s0332', 'sample_s0616', 'sample_chexpert')
-ASSET_DIR = '/root/reference/assets'
 
 
 def _asset_path(name):
-    return os.path.join(ASSET_DIR, f'{name}.nrrd')
+    # synthetic regenerations of the reference's bundled samples (same
+    # headers/geometry, phantom content; tests/synth_assets.py)
+    from tests.synth_assets import asset_path
+    return asset_path(f'{name}.nrrd')
 
 
 # ---------------------------------------------------------------------------

@@ -80,15 +80,33 @@ def main(minutes: float, chaos: float = 0.0) -> int:
     with tempfile.TemporaryDirectory() as zoo:
         build_group_set(zoo, model='ts2d-v9-test',
                         groups=('cardiac', 'ribs'))
+        token = 'soak-token'
         with TS2D(key='ts2d-v9-test', use_remote=False, local=zoo,
                   batching=True) as tool, \
                 TS2DServer(tool, port=0,
-                           max_body_bytes=32 << 20) as srv:
+                           max_body_bytes=32 << 20,
+                           # production knobs under load: every request
+                           # carries the Bearer token; a generous predict
+                           # budget (no request should hit it — a 504
+                           # would count as an unexpected status)
+                           auth_token=token,
+                           request_timeout=300.0) as srv:
             base = f'http://127.0.0.1:{srv.port}'
+            auth = {'Authorization': f'Bearer {token}'}
 
-            def post(path, data, timeout=600):
+            def post(path, data, timeout=600, headers=auth):
                 req = urllib.request.Request(base + path, data=data,
-                                             method='POST')
+                                             method='POST',
+                                             headers=headers or {})
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout) as r:
+                        return r.status, r.read()
+                except urllib.error.HTTPError as ex:
+                    return ex.code, ex.read()
+
+            def get(path, timeout=60, headers=auth):
+                req = urllib.request.Request(base + path,
+                                             headers=headers or {})
                 try:
                     with urllib.request.urlopen(req, timeout=timeout) as r:
                         return r.status, r.read()
@@ -137,12 +155,19 @@ def main(minutes: float, chaos: float = 0.0) -> int:
                             stats[f'big:{st}'] += 1
                             if st not in (413,):
                                 errors.append(f'oversized -> {st}')
+                        elif roll < 0.85:
+                            # missing/wrong token must 401, never serve
+                            bad = rng.choice([
+                                None, {'Authorization': 'Bearer wrong'}])
+                            st, _ = get('/labels', headers=bad)
+                            stats[f'unauth:{st}'] += 1
+                            if st != 401:
+                                errors.append(f'unauthenticated -> {st}')
                         else:
                             path = rng.choice(['/health', '/metrics',
                                                '/labels'])
-                            with urllib.request.urlopen(
-                                    base + path, timeout=60) as r:
-                                stats[f'{path}:{r.status}'] += 1
+                            st, _ = get(path)
+                            stats[f'{path}:{st}'] += 1
                     except Exception as ex:  # noqa: BLE001
                         errors.append(f'{type(ex).__name__}: {ex}')
                     time.sleep(rng.random() * 0.05)
@@ -168,9 +193,15 @@ def main(minutes: float, chaos: float = 0.0) -> int:
             for t in threads:
                 t.join(timeout=600)
 
-            with urllib.request.urlopen(base + '/metrics', timeout=60) as r:
-                metrics = json.loads(r.read())
+            st, body = get('/metrics')
+            assert st == 200, f'/metrics -> {st}'
+            metrics = json.loads(body)
             rss1 = rss_mb()
+            # shutdown drain: stop() must return True (all in-flight
+            # predicts finished) — exercised here explicitly so the
+            # context-manager exit below is a no-op
+            if not srv.stop():
+                errors.append('shutdown drain timed out')
 
     print('status counts:', dict(stats))
     print('metrics:', {k: metrics[k] for k in sorted(metrics)

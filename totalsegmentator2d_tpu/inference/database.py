@@ -224,13 +224,17 @@ class URLDataBase(DataBase):
 
 
 def extract_zip(zip_path: str, dest_root: str,
-                max_total_bytes: int = None) -> None:
+                max_total_bytes: int = None,
+                max_member_bytes: int = None) -> None:
     """Verify + extract an untrusted zip (registry downloads, and the
     serving endpoint's uploaded DICOM series): CRC check of every member
     first; member paths must stay inside the destination (no absolute
     paths or '..' traversal); with ``max_total_bytes`` set, the DECLARED
     decompressed total is capped before anything is written — a zip bomb
-    fails fast instead of filling the disk."""
+    fails fast instead of filling the disk. ``max_member_bytes``
+    additionally caps each single member's declared size (a series zip is
+    many small slices; one member claiming gigabytes is an attack, not a
+    scan)."""
     with zipfile.ZipFile(zip_path) as zf:
         bad = zf.testzip()
         if bad is not None:
@@ -242,6 +246,12 @@ def extract_zip(zip_path: str, dest_root: str,
             if not (target + os.sep).startswith(dest + os.sep):
                 raise RuntimeError(
                     f'Zip member escapes the destination: {info.filename}')
+            if (max_member_bytes is not None
+                    and info.file_size > max_member_bytes):
+                raise RuntimeError(
+                    f'Zip member {info.filename} declares {info.file_size} '
+                    f'decompressed bytes (per-member limit '
+                    f'{max_member_bytes})')
             total += info.file_size
         if max_total_bytes is not None and total > max_total_bytes:
             raise RuntimeError(

@@ -23,6 +23,15 @@ Start:  python -m totalsegmentator2d_tpu.serve --model ts2d --port 8008
         [--warmup ZxX ...]   pre-compile the device programs for the given
                              projection shapes (a cold shape costs a full
                              XLA compile on first request)
+
+Production knobs: ``--auth-token`` (or $TS2D_AUTH_TOKEN) requires a Bearer
+token on everything but /health and is strongly recommended for
+non-loopback ``--host`` binds (the server warns otherwise — there is no
+TLS here; front it with a reverse proxy); ``--request-timeout`` answers
+504 past a per-predict wall-clock budget; ``--max-body-mb`` caps request
+bodies (413), zipped series additionally cap at 8 GiB declared total and
+1 GiB per member; shutdown (SIGINT / ``stop()``) drains in-flight
+predicts — new ones answer 503 — before returning.
 """
 
 from __future__ import annotations
@@ -42,23 +51,93 @@ from .utils.logging import log, warn
 DEFAULT_MAX_BODY = 512 * 1024 * 1024
 
 
+#: per-member declared-size cap for zipped-series uploads (a DICOM slice
+#: is a few MB; one member claiming more than this is an attack, not a
+#: scan). Applies on top of the global request-body cap and the 8 GiB
+#: declared-total cap.
+ZIP_MEMBER_MAX_BYTES = 1 << 30
+
+
 class TS2DServer:
     def __init__(self, tool, host: str = '127.0.0.1', port: int = 8008,
-                 max_body_bytes: int = DEFAULT_MAX_BODY):
+                 max_body_bytes: int = DEFAULT_MAX_BODY,
+                 request_timeout: Optional[float] = None,
+                 auth_token: Optional[str] = None):
         self.tool = tool
         self.host = host
         self.port = port
         # requests are buffered in memory (temp-file write + predict): an
         # unbounded Content-Length is an OOM; over-limit posts get 413
         self.max_body_bytes = int(max_body_bytes)
+        # per-request wall-clock budget: when set, a predict exceeding it
+        # answers 504. The underlying work is NOT killed (a device program
+        # cannot be safely interrupted mid-flight) — it finishes in its
+        # worker and the shutdown drain waits for it; the worker pool
+        # bounds how many such orphans can pile up.
+        self.request_timeout = (float(request_timeout)
+                                if request_timeout else None)
+        # shared-secret auth: when set, every request must carry
+        # 'Authorization: Bearer <token>' (constant-time compare)
+        self.auth_token = auth_token or None
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+        # in-flight predict accounting for the shutdown drain
+        self._active_cv = threading.Condition()
+        self._active = 0
+        self._draining = False
+        self._pool = None  # lazy; only when request_timeout is set
         # request/latency counters served at /metrics (the reference has no
         # observability surface, SURVEY.md §5; production serving needs one)
         self._metrics_lock = threading.Lock()
         self._metrics = {'predict_requests': 0, 'predict_errors': 0,
+                         'predict_timeouts': 0,
                          'predict_seconds_total': 0.0,
                          'predict_seconds_max': 0.0}
+
+    def _check_auth(self, headers) -> bool:
+        if self.auth_token is None:
+            return True
+        import hmac
+        return hmac.compare_digest(headers.get('Authorization', ''),
+                                   f'Bearer {self.auth_token}')
+
+    def _predict_guarded(self, body: bytes, query: dict):
+        """Run a predict under the in-flight accounting (shutdown drains
+        it) and, when ``request_timeout`` is set, under a wall-clock
+        budget (HTTP 504 past it; the work itself finishes in its pool
+        worker — a device program cannot be interrupted mid-flight — and
+        the drain waits for it)."""
+        with self._active_cv:
+            if self._draining:
+                return 503, 'application/json', json.dumps(
+                    {'error': 'server is shutting down'}).encode()
+            self._active += 1
+
+        def task():
+            try:
+                return self._handle_predict(body, query)
+            finally:
+                with self._active_cv:
+                    self._active -= 1
+                    self._active_cv.notify_all()
+
+        if self.request_timeout is None:
+            return task()
+        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import TimeoutError as FutTimeout
+        with self._active_cv:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    8, thread_name_prefix='ts2d-serve-predict')
+        fut = self._pool.submit(task)
+        try:
+            return fut.result(timeout=self.request_timeout)
+        except FutTimeout:
+            with self._metrics_lock:
+                self._metrics['predict_timeouts'] += 1
+            return 504, 'application/json', json.dumps(
+                {'error': f'predict exceeded the {self.request_timeout}s '
+                          f'request timeout'}).encode()
 
     def _record(self, seconds: float, error: bool) -> None:
         with self._metrics_lock:
@@ -129,10 +208,13 @@ class TS2DServer:
                 series = os.path.join(tmp, 'series')
                 os.mkdir(series)
                 try:
-                    # CRC + traversal guard + declared-size cap (8 GiB:
-                    # far above any real series, far below a zip bomb)
+                    # CRC + traversal guard + declared-size caps: 8 GiB
+                    # total (far above any real series, far below a zip
+                    # bomb) and ZIP_MEMBER_MAX_BYTES per member (a series
+                    # is many small slices; one huge member is an attack)
                     extract_zip(in_path, series,
-                                max_total_bytes=8 << 30)
+                                max_total_bytes=8 << 30,
+                                max_member_bytes=ZIP_MEMBER_MAX_BYTES)
                 except Exception as ex:
                     return 400, 'application/json', json.dumps(
                         {'error': f'failed to extract zip: {ex}'}).encode()
@@ -169,8 +251,21 @@ class TS2DServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # socket idle timeout: a stalled client (slow-loris) holds a
+            # handler thread at most this long before the connection closes
+            timeout = 60
+
             def log_message(self, fmt, *args):
                 log(f'[serve] {fmt % args}')
+
+            def _unauthorized(self, path) -> bool:
+                if path == '/health' or server._check_auth(self.headers):
+                    return False
+                self._send(401, 'application/json', json.dumps(
+                    {'error': 'missing or invalid Authorization: Bearer '
+                              'token'}).encode(),
+                           {'WWW-Authenticate': 'Bearer'})
+                return True
 
             def _send(self, status, ctype, payload, headers=None):
                 self.send_response(status)
@@ -183,6 +278,8 @@ class TS2DServer:
 
             def do_GET(self):
                 path = self.path.split('?')[0]
+                if self._unauthorized(path):
+                    return
                 if path == '/health':
                     self._send(*server._handle_health())
                 elif path == '/labels':
@@ -196,6 +293,8 @@ class TS2DServer:
             def do_POST(self):
                 from urllib.parse import parse_qs, urlparse
                 parsed = urlparse(self.path)
+                if self._unauthorized(parsed.path):
+                    return
                 if parsed.path != '/predict':
                     self._send(404, 'application/json',
                                json.dumps({'error': 'not found'}).encode())
@@ -235,7 +334,8 @@ class TS2DServer:
                 import time
                 t0 = time.perf_counter()
                 try:
-                    result = server._handle_predict(body, parse_qs(parsed.query))
+                    result = server._predict_guarded(body,
+                                                     parse_qs(parsed.query))
                 except Exception as ex:
                     warn(f'[serve] predict failed: {ex}')
                     result = (500, 'application/json',
@@ -247,6 +347,8 @@ class TS2DServer:
         return Handler
 
     def start(self) -> 'TS2DServer':
+        with self._active_cv:
+            self._draining = False
         self._httpd = ThreadingHTTPServer((self.host, self.port),
                                           self._make_handler())
         self.port = self._httpd.server_address[1]
@@ -254,12 +356,41 @@ class TS2DServer:
                                         daemon=True, name='ts2d-server')
         self._thread.start()
         log(f'TS2D serving on http://{self.host}:{self.port}')
+        if (self.host not in ('127.0.0.1', 'localhost', '::1')
+                and self.auth_token is None):
+            warn(f'serving on non-loopback address {self.host!r} with no '
+                 f'auth token: the endpoint has no authentication or TLS. '
+                 f'Set auth_token / --auth-token / TS2D_AUTH_TOKEN, or put '
+                 f'it behind an authenticated reverse proxy.')
         return self
 
-    def stop(self) -> None:
+    def stop(self, drain_timeout: float = 30.0) -> bool:
+        """Stop accepting work and DRAIN in-flight predicts: new predicts
+        answer 503 immediately; the call returns once running ones finish
+        (or ``drain_timeout`` passes — then their daemon threads are
+        abandoned and False is returned)."""
+        import time
+        with self._active_cv:
+            self._draining = True
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd = None
+        drained = True
+        deadline = time.monotonic() + drain_timeout
+        with self._active_cv:
+            while self._active > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    warn(f'{self._active} predict(s) still in flight after '
+                         f'the {drain_timeout:.0f}s shutdown drain; '
+                         f'abandoning them')
+                    drained = False
+                    break
+                self._active_cv.wait(remaining)
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+        return drained
 
     def __enter__(self):
         return self.start()
@@ -297,6 +428,18 @@ def main() -> None:
                         default=DEFAULT_MAX_BODY // (1024 * 1024),
                         help='reject request bodies larger than this '
                              '(HTTP 413); bounds server memory per request')
+    parser.add_argument('--request-timeout', type=float, default=0.0,
+                        metavar='SECONDS',
+                        help='answer 504 when a predict exceeds this '
+                             'wall-clock budget (0 = no timeout); the '
+                             'orphaned work finishes in a bounded worker '
+                             'pool and shutdown drains it')
+    parser.add_argument('--auth-token', type=str,
+                        default=os.environ.get('TS2D_AUTH_TOKEN'),
+                        help='require "Authorization: Bearer <token>" on '
+                             'every endpoint except /health (default: '
+                             '$TS2D_AUTH_TOKEN); strongly recommended for '
+                             'non-loopback --host binds')
     parser.add_argument('--pad-quantum', type=int, default=None,
                         metavar='N',
                         help='quantized-shape serving: scans ride shape '
@@ -351,7 +494,9 @@ def main() -> None:
                 fused.warmup((h, w), wire=prod_wire)
         server = TS2DServer(
             tool, host=args.host, port=args.port,
-            max_body_bytes=args.max_body_mb * 1024 * 1024).start()
+            max_body_bytes=args.max_body_mb * 1024 * 1024,
+            request_timeout=args.request_timeout or None,
+            auth_token=args.auth_token).start()
         try:
             threading.Event().wait()
         except KeyboardInterrupt:
