@@ -1,0 +1,139 @@
+"""Multi-chip program STRUCTURE evidence (VERDICT r3 item 7).
+
+The dryrun (:mod:`__graft_entry__`) proves the sharded programs compile,
+execute, and agree with the single-device output. These tests pin the
+*shape* of the parallelism itself on the virtual 8-device CPU mesh, so a
+regression that silently de-shards a program (e.g. GSPMD replicating the
+batch instead of splitting it) fails loudly rather than just running
+slower on a real pod:
+
+* cohort data parallelism — each device holds exactly batch/D scans,
+  parameters are fully replicated, and the output stays batch-sharded
+  (no gratuitous gather back to one device);
+* tile-sharded single-scan mode — the compiled HLO contains the
+  cross-device ``all-reduce`` that merges the partial Gaussian
+  accumulators (the shard_map ``psum`` riding ICI on hardware), and every
+  device computes only its slice of the tile grid.
+
+The intended production launch topologies are documented in
+docs/architecture.md ("Launching on a TPU pod").
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from totalsegmentator2d_tpu.parallel import make_mesh
+
+N_DEV = 8
+
+
+@pytest.fixture(scope='module')
+def engines():
+    from tests.model_fixtures import make_dataset_json, make_plans
+    from totalsegmentator2d_tpu.inference import EnsembleEngine
+    from totalsegmentator2d_tpu.models.plans import parse_model_spec
+    from totalsegmentator2d_tpu.models.unet import init_params_np
+
+    if len(jax.devices()) < N_DEV:
+        pytest.skip(f'needs {N_DEV} devices')
+    specs, params = [], []
+    for i, labels in enumerate((('heart', 'aorta', 'vein'),
+                                ('r1', 'r2', 'r3', 'r4'))):
+        spec = parse_model_spec(make_plans(patch=(32, 32)),
+                                make_dataset_json(labels))
+        specs.append(spec)
+        params.append([init_params_np(i, spec.arch)])
+    mesh = make_mesh({'data': N_DEV}, devices=jax.devices()[:N_DEV])
+    plain = EnsembleEngine(specs, params)
+    tiled = EnsembleEngine(specs, params, tile_mesh=mesh, tile_axis='data')
+    return plain, tiled, mesh
+
+
+class TestCohortDataParallel:
+    VOL = (20, 12, 16)  # (Z, Y, X)
+
+    def _compiled(self, engines):
+        plain, _, mesh = engines
+        fn = plain._build_cohort(N_DEV, self.VOL, (1.5, 1.5),
+                                 ('max', 'mean'), mesh)
+        vols = jax.ShapeDtypeStruct((N_DEV,) + self.VOL, jnp.float32)
+        return plain, fn.lower(plain.params, vols).compile()
+
+    def test_input_shards_one_scan_per_device(self, engines):
+        plain, compiled = self._compiled(engines)
+        params_sh, vols_sh = compiled.input_shardings[0]
+        global_shape = (N_DEV,) + self.VOL
+        assert vols_sh.shard_shape(global_shape) == (1,) + self.VOL
+        # every device holds a DISTINCT batch row (true split, not a
+        # replicated batch): 8 single-row shards
+        dev_rows = {
+            d.id: idx[0] for d, idx in
+            vols_sh.devices_indices_map(global_shape).items()}
+        starts = sorted((s.start or 0) for s in dev_rows.values())
+        assert starts == list(range(N_DEV)), starts
+
+    def test_params_fully_replicated(self, engines):
+        plain, compiled = self._compiled(engines)
+        params_sh, _ = compiled.input_shardings[0]
+        leaves = jax.tree_util.tree_leaves(params_sh)
+        assert leaves, 'no param shardings captured'
+        assert all(s.is_fully_replicated for s in leaves)
+
+    def test_output_stays_batch_sharded(self, engines):
+        plain, compiled = self._compiled(engines)
+        out_sh = jax.tree_util.tree_leaves(compiled.output_shardings)
+        assert len(out_sh) == 1
+        # merged multilabel seg (N, Z, X, 3+4 labels)
+        out_shape = (N_DEV, self.VOL[0], self.VOL[2], 7)
+        assert out_sh[0].shard_shape(out_shape) == \
+            (1, self.VOL[0], self.VOL[2], 7)
+
+
+class TestTileSharded:
+    SHAPE = (70, 60)  # 12 tiles at patch 32 / step 0.5 -> 2 tiles/device
+
+    def _compiled(self, engines):
+        _, tiled, _ = engines
+        fn, meta = tiled._program(self.SHAPE, (1.5, 1.5))
+        x = jax.ShapeDtypeStruct(self.SHAPE + (2,), jnp.float32)
+        return meta, fn.lower(tiled.params, x).compile()
+
+    def test_hlo_contains_accumulator_all_reduce(self, engines):
+        """The partial Gaussian accumulators of the sliding window merge
+        with a cross-device psum — visible as all-reduce over all 8
+        devices in the optimized HLO (rides ICI on hardware)."""
+        _, compiled = self._compiled(engines)
+        hlo = compiled.as_text()
+        ars = re.findall(r'all-reduce[^\n]*replica_groups=[^\n]*', hlo)
+        assert ars, 'no all-reduce in the tile-sharded program HLO'
+        # the merge spans ALL devices (one group of 8), not a sub-group
+        assert any(
+            re.search(r'replica_groups=\{\{0(,\d+){%d}\}\}' % (N_DEV - 1),
+                      a) or f'[1,{N_DEV}]<=[{N_DEV}]' in a
+            for a in ars), ars[:3]
+
+    def test_tile_grid_splits_across_devices(self, engines):
+        """The program partitions the tile grid: per-device HLO works on
+        T/D tiles (the shard_map in_spec P(ax)), so the dominant conv
+        batch is tiles/device x TTA, not the full grid."""
+        meta, compiled = self._compiled(engines)
+        n_tiles = meta['n_tiles']
+        assert n_tiles >= N_DEV, 'grid too small to shard'
+        hlo = compiled.as_text()
+        # SPMD-partitioned module: tiles enter as (Tpad/D, 2) per device
+        per_dev = -(-n_tiles // N_DEV)
+        assert re.search(r's32\[%d,2\]' % per_dev, hlo), \
+            f'no per-device ({per_dev},2) tile shard in HLO'
+
+    def test_matches_unsharded_result(self, engines):
+        plain, tiled, _ = engines
+        rng = np.random.default_rng(7)
+        arr = (rng.standard_normal(self.SHAPE + (2,)) + 2).astype(np.float32)
+        a = plain.predict_array(arr, (1.5, 1.5))
+        b = tiled.predict_array(arr, (1.5, 1.5))
+        assert a.shape == b.shape
+        assert (np.asarray(a) == np.asarray(b)).mean() > 0.9999
