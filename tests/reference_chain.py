@@ -228,7 +228,17 @@ def build_config(name: str, channels=('max', 'mean')):
     multilabel = True
     spacing = (1.5, 1.5)
     n_folds = 1
-    plans = make_plans(patch=(64, 64), spacing=spacing, channels=channels)
+    patch, n_stages, features = (64, 64), 4, None
+    if name == 'bench-arch':
+        # the bench-scale architecture (bench.py PATCH/N_STAGES and the
+        # ts2d-v2 vertebrae group's 26 labels): 6 stages, 256^2 patch,
+        # features 32..512 — the program shape the production path runs
+        labels = tuple(f'vert-{i}' for i in range(26))
+        patch, n_stages = (256, 256), 6
+        features = (32, 64, 128, 256, 512, 512)
+    plans = make_plans(patch=patch, spacing=spacing, channels=channels,
+                       n_stages=n_stages,
+                       features=features or (8, 16, 32, 32))
     cfg2d = plans['configurations']['2d']
     if name == 'softmax':
         multilabel = False
@@ -242,14 +252,14 @@ def build_config(name: str, channels=('max', 'mean')):
                   'percentile_00_5': -120.0, 'percentile_99_5': 400.0}}
     elif name == 'multifold':
         n_folds = 2
-    elif name not in ('multilabel', 'resampling'):
+    elif name not in ('multilabel', 'resampling', 'bench-arch'):
         raise ValueError(f'unknown config {name}')
 
     ds = make_dataset_json(labels, channels=channels, multilabel=multilabel)
     spec = parse_model_spec(plans, ds)
     out_ch = len(labels) if multilabel else len(labels) + 1
     tspec = make_spec(in_channels=len(channels), out_channels=out_ch,
-                      n_stages=4)
+                      n_stages=n_stages, features=features)
     nets, fold_params = [], []
     for f in range(n_folds):
         torch.manual_seed(100 + f)
@@ -264,6 +274,8 @@ def build_config(name: str, channels=('max', 'mean')):
 def config_input(name: str, rng, shape=(90, 80), channels=2) -> Tuple[np.ndarray, Tuple[float, float]]:
     """A synthetic input suited to the named config."""
     spacing = (3.0, 3.0) if name == 'resampling' else (1.5, 1.5)
+    if name == 'bench-arch':
+        shape = (350, 280)  # the bench's torso coronal projection extent
     arr = np.zeros(shape + (channels,), np.float32)
     # sparse content: exercises crop_to_nonzero on every config
     core = (rng.standard_normal((shape[0] - 30, shape[1] - 25, channels))

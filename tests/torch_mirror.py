@@ -98,10 +98,13 @@ class TorchPlainConvUNet(nn.Module):
         return self.decoder(self.encoder(x))
 
 
-def make_spec(in_channels=2, out_channels=5, n_stages=4) -> ArchSpec:
+def make_spec(in_channels=2, out_channels=5, n_stages=4,
+              features=None) -> ArchSpec:
     return ArchSpec(
         n_stages=n_stages,
-        features_per_stage=tuple(min(8 * 2 ** i, 32) for i in range(n_stages)),
+        features_per_stage=(tuple(features) if features is not None else
+                            tuple(min(8 * 2 ** i, 32)
+                                  for i in range(n_stages))),
         kernel_sizes=((3, 3),) * n_stages,
         strides=((1, 1),) + ((2, 2),) * (n_stages - 1),
         n_conv_per_stage=(2,) * n_stages,
