@@ -829,3 +829,88 @@ class TestPadQuantumServing:
         specs, params = groups
         with pytest.raises(ValueError, match='pad_quantum'):
             EnsembleEngine(specs, params, pad_quantum=0)
+
+
+class TestCompactWire:
+    """The compacted mask wire (ensemble_engine._compact_pack): sparse
+    packed masks ship only their occupied tiles through the download wire;
+    reconstruction must be BIT-IDENTICAL to the plain packed output on
+    every serving path and every sparsity regime (empty / sparse / dense).
+    """
+
+    def test_roundtrip_all_sparsities(self, rng):
+        import jax
+        from totalsegmentator2d_tpu.inference.ensemble_engine import (
+            _COMPACT_TILE, _compact_pack, occupied_count, pick_prefix,
+            uncompact)
+        for h, w, nb, density in [(37, 29, 3, 0.0), (37, 29, 3, 0.02),
+                                  (64, 64, 15, 0.5), (11, 7, 1, 1.0),
+                                  (50, 31, 5, 0.13)]:
+            packed = (rng.random((h, w, nb)) < density).astype(np.uint8)
+            packed *= rng.integers(1, 256, packed.shape).astype(np.uint8)
+            buf, occ = jax.jit(_compact_pack)(packed)
+            buf, occ = np.asarray(buf), np.asarray(occ)
+            T = -(-h * w * nb // _COMPACT_TILE)
+            assert buf.shape == (T + 1, _COMPACT_TILE)
+            count = occupied_count(occ, T)
+            k = pick_prefix(count, T)
+            assert k >= count
+            rebuilt = uncompact(buf[:k], occ, count, (h, w, nb))
+            assert np.array_equal(rebuilt, packed), (h, w, nb, density)
+
+    def test_prefix_buckets_cover_and_bound(self):
+        from totalsegmentator2d_tpu.inference.ensemble_engine import (
+            pick_prefix, prefix_buckets)
+        for T in (1, 7, 8, 100, 45938):
+            bs = prefix_buckets(T)
+            assert bs[-1] == T + 1
+            assert len(bs) <= 5
+            for count in (0, 1, T // 3, T):
+                assert pick_prefix(count, T) >= count
+
+    def test_solo_and_quantized_identical(self, groups, rng):
+        specs, params = groups
+        arr = np.zeros((70, 60, 2), np.float32)
+        arr[5:62, 4:55] = rng.normal(size=(57, 51, 2)).astype(np.float32)
+        plain = EnsembleEngine(specs, params, compact_wire=False)
+        comp = EnsembleEngine(specs, params, compact_wire=True)
+        assert np.array_equal(plain.predict_array(arr, (1.5, 1.5)),
+                              comp.predict_array(arr, (1.5, 1.5)))
+        qplain = EnsembleEngine(specs, params, pad_quantum=32,
+                                compact_wire=False)
+        qcomp = EnsembleEngine(specs, params, pad_quantum=32,
+                               compact_wire=True)
+        assert np.array_equal(qplain.predict_array(arr, (1.5, 1.5)),
+                              qcomp.predict_array(arr, (1.5, 1.5)))
+
+    def test_batched_identical(self, groups, rng):
+        specs, params = groups
+        comp = EnsembleEngine(specs, params, auto_batch=3, compact_wire=True)
+        plain = EnsembleEngine(specs, params, auto_batch=3,
+                               compact_wire=False)
+        arrs = []
+        for _ in range(3):
+            a = np.zeros((70, 60, 2), np.float32)
+            a[5:62, 4:55] = rng.normal(size=(57, 51, 2)).astype(np.float32)
+            arrs.append(a)
+        try:
+            outs = {}
+            for name, eng in (('comp', comp), ('plain', plain)):
+                eng.set_batch_linger(30_000.0)
+                hs = [eng.predict_array_async(a, (1.5, 1.5)) for a in arrs]
+                outs[name] = [eng.finish_array(h) for h in hs]
+                occ = eng._batcher.stats()['batch_occupancy']
+                assert sum(c for i, c in enumerate(occ) if i > 0) >= 1, occ
+            for a, b in zip(outs['comp'], outs['plain']):
+                assert np.array_equal(a, b)
+        finally:
+            comp.close()
+            plain.close()
+
+    def test_env_gate(self, groups, monkeypatch):
+        specs, params = groups
+        monkeypatch.setenv('TS2D_COMPACT', '0')
+        eng = EnsembleEngine(specs, params)
+        assert eng.compact_wire is False
+        monkeypatch.delenv('TS2D_COMPACT')
+        assert EnsembleEngine(specs, params).compact_wire is True

@@ -48,38 +48,76 @@ class _BatchResult:
     device programs whose dispatch overlaps the fetches themselves;
     np.concatenate of contiguous slabs is bit-identical to the whole-array
     fetch.
+
+    With a ``compact`` layout (ensemble_engine._compact_pack — the default
+    mask wire), the device value is a (buf, occupancy-bitmap) pair: the
+    bitmap fetches first (tiny), its popcount sizes a bucketed PREFIX of
+    the buffer, and only that prefix crosses the wire — sparse anatomy
+    masks ship 4-15x fewer bytes. ``get`` still returns the plain packed
+    (B, H, W, nB) / (H, W, nB) array, reconstructed bit-identically.
     """
 
-    # below this, one fetch stream is fine (solo results, small-CT/X-ray
-    # batches whose downloads are nowhere near the pipeline bound) and the
-    # extra slice dispatches aren't worth their queue hops
-    _SPLIT_MIN_BYTES = 4_000_000
+    # below this, one fetch stream is fine (small-CT/X-ray batches whose
+    # downloads are nowhere near the pipeline bound) and the extra slice
+    # dispatches aren't worth their queue hops
+    _SPLIT_MIN_BYTES = 1_000_000
     _SPLIT_STREAMS = 4
 
-    def __init__(self, dev):
+    def __init__(self, dev, compact: Optional[dict] = None):
         self._dev = dev
+        self._compact = compact
         self._np: Optional[np.ndarray] = None
         self._lock = threading.Lock()
 
     def get(self) -> np.ndarray:
         with self._lock:
             if self._np is None:
-                import jax
-                dev = self._dev
-                n = dev.shape[0] if getattr(dev, 'ndim', 0) >= 1 else 0
-                if n >= 2 and dev.nbytes >= self._SPLIT_MIN_BYTES:
-                    k = min(self._SPLIT_STREAMS, n)
-                    bounds = [n * i // k for i in range(k + 1)]
-                    slabs = [dev[bounds[i]:bounds[i + 1]] for i in range(k)]
-                    from concurrent.futures import ThreadPoolExecutor
-                    with ThreadPoolExecutor(k) as pool:
-                        parts = list(pool.map(
-                            lambda s: np.asarray(jax.device_get(s)), slabs))
-                    self._np = np.concatenate(parts)
+                if self._compact is not None:
+                    self._np = self._fetch_compacted()
                 else:
-                    self._np = np.asarray(jax.device_get(dev))
+                    self._np = self._fetch_split(self._dev)
                 self._dev = None
         return self._np
+
+    def _fetch_split(self, dev) -> np.ndarray:
+        import jax
+        n = dev.shape[0] if getattr(dev, 'ndim', 0) >= 1 else 0
+        if n >= 2 and dev.nbytes >= self._SPLIT_MIN_BYTES:
+            k = min(self._SPLIT_STREAMS, n)
+            bounds = [n * i // k for i in range(k + 1)]
+            slabs = [dev[bounds[i]:bounds[i + 1]] for i in range(k)]
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(k) as pool:
+                parts = list(pool.map(
+                    lambda s: np.asarray(jax.device_get(s)), slabs))
+            return np.concatenate(parts)
+        return np.asarray(jax.device_get(dev))
+
+    def _fetch_compacted(self) -> np.ndarray:
+        import jax
+        from .ensemble_engine import (_COMPACT_TILE, occupied_count,
+                                      pick_prefix, uncompact)
+        buf, occ = self._dev
+        T = self._compact['T']
+        h, w, n_bytes = self._compact['shape']
+        occ_np = np.asarray(jax.device_get(occ))
+        if buf.ndim == 2:
+            # solo program output
+            count = occupied_count(occ_np, T)
+            prefix = self._fetch_split(buf[:pick_prefix(count, T)])
+            return uncompact(prefix, occ_np, count, (h, w, n_bytes))
+        bits = np.unpackbits(np.ascontiguousarray(occ_np), axis=-1,
+                             bitorder='little')[:, :T].astype(bool)
+        counts = bits.sum(axis=-1)
+        kmax = pick_prefix(int(counts.max()), T)
+        slab = self._fetch_split(buf[:, :kmax])
+        B = slab.shape[0]
+        out = np.zeros((B, T, _COMPACT_TILE), np.uint8)
+        out[bits] = np.concatenate(
+            [slab[i, :counts[i]] for i in range(B)])
+        total = h * w * n_bytes
+        planes = out.reshape(B, -1)[:, :total].reshape(B, n_bytes, h, w)
+        return np.ascontiguousarray(planes.transpose(0, 2, 3, 1))
 
 
 class DynamicBatcher:
@@ -427,11 +465,12 @@ class DynamicBatcher:
             # reuse the single-scan program (no extra compile for the
             # sequential / low-load case)
             cropped, mask, bbox, full, fut = take[0]
-            fn, _ = engine._serving_program(cropped.shape[:2], spacing, wire)
+            fn, meta = engine._serving_program(cropped.shape[:2], spacing,
+                                               wire)
             args = (engine.params, jax.device_put(_wire_pack(cropped, wire)))
             if mask is not None:
                 args += (jax.device_put(mask),)
-            br = _BatchResult(fn(*args))
+            br = _BatchResult(fn(*args), compact=(meta or {}).get('compact'))
             self._track(br)
             with self._cv:
                 self._occupancy[0] += 1
@@ -448,6 +487,11 @@ class DynamicBatcher:
             f'bitwise reproducibility', once=True)
         fnb = engine._batched_program(self.max_batch, take[0][0].shape[:2],
                                       spacing, has_mask, wire)
+        # the compact-wire layout of the per-scan program (cache hit: the
+        # batched program above was built from it)
+        _, meta = engine._serving_program(take[0][0].shape[:2], spacing,
+                                          wire)
+        compact = (meta or {}).get('compact')
         pad = self.max_batch - B
         stacked = np.stack([it[0] for it in take] + [take[-1][0]] * pad)
         if wire is not None:
@@ -464,8 +508,9 @@ class DynamicBatcher:
             # tunnel's ~20 MB/s download bandwidth is the pipeline floor
             # (probe14), and a padded batch would ship max_batch/B x the
             # mask bytes. The slice is a tiny cached device program.
-            out = out[:B]
-        br = _BatchResult(out)
+            out = (tuple(o[:B] for o in out) if compact is not None
+                   else out[:B])
+        br = _BatchResult(out, compact=compact)
         self._track(br)
         with self._cv:
             self._occupancy[B - 1] += 1
