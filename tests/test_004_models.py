@@ -218,6 +218,7 @@ class TestConverter:
 
 
 class TestInit:
+    @pytest.mark.slow
     def test_init_shapes_match_converter_layout(self, torch_model_and_params):
         spec, model, params = torch_model_and_params
         init = init_params(jax.random.PRNGKey(0), spec)

@@ -48,6 +48,7 @@ class TestPredict:
         proj = res.get_projection()
         assert set(proj) == {'max', 'mean'}
 
+    @pytest.mark.slow
     def test_predict_preprojected_2ch(self, tool):
         """Pre-projected 2-channel image (size-1 axis): skips projection."""
         res = tool.predict(asset_path('sample_s0332.nrrd'))
@@ -130,6 +131,7 @@ class TestResultSave:
 
 
 class TestCLI:
+    pytestmark = pytest.mark.slow
     def test_enumerate_cases_single(self):
         cases = list(_enumerate_cases(asset_path('sample_s0521.nrrd')))
         assert cases == [('sample_s0521', asset_path('sample_s0521.nrrd'))]
@@ -175,6 +177,7 @@ class TestCLI:
 
 
 class TestCLIParsing:
+    pytestmark = pytest.mark.slow
     def test_entry_point_flags(self, model_root, tmp_path, monkeypatch):
         import sys
         from totalsegmentator2d_tpu.cli import ts2d_entry_point
@@ -211,6 +214,7 @@ class TestStatistics:
 
 
 class TestFusedUnfusedConsistency:
+    pytestmark = pytest.mark.slow
     def test_paths_agree(self, model_root):
         """The fused ensemble path and the per-model fallback path must
         produce identical masks, metadata, and projections."""
@@ -249,6 +253,7 @@ class TestFusedUnfusedConsistency:
 
 
 class TestBatchingKnob:
+    pytestmark = pytest.mark.slow
     def test_no_batching_disables_batcher(self, model_root):
         with TS2D(key='ts2d-v9-test', use_remote=False, local=model_root,
                   batching=False) as t:

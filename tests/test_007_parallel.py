@@ -15,6 +15,10 @@ from totalsegmentator2d_tpu.training import (TrainConfig, Trainer,
                                              augment_batch, dice_score)
 
 
+# full tier: heavy integration on a 1-core CPU box (run with pytest -m '')
+pytestmark = pytest.mark.slow
+
+
 def small_spec(out_channels=3, in_channels=2):
     return ArchSpec(
         n_stages=3, features_per_stage=(8, 16, 16),

@@ -81,6 +81,7 @@ class TestEnsembleEngine:
 
 
 class TestNumpyInit:
+    pytestmark = pytest.mark.slow
     def test_layout_matches_jax_init(self):
         import jax
         from totalsegmentator2d_tpu.models.unet import init_params
@@ -149,6 +150,7 @@ class TestAsyncAndPallas:
         assert packed.shape == (7, 9, 15)
         np.testing.assert_array_equal(unpack_bits(packed, 117), bits)
 
+    @pytest.mark.slow
     def test_pallas_flag_cpu_fallback(self, groups, rng, monkeypatch):
         """The default-on Pallas prefilter falls back to the jnp path on
         CPU (kernel returns None): disabled vs enabled results match on a
@@ -165,6 +167,7 @@ class TestAsyncAndPallas:
 
 
 class TestCohort:
+    pytestmark = pytest.mark.slow
     def test_cohort_matches_single(self, groups, rng):
         specs, params = groups
         ens = EnsembleEngine(specs, params)
@@ -303,6 +306,7 @@ class TestCohort:
 
 
 class TestSpatialTileSharding:
+    pytestmark = pytest.mark.slow
     def test_tile_sharded_matches_unsharded(self, groups, rng):
         """Tile grid split over a 4-device mesh axis + psum accumulate must
         reproduce the single-device result exactly."""
@@ -332,6 +336,7 @@ class TestSpatialTileSharding:
 
 
 class TestDynamicBatching:
+    pytestmark = pytest.mark.slow
     def test_batched_matches_unbatched(self, groups, rng):
         """Concurrent same-shape requests coalesce into one batched dispatch
         (including padding: 5 requests, max_batch=4 -> batches of <=4) and
@@ -535,6 +540,7 @@ class TestDynamicBatching:
 
 
 class TestCohortMaskedNorm:
+    pytestmark = pytest.mark.slow
     def test_masked_cohort_exact(self, groups, rng):
         """Masked-norm cohorts now run the exact hole-filled host-mask
         path: results must equal per-volume predict_volume."""
@@ -579,6 +585,7 @@ class TestCohortMaskedNorm:
 
 
 class TestInt16Wire:
+    pytestmark = pytest.mark.slow
     """Exactly-integral channels (CT MIP, integer X-rays) upload as int16 —
     half the wire bytes on remote-attached TPUs (probe12: the 8-scan
     stacked upload A/Bs 160 -> 125 ms) with BIT-IDENTICAL results (the
@@ -694,6 +701,7 @@ class TestInt16Wire:
 
 
 class TestPadQuantumServing:
+    pytestmark = pytest.mark.slow
     """Quantized-shape serving (pad_quantum): arbitrary cropped sizes share
     ONE geometry-as-data bucket program — the scan's true extent rides in
     as data and reproduces exact-mode tile layout, symmetric padding, and
@@ -868,6 +876,7 @@ class TestCompactWire:
             for count in (0, 1, T // 3, T):
                 assert pick_prefix(count, T) >= count
 
+    @pytest.mark.slow
     def test_solo_and_quantized_identical(self, groups, rng):
         specs, params = groups
         arr = np.zeros((70, 60, 2), np.float32)
@@ -883,6 +892,7 @@ class TestCompactWire:
         assert np.array_equal(qplain.predict_array(arr, (1.5, 1.5)),
                               qcomp.predict_array(arr, (1.5, 1.5)))
 
+    @pytest.mark.slow
     def test_batched_identical(self, groups, rng):
         specs, params = groups
         comp = EnsembleEngine(specs, params, auto_batch=3, compact_wire=True)

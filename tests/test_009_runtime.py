@@ -12,6 +12,10 @@ from totalsegmentator2d_tpu.inference.runner import AsyncRunner
 from totalsegmentator2d_tpu.utils.trace import StageTimer, device_trace
 
 
+# full tier: heavy integration on a 1-core CPU box (run with pytest -m '')
+pytestmark = pytest.mark.slow
+
+
 class TestAsyncRunner:
     def test_submit_and_result(self):
         with AsyncRunner(num_workers=2) as r:

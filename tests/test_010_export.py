@@ -26,6 +26,7 @@ def spec():
                      channel_names={0: 'max', 1: 'mean'}, multilabel=True)
 
 
+@pytest.mark.slow
 def test_export_and_reload_through_zoo(tmp_path, spec, rng):
     fold_params = [init_params_np(s, spec.arch) for s in (0, 1)]
     mid = export_model_dir(str(tmp_path), 'ts2d-v9-exp', 'cardiac', spec,

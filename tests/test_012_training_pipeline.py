@@ -11,6 +11,10 @@ from totalsegmentator2d_tpu.training import (PatchSampler, TrainConfig,
                                              plan_experiment, preprocess_case)
 
 
+# full tier: heavy integration on a 1-core CPU box (run with pytest -m '')
+pytestmark = pytest.mark.slow
+
+
 def _case(rng, h=90, w=80, spacing=(1.5, 1.2), n_labels=2):
     img = MedicalImage(
         array=(rng.standard_normal((h, w, 2)) * 200 + 50).astype(np.float32),

@@ -37,6 +37,7 @@ class TestPrefilterKernel:
 
 
 class TestFusedBlockKernel:
+    pytestmark = pytest.mark.slow
     """fused_norm_act_conv: y = conv3x3(lrelu(x*scale+shift)) + b with
     output statistics, vs the plain-XLA reference."""
 

@@ -15,6 +15,10 @@ GROUP_SIZES = {'cardiac': 24, 'muscles': 21, 'organs': 22, 'ribs': 24,
                'vertebrae': 26}
 
 
+# full tier: heavy integration on a 1-core CPU box (run with pytest -m '')
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope='module')
 def full_zoo(tmp_path_factory):
     """Five groups labeled with 117 real names from the packaged registry."""

@@ -68,6 +68,7 @@ class TestRemoteDownload:
         zoo2 = Zoo(remote=False, local=str(tmp_path / 'local'))
         assert zoo2.load(mid).labels == {1: 'heart'}
 
+    @pytest.mark.slow
     def test_download_failure_raises(self, tmp_path):
         urls = {'ts2d-v9-bad': {'r001': {
             'cardiac': 'http://127.0.0.1:1/nope.zip'}}}

@@ -211,6 +211,7 @@ class TestServer:
                 status, body, _ = _get(srv, '/health')
                 assert status == 200
 
+    @pytest.mark.slow
     def test_concurrent_predicts(self, server):
         """No host-side serialization: concurrent requests must all succeed
         and — with batching OFF (the fixture pins it) — return the same
@@ -234,6 +235,7 @@ class TestServer:
         assert all(status == 200 for status, _ in results)
         assert all(body == solo for _, body in results)
 
+    @pytest.mark.slow
     def test_concurrent_predicts_batched(self, tmp_path_factory, tmp_path):
         """With micro-batching ON (the production default) concurrent
         requests may coalesce into a batched program whose conv scheduling

@@ -11,6 +11,10 @@ import jax.numpy as jnp
 from totalsegmentator2d_tpu.training import augment as A
 
 
+# full tier: heavy integration on a 1-core CPU box (run with pytest -m '')
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(7)

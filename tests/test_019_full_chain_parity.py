@@ -100,6 +100,7 @@ class TestFullChain:
 
 
 class TestFullChainOnAssets:
+    pytestmark = pytest.mark.slow
     """The same oracle over the four bundled reference assets — the real
     data shapes/geometry (2-ch projections, true-2D rotated geometry,
     3D CT needing projection, native X-ray)."""

@@ -21,6 +21,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = os.path.join(REPO, 'tests', 'distributed_child.py')
 
 
+import pytest
+
+# full tier: heavy integration on a 1-core CPU box (run with pytest -m '')
+pytestmark = pytest.mark.slow
+
+
 def test_process_shard_balanced():
     from totalsegmentator2d_tpu.parallel.distributed import process_shard
     for n, nproc in [(7, 2), (8, 2), (3, 4), (0, 2), (10, 3)]:

@@ -15,6 +15,10 @@ from totalsegmentator2d_tpu.io.image import MedicalImage
 from totalsegmentator2d_tpu.utils.files import write_json
 
 
+# full tier: heavy integration on a 1-core CPU box (run with pytest -m '')
+pytestmark = pytest.mark.slow
+
+
 def _make_dataset(root, n_cases=4, per_channel=False, labelmap=False,
                   multilabel=True):
     """dataset.json + imagesTr/ + labelsTr/ with 2-channel 72x64 cases."""
