@@ -206,13 +206,15 @@ def blocking_latency(engine, vol, spacing, n=5):
     return [round(float(t), 4) for t in times]
 
 
-def device_floor(engine, vol, spacing, rounds=4):
-    """Device-local rate estimate: ONE pre-uploaded batch-8 input, several
-    back-to-back batched program executions, a tiny output-dependent fetch
-    as the sync (block_until_ready returns early through the tunnel).
-    Excludes the host<->device wire — the number a non-tunneled deployment
-    would see as its compute floor, reported so rounds are not compared on
-    tunnel weather alone."""
+def device_floor(engine, vol, spacing, rounds=4, solo=False):
+    """Device-local rate estimate: ONE pre-uploaded input (batch-8, or the
+    solo program with ``solo=True``), several back-to-back program
+    executions, a tiny output-dependent fetch as the sync
+    (block_until_ready returns early through the tunnel). Excludes the
+    host<->device wire — the numbers a non-tunneled deployment would see:
+    the batched figure is its throughput floor, the solo figure bounds
+    its BLOCKING latency (+ ~7 ms host projection + ~1 ms local PCIe).
+    Reported so rounds are not compared on tunnel weather alone."""
     import jax
     from totalsegmentator2d_tpu.inference.ensemble_engine import (
         _nonzero_bbox, _wire_pack, wire_detect)
@@ -222,11 +224,16 @@ def device_floor(engine, vol, spacing, rounds=4):
     wire = wire_detect(cropped)
     if not any(wire):
         wire = None
-    B = engine._batcher.max_batch
-    fn = engine._batched_program(B, cropped.shape[:2], tuple(spacing),
-                                 False, wire)
-    payload = _wire_pack(np.stack([cropped] * B), wire)
-    xb = jax.device_put(payload)
+    if solo:
+        B = 1
+        fn, _ = engine._serving_program(cropped.shape[:2], tuple(spacing),
+                                        wire)
+        xb = jax.device_put(_wire_pack(cropped, wire))
+    else:
+        B = engine._batcher.max_batch
+        fn = engine._batched_program(B, cropped.shape[:2], tuple(spacing),
+                                     False, wire)
+        xb = jax.device_put(_wire_pack(np.stack([cropped] * B), wire))
 
     def sync(out):
         t = out[1] if isinstance(out, tuple) else out
@@ -357,8 +364,10 @@ def main():
     pipe_r = min(pipe_all)
     try:
         floor = round(device_floor(engine, vol_r, sp_r), 5)
+        floor_solo = round(device_floor(engine, vol_r, sp_r, rounds=6,
+                                        solo=True), 5)
     except Exception as ex:  # pragma: no cover
-        floor = f'unavailable ({type(ex).__name__})'
+        floor = floor_solo = f'unavailable ({type(ex).__name__})'
     try:
         wire = wire_stats(engine, vol_r, sp_r)
     except Exception as ex:  # pragma: no cover
@@ -399,6 +408,12 @@ def main():
         'pipelined_all_rounds': pipe_all,
         'blocking_all_runs': lat_all,
         'device_floor_s_per_scan': floor,
+        # the solo-program device time bounds a NON-TUNNELED deployment's
+        # blocking latency (+ ~7 ms host projection + ~1 ms local PCIe);
+        # through this relay, upload RPC (~50 ms) + the solo program
+        # already exceed 0.1 s before any download — see
+        # docs/performance.md "The blocking-latency floor"
+        'device_solo_s': floor_solo,
         'wire': wire,
     }))
 

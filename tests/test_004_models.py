@@ -225,3 +225,31 @@ class TestInit:
         ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
         new_shapes = jax.tree_util.tree_map(lambda a: a.shape, init)
         assert ref_shapes == new_shapes
+
+
+class TestOnePassStats:
+    """TS2D_STATS=1pass: the single-traversal InstanceNorm variance
+    (E[x^2]-E[x]^2) must track the default two-pass statistics to float
+    noise and never go negative."""
+
+    def test_matches_two_pass(self, rng, monkeypatch):
+        import jax.numpy as jnp
+        from totalsegmentator2d_tpu.models import unet
+        x = jnp.asarray(rng.normal(2.0, 1.5, (3, 32, 32, 8)), jnp.float32)
+        scale = jnp.asarray(rng.normal(1.0, 0.1, (8,)), jnp.float32)
+        bias = jnp.asarray(rng.normal(0.0, 0.1, (8,)), jnp.float32)
+        monkeypatch.delenv('TS2D_STATS', raising=False)
+        y2 = unet._instance_norm(x, scale, bias, 1e-5)
+        monkeypatch.setenv('TS2D_STATS', '1pass')
+        y1 = unet._instance_norm(x, scale, bias, 1e-5)
+        assert float(jnp.max(jnp.abs(y1 - y2))) < 1e-4
+
+    def test_variance_clamped_nonnegative(self, monkeypatch):
+        import jax.numpy as jnp
+        from totalsegmentator2d_tpu.models import unet
+        monkeypatch.setenv('TS2D_STATS', '1pass')
+        # constant input: E[x^2]-E[x]^2 cancels to ~0 and can go slightly
+        # negative in float; rsqrt must stay finite
+        x = jnp.full((1, 16, 16, 4), 3.14159, jnp.float32)
+        y = unet._instance_norm(x, None, None, 1e-5)
+        assert bool(jnp.isfinite(y).all())

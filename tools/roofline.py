@@ -8,13 +8,18 @@ This script IS that arithmetic: it walks the exact bench architecture
 patch-forwards in chunks of 64) and accounts FLOPs and HBM bytes per
 conv-InstanceNorm-LeakyReLU unit under three memory models:
 
-  xla-today   conv reads X writes Y; IN stats read Y; normalize+act read
-              Y write Y' (XLA fuses norm+act into one pass; the stats
-              reduction is its own pass because normalize cannot start
-              before the full per-channel mean/var exist).
-              => 5 HBM traversals of the activation per unit.
+  xla-2pass   conv reads X writes Y; the mean reduction reads Y; the
+              variance reduction reads Y again (it depends on the mean,
+              so XLA cannot fuse the two into one traversal);
+              normalize+act read Y write Y'.
+              => 6 HBM traversals of the activation per unit. This is
+              what models/unet._instance_norm ships by default (torch-
+              matching two-pass statistics).
+  xla-1pass   TS2D_STATS=1pass: variance as E[x^2]-E[x]^2 — mean and
+              sumsq reductions fuse into ONE traversal.
+              => 5 traversals.
   stats-fused stats accumulate in the conv epilogue (Mosaic two-phase
-              kernel; saves the dedicated stats read).
+              kernel; saves the dedicated stats read entirely).
               => 4 traversals.
   mosaic-min  stats in the conv epilogue AND the normalize folded into
               the NEXT conv's input read (per-channel scale/shift applied
@@ -54,8 +59,9 @@ def conv_unit(m, h, w, cin, cout, norm=True):
     flops = 2.0 * m * h * w * cout * K * cin
     return {
         'flops': flops,
-        # conv read X + write Y (+ stats read Y + norm read Y + write Y')
-        'xla-today': x + y + (3 * y if norm else 0),
+        # conv read X + write Y (+ mean read + var read + norm read/write)
+        'xla-2pass': x + y + (4 * y if norm else 0),
+        'xla-1pass': x + y + (3 * y if norm else 0),
         'stats-fused': x + y + (2 * y if norm else 0),
         'mosaic-min': x + y,  # stats in epilogue, scale/shift on next read
     }
@@ -92,7 +98,7 @@ def model():
              'tag': f'dec{d}.transp'}
         xin = M * hb * wb * cb * BF16
         yout = M * hs * ws * cs * BF16
-        for k in ('xla-today', 'stats-fused', 'mosaic-min'):
+        for k in ('xla-2pass', 'xla-1pass', 'stats-fused', 'mosaic-min'):
             t[k] = xin + yout
         units.append(t)
         # concat doubles the first conv's input channels; the concat
@@ -106,7 +112,7 @@ def model():
             'tag': 'seg-head'}
     xin = M * PATCH * PATCH * FEATURES[0] * BF16
     yout = M * PATCH * PATCH * Lp * 4  # fp32 logits
-    for k in ('xla-today', 'stats-fused', 'mosaic-min'):
+    for k in ('xla-2pass', 'xla-1pass', 'stats-fused', 'mosaic-min'):
         head[k] = xin + yout
     units.append(head)
     return units
@@ -117,14 +123,14 @@ def main():
     # every unit runs once per group (lax.map over the 5 stacked nets);
     # the per-group label head width differs only marginally (24-26)
     tot = {k: GROUPS * sum(u[k] for u in units)
-           for k in ('flops', 'xla-today', 'stats-fused', 'mosaic-min')}
+           for k in ('flops', 'xla-2pass', 'xla-1pass', 'stats-fused', 'mosaic-min')}
     # Gaussian overlap-add: acc (G, 350, 280, Lp) fp32 read-modify-write
     # per chunk (2 chunks) + the mirror flips (one extra activation pass
     # of the input patches per TTA variant — charged as one X read each,
     # already inside the conv0 read). Small vs the stage traffic; add the
     # accumulator RMW explicitly:
     acc_bytes = 2 * (2 * GROUPS * 350 * 280 * max(LABELS) * 4 + 350 * 280 * 4)
-    for k in ('xla-today', 'stats-fused', 'mosaic-min'):
+    for k in ('xla-2pass', 'xla-1pass', 'stats-fused', 'mosaic-min'):
         tot[k] += acc_bytes
 
     t_flops = tot['flops'] / PEAK_FLOPS
@@ -134,7 +140,7 @@ def main():
         'compute_bound_ms': round(t_flops * 1e3, 1),
         'per_model_ms': {},
     }
-    for k in ('xla-today', 'stats-fused', 'mosaic-min'):
+    for k in ('xla-2pass', 'xla-1pass', 'stats-fused', 'mosaic-min'):
         t_mem = tot[k] / PEAK_HBM
         t = max(t_mem, t_flops)
         out['per_model_ms'][k] = {

@@ -70,6 +70,19 @@ def _conv_transpose(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
     return out
 
 
+def _one_pass_stats() -> bool:
+    """TS2D_STATS=1pass computes the InstanceNorm variance as
+    E[x^2] - E[x]^2 so both reductions ride ONE HBM traversal (XLA fuses
+    sibling reductions over the same operand into one multi-output
+    fusion) — the two-pass form reads the conv output twice because the
+    centered-square reduction depends on the mean. One traversal of six
+    per conv-norm-act unit (tools/roofline.py). Default off: the
+    subtraction form drifts logits ~1e-6 vs the torch-matching two-pass
+    statistics, and bitwise parity is the default contract."""
+    import os
+    return os.environ.get('TS2D_STATS', '2pass') == '1pass'
+
+
 def _instance_norm(x: jnp.ndarray, scale: Optional[jnp.ndarray],
                    bias: Optional[jnp.ndarray], eps: float) -> jnp.ndarray:
     # per-sample, per-channel statistics over spatial dims; biased variance.
@@ -78,7 +91,14 @@ def _instance_norm(x: jnp.ndarray, scale: Optional[jnp.ndarray],
     # in-register, so keeping activations bf16 halves the memory traffic
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    if _one_pass_stats():
+        # safe here: every conv input is normalized, so mean^2/var ~ O(1)
+        # and the fp32 cancellation error is ~1e-7 relative
+        var = (jnp.mean(jnp.square(x32), axis=(1, 2), keepdims=True)
+               - jnp.square(mean))
+        var = jnp.maximum(var, 0.0)
+    else:
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     if scale is not None:
         y = y * scale
