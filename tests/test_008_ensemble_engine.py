@@ -924,3 +924,26 @@ class TestCompactWire:
         assert eng.compact_wire is False
         monkeypatch.delenv('TS2D_COMPACT')
         assert EnsembleEngine(specs, params).compact_wire is True
+
+    @pytest.mark.slow
+    def test_volume_and_cohort_paths_identical(self, groups, rng):
+        comp_specs, comp_params = groups
+        vol = np.zeros((40, 30, 36), np.float32)
+        vol[4:36, 3:27, 5:30] = rng.normal(
+            40.0, 200.0, (32, 24, 25)).astype(np.float32)
+        comp = EnsembleEngine(comp_specs, comp_params, compact_wire=True)
+        plain = EnsembleEngine(comp_specs, comp_params, compact_wire=False)
+        sc, pc = comp.predict_volume(vol, (1.5, 1.5), ('max', 'mean'))
+        sp, pp = plain.predict_volume(vol, (1.5, 1.5), ('max', 'mean'))
+        assert np.array_equal(sc, sp) and np.array_equal(pc, pp)
+        vols = np.stack([vol, np.roll(vol, 3, axis=0)])
+        assert np.array_equal(
+            comp.predict_cohort(vols, (1.5, 1.5), ('max', 'mean')),
+            plain.predict_cohort(vols, (1.5, 1.5), ('max', 'mean')))
+        mixed = [vol, vol[:36, :28, :30]]
+        a = comp.predict_cohort_mixed(mixed, (1.5, 1.5), ('max', 'mean'),
+                                      bucket='pad')
+        b = plain.predict_cohort_mixed(mixed, (1.5, 1.5), ('max', 'mean'),
+                                       bucket='pad')
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)

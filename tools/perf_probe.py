@@ -169,7 +169,7 @@ def main():
     vol = make_realistic_volume()
     volj = jax.device_put(vol)
     key = ('probe-vol',)
-    fnvol = eng._build_volume(vol.shape, (1.5, 1.5), ('max', 'mean'))
+    fnvol, _ = eng._build_volume(vol.shape, (1.5, 1.5), ('max', 'mean'))
     best, med = timeit(fnvol, args.reps, eng.params, volj)
     print(f'volume program (device-resident): best {best*1e3:8.2f} ms '
           f' med {med*1e3:8.2f} ms  MFU {tot/best/PEAK_BF16*100:5.1f}%')

@@ -80,44 +80,16 @@ class _BatchResult:
         return self._np
 
     def _fetch_split(self, dev) -> np.ndarray:
-        import jax
-        n = dev.shape[0] if getattr(dev, 'ndim', 0) >= 1 else 0
-        if n >= 2 and dev.nbytes >= self._SPLIT_MIN_BYTES:
-            k = min(self._SPLIT_STREAMS, n)
-            bounds = [n * i // k for i in range(k + 1)]
-            slabs = [dev[bounds[i]:bounds[i + 1]] for i in range(k)]
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(k) as pool:
-                parts = list(pool.map(
-                    lambda s: np.asarray(jax.device_get(s)), slabs))
-            return np.concatenate(parts)
-        return np.asarray(jax.device_get(dev))
+        from .ensemble_engine import fetch_split
+        return fetch_split(dev, min_bytes=self._SPLIT_MIN_BYTES,
+                           streams=self._SPLIT_STREAMS)
 
     def _fetch_compacted(self) -> np.ndarray:
-        import jax
-        from .ensemble_engine import (_COMPACT_TILE, occupied_count,
-                                      pick_prefix, uncompact)
-        buf, occ = self._dev
-        T = self._compact['T']
-        h, w, n_bytes = self._compact['shape']
-        occ_np = np.asarray(jax.device_get(occ))
-        if buf.ndim == 2:
-            # solo program output
-            count = occupied_count(occ_np, T)
-            prefix = self._fetch_split(buf[:pick_prefix(count, T)])
-            return uncompact(prefix, occ_np, count, (h, w, n_bytes))
-        bits = np.unpackbits(np.ascontiguousarray(occ_np), axis=-1,
-                             bitorder='little')[:, :T].astype(bool)
-        counts = bits.sum(axis=-1)
-        kmax = pick_prefix(int(counts.max()), T)
-        slab = self._fetch_split(buf[:, :kmax])
-        B = slab.shape[0]
-        out = np.zeros((B, T, _COMPACT_TILE), np.uint8)
-        out[bits] = np.concatenate(
-            [slab[i, :counts[i]] for i in range(B)])
-        total = h * w * n_bytes
-        planes = out.reshape(B, -1)[:, :total].reshape(B, n_bytes, h, w)
-        return np.ascontiguousarray(planes.transpose(0, 2, 3, 1))
+        from .ensemble_engine import fetch_compact, fetch_compact_batch
+        buf, _ = self._dev
+        if buf.ndim == 2:  # solo program output
+            return fetch_compact(self._dev, self._compact)
+        return fetch_compact_batch(self._dev, self._compact)
 
 
 class DynamicBatcher:

@@ -158,6 +158,27 @@ def uncompact(prefix: np.ndarray, occ_packed: np.ndarray, count: int,
     return np.ascontiguousarray(planes.transpose(1, 2, 0))
 
 
+def fetch_split(dev, min_bytes: int = 1_000_000,
+                streams: int = 4) -> np.ndarray:
+    """Fetch a device array as concurrent contiguous-slab streams along
+    axis 0: through a remote tunnel one device_get stream moves only
+    ~16 MB/s while 2+ streams aggregate ~38 MB/s (probe16/18); the
+    contiguous-slab concat is bit-identical to the whole-array fetch.
+    Small arrays take the single-stream path (the slice dispatches are
+    not worth their queue hops)."""
+    n = dev.shape[0] if getattr(dev, 'ndim', 0) >= 1 else 0
+    if n >= 2 and dev.nbytes >= min_bytes:
+        k = min(streams, n)
+        bounds = [n * i // k for i in range(k + 1)]
+        slabs = [dev[bounds[i]:bounds[i + 1]] for i in range(k)]
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(k) as pool:
+            parts = list(pool.map(
+                lambda s: np.asarray(jax.device_get(s)), slabs))
+        return np.concatenate(parts)
+    return np.asarray(jax.device_get(dev))
+
+
 def fetch_compact(dev_pair, cmeta: dict) -> np.ndarray:
     """Fetch a compacted solo result: bitmap first (tiny), then only the
     bucketed prefix the count requires."""
@@ -165,8 +186,31 @@ def fetch_compact(dev_pair, cmeta: dict) -> np.ndarray:
     occ_np = np.asarray(jax.device_get(occ))
     count = occupied_count(occ_np, cmeta['T'])
     k = pick_prefix(count, cmeta['T'])
-    prefix = np.asarray(jax.device_get(buf[:k]))
+    prefix = fetch_split(buf[:k])
     return uncompact(prefix, occ_np, count, cmeta['shape'])
+
+
+def fetch_compact_batch(dev_pair, cmeta: dict) -> np.ndarray:
+    """Fetch a batch of compacted results ((B, T+1, tile) buffer +
+    (B, occB) bitmaps): one prefix slab sized by the largest per-scan
+    count crosses the wire, then every scan reconstructs with one
+    vectorized scatter. Returns the plain packed (B, H, W, nB) array,
+    bit-identical to the uncompacted wire."""
+    buf, occ = dev_pair
+    T = cmeta['T']
+    h, w, n_bytes = cmeta['shape']
+    occ_np = np.asarray(jax.device_get(occ))
+    bits = np.unpackbits(np.ascontiguousarray(occ_np), axis=-1,
+                         bitorder='little')[:, :T].astype(bool)
+    counts = bits.sum(axis=-1)
+    kmax = pick_prefix(int(counts.max()), T)
+    slab = fetch_split(buf[:, :kmax])
+    B = slab.shape[0]
+    out = np.zeros((B, T, _COMPACT_TILE), np.uint8)
+    out[bits] = np.concatenate([slab[i, :counts[i]] for i in range(B)])
+    total = h * w * n_bytes
+    planes = out.reshape(B, -1)[:, :total].reshape(B, n_bytes, h, w)
+    return np.ascontiguousarray(planes.transpose(0, 2, 3, 1))
 
 
 # -- int16 wire: exact-integer channels upload at half width ------------------
@@ -872,11 +916,14 @@ class EnsembleEngine:
             chans = [jnp.squeeze(project_array(work, m, axis=1), 1)
                      for m in modes]
             x2d = jnp.stack(chans, axis=-1)          # (Z, X, C)
-            # compose the RAW (uncompacted) 2D chain: this program's
-            # output contract is the plain packed array
-            return meta2d['raw'](params, x2d), x2d
+            packed = meta2d['raw'](params, x2d)
+            if self.compact_wire:
+                # the volume path's masks ride the compacted wire too
+                # (finish_volume fetches bitmap + prefix)
+                return _compact_pack(packed), x2d
+            return packed, x2d
 
-        return jax.jit(program)
+        return jax.jit(program), meta2d.get('compact')
 
     def predict_volume_async(self, vol: np.ndarray,
                              spacing_yx: Sequence[float],
@@ -913,23 +960,27 @@ class EnsembleEngine:
         key = ('vol', cropped.shape,
                tuple(round(float(s), 6) for s in spacing_yx), tuple(modes))
         with self._cache_lock:
-            fn = self._cache.get(key)
-            if fn is None:
-                fn = self._build_volume(tuple(cropped.shape),
-                                        tuple(spacing_yx), tuple(modes))
-                self._cache[key] = fn
+            hit = self._cache.get(key)
+            if hit is None:
+                hit = self._build_volume(tuple(cropped.shape),
+                                         tuple(spacing_yx), tuple(modes))
+                self._cache[key] = hit
                 log(f'compiled fused volume program for shape={cropped.shape}')
+        fn, cmeta = hit
         out = fn(self.params, jax.device_put(np.ascontiguousarray(cropped)))
-        return ('device', out, bbox, full_zx)
+        return ('device', out, bbox, full_zx, cmeta)
 
     def finish_volume(self, handle) -> Tuple[np.ndarray, np.ndarray]:
         """Block on a predict_volume_async handle; returns (seg, proj)."""
         if handle[0] == 'hostproj':
             _, inner, proj = handle
             return self.finish_array(inner), proj
-        _, (seg_d, proj_d), bbox, full_zx = handle
-        seg_c = unpack_bits(np.asarray(jax.device_get(seg_d)),
-                            self.total_labels)
+        _, (seg_d, proj_d), bbox, full_zx, cmeta = handle
+        if cmeta is not None:
+            packed = fetch_compact(seg_d, cmeta)
+        else:
+            packed = np.asarray(jax.device_get(seg_d))
+        seg_c = unpack_bits(packed, self.total_labels)
         proj_c = np.asarray(jax.device_get(proj_d))
         (z0, z1), (x0, x1) = bbox
         if seg_c.shape[:2] != full_zx:
@@ -972,11 +1023,22 @@ class EnsembleEngine:
             x2d = jnp.stack(chans, axis=-1)
             return meta2d['raw'](params, x2d)
 
+        compact = self.compact_wire and mesh is None
+
         def program(params, vols):
-            return jax.vmap(lambda v: one(params, v))(vols)
+            packed = jax.vmap(lambda v: one(params, v))(vols)
+            if compact:
+                # per-scan compacted wire (the cohort download is N masks —
+                # the biggest single fetch in the codebase). Mesh runs keep
+                # the plain packed output: the sharded out-spec stays one
+                # array, and ICI/DCN collectives are not the wire this
+                # optimizes.
+                return jax.vmap(_compact_pack)(packed)
+            return packed
 
         if mesh is None:
-            return jax.jit(program)
+            return jax.jit(program), (meta2d.get('compact') if compact
+                                      else None)
         from jax.sharding import NamedSharding, PartitionSpec as P
         data_axis = 'data' if 'data' in mesh.axis_names else mesh.axis_names[0]
         vspec = NamedSharding(mesh, P(data_axis, None, None, None))
@@ -984,7 +1046,7 @@ class EnsembleEngine:
         rep = jax.tree_util.tree_map(
             lambda _: NamedSharding(mesh, P()), self.params)
         return jax.jit(program, in_shardings=(rep, vspec),
-                       out_shardings=ospec)
+                       out_shardings=ospec), None
 
     def predict_cohort(self, vols: np.ndarray, spacing_yx: Sequence[float],
                        modes: Sequence[str], mesh=None) -> np.ndarray:
@@ -1028,15 +1090,17 @@ class EnsembleEngine:
                tuple(round(float(s), 6) for s in spacing_yx), tuple(modes),
                _mesh_key(mesh))
         with self._cache_lock:
-            fn = self._cache.get(key)
-            if fn is None:
-                fn = self._build_cohort(vols.shape[0], tuple(vols.shape[1:]),
-                                        tuple(spacing_yx), tuple(modes), mesh)
-                self._cache[key] = fn
+            hit = self._cache.get(key)
+            if hit is None:
+                hit = self._build_cohort(vols.shape[0], tuple(vols.shape[1:]),
+                                         tuple(spacing_yx), tuple(modes),
+                                         mesh)
+                self._cache[key] = hit
                 log(f'compiled cohort program for batch={vols.shape[0]} '
                     f'shape={vols.shape[1:]}'
                     + (f' over mesh {dict(mesh.shape)}'
                        if mesh is not None else ''))
+        fn, cmeta = hit
         params = self.params
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1048,8 +1112,10 @@ class EnsembleEngine:
                     lambda _: NamedSharding(mesh, P()), self.params))
         else:
             vols_in = jax.device_put(vols)
-        return unpack_bits(np.asarray(jax.device_get(fn(params, vols_in))),
-                           self.total_labels)
+        out = fn(params, vols_in)
+        packed = (fetch_compact_batch(out, cmeta) if cmeta is not None
+                  else np.asarray(jax.device_get(out)))
+        return unpack_bits(packed, self.total_labels)
 
     def _build_cohort_padded(self, vol_shape: Tuple[int, int, int],
                              spacing_yx: Tuple[float, float],
@@ -1098,11 +1164,17 @@ class EnsembleEngine:
             # z-score statistics come from the scan's true pixels only
             return meta2d['raw'](params, x2d, zx)
 
+        compact = self.compact_wire and mesh is None
+
         def program(params, vols, exts):
-            return jax.vmap(lambda v, e: one(params, v, e))(vols, exts)
+            packed = jax.vmap(lambda v, e: one(params, v, e))(vols, exts)
+            if compact:
+                return jax.vmap(_compact_pack)(packed)
+            return packed
 
         if mesh is None:
-            return jax.jit(program)
+            return jax.jit(program), (meta2d.get('compact') if compact
+                                      else None)
         from jax.sharding import NamedSharding, PartitionSpec as P
         data_axis = 'data' if 'data' in mesh.axis_names else mesh.axis_names[0]
         vspec = NamedSharding(mesh, P(data_axis, None, None, None))
@@ -1111,7 +1183,7 @@ class EnsembleEngine:
         rep = jax.tree_util.tree_map(
             lambda _: NamedSharding(mesh, P()), self.params)
         return jax.jit(program, in_shardings=(rep, vspec, espec),
-                       out_shardings=ospec)
+                       out_shardings=ospec), None
 
     def predict_cohort_mixed(self, vols: Sequence[np.ndarray],
                              spacing_yx, modes: Sequence[str],
@@ -1213,15 +1285,17 @@ class EnsembleEngine:
                tuple(round(float(s), 6) for s in spacing_yx), modes,
                _mesh_key(mesh))
         with self._cache_lock:
-            fn = self._cache.get(key)
-            if fn is None:
-                fn = self._build_cohort_padded(tuple(vols.shape[1:]),
-                                               tuple(spacing_yx), modes, mesh)
-                self._cache[key] = fn
+            hit = self._cache.get(key)
+            if hit is None:
+                hit = self._build_cohort_padded(tuple(vols.shape[1:]),
+                                                tuple(spacing_yx), modes,
+                                                mesh)
+                self._cache[key] = hit
                 log(f'compiled padded cohort program for '
                     f'batch={vols.shape[0]} bucket={vols.shape[1:]}'
                     + (f' over mesh {dict(mesh.shape)}'
                        if mesh is not None else ''))
+        fn, cmeta = hit
         params = self.params
         exts_j = np.ascontiguousarray(exts)
         if mesh is not None:
@@ -1239,9 +1313,10 @@ class EnsembleEngine:
         else:
             vols_in = jax.device_put(np.ascontiguousarray(vols))
             exts_in = jax.device_put(exts_j)
-        return unpack_bits(
-            np.asarray(jax.device_get(fn(params, vols_in, exts_in))),
-            self.total_labels)
+        out = fn(params, vols_in, exts_in)
+        packed = (fetch_compact_batch(out, cmeta) if cmeta is not None
+                  else np.asarray(jax.device_get(out)))
+        return unpack_bits(packed, self.total_labels)
 
     # -- host API ------------------------------------------------------------
 

@@ -200,14 +200,19 @@ def predict_cohort_distributed(engine, vols, spacing_yx: Sequence[float],
            _mesh_key(mesh))
     pkey = ('dist-params', _mesh_key(mesh))
     with engine._cache_lock:
-        fn = engine._cache.get(key)
-        if fn is None:
-            fn = engine._build_cohort(n_global, tuple(vols.shape[1:]),
-                                      tuple(spacing_yx), tuple(modes), mesh)
-            engine._cache[key] = fn
+        hit = engine._cache.get(key)
+        if hit is None:
+            # mesh is always set here, so the builder returns the PLAIN
+            # packed wire (cmeta None) — the cross-process gather moves
+            # one sharded array
+            hit = engine._build_cohort(n_global, tuple(vols.shape[1:]),
+                                       tuple(spacing_yx), tuple(modes),
+                                       mesh)
+            engine._cache[key] = hit
             log(f'compiled distributed cohort program for '
                 f'batch={n_global} shape={vols.shape[1:]} over '
                 f'{nproc} processes x {ldc} devices')
+        fn, _ = hit
         params = engine._cache.get(pkey)
         if params is None:
             # params replicate onto the global mesh once (committed global
