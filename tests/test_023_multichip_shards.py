@@ -58,8 +58,8 @@ class TestCohortDataParallel:
 
     def _compiled(self, engines):
         plain, _, mesh = engines
-        fn = plain._build_cohort(N_DEV, self.VOL, (1.5, 1.5),
-                                 ('max', 'mean'), mesh)
+        fn, _ = plain._build_cohort(N_DEV, self.VOL, (1.5, 1.5),
+                                    ('max', 'mean'), mesh)
         vols = jax.ShapeDtypeStruct((N_DEV,) + self.VOL, jnp.float32)
         return plain, fn.lower(plain.params, vols).compile()
 
