@@ -2,6 +2,7 @@
 
 import json
 import os
+import threading
 import urllib.error
 import urllib.request
 
@@ -348,6 +349,74 @@ class TestProductionKnobs:
             assert ei.value.code == 400
         finally:
             srv.stop()
+
+    def test_auth_non_ascii_header_gets_401(self, server):
+        # hmac.compare_digest raises TypeError on non-ASCII str: a garbage
+        # header byte must answer 401, not kill the handler thread
+        srv = TS2DServer(server.tool, port=0, auth_token='sekret')
+        srv.start()
+        try:
+            import http.client
+            conn = http.client.HTTPConnection('127.0.0.1', srv.port,
+                                              timeout=5)
+            conn.request('GET', '/labels',
+                         headers={'Authorization': b'Bearer caf\xe9'})
+            resp = conn.getresponse()
+            assert resp.status == 401
+            conn.close()
+        finally:
+            srv.stop()
+
+    @pytest.mark.slow
+    def test_request_timeout_budget_starts_at_execution(self, server):
+        # a burst deeper than the worker pool must not 504 requests whose
+        # own predict fits the budget: the clock starts at execution, and
+        # a request still QUEUED past a full budget 504s honestly
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+        srv = TS2DServer(server.tool, port=0, request_timeout=1.0)
+        srv._handle_predict = lambda body, query: (
+            time.sleep(0.4),
+            (200, 'application/json', b'{}'))[1]
+        srv.start()
+        try:
+            with srv._active_cv:  # shrink the pool: 2 queued behind 1
+                srv._pool = ThreadPoolExecutor(1)
+            statuses = []
+
+            def post():
+                req = urllib.request.Request(
+                    f'http://127.0.0.1:{srv.port}/predict',
+                    data=b'x', method='POST')
+                try:
+                    with urllib.request.urlopen(req) as r:
+                        statuses.append(r.status)
+                except urllib.error.HTTPError as ex:
+                    statuses.append(ex.code)
+
+            threads = [threading.Thread(target=post) for _ in range(3)]
+            for t in threads:
+                t.start()
+                time.sleep(0.05)  # deterministic queue order
+            for t in threads:
+                t.join(10.0)
+            # 3 x 0.4 s through a 1-wide pool: the third waits ~0.8 s in
+            # queue — over budget under the old queue-inclusive clock,
+            # fine under the execution clock
+            assert statuses == [200, 200, 200], statuses
+            srv._handle_predict = lambda body, query: (
+                time.sleep(3.0),
+                (200, 'application/json', b'{}'))[1]
+            threads = [threading.Thread(target=post) for _ in range(2)]
+            for t in threads:
+                t.start()
+                time.sleep(0.05)
+            for t in threads:
+                t.join(10.0)
+            # first executes past budget, second never leaves the queue
+            assert statuses[3:] == [504, 504], statuses
+        finally:
+            srv.stop(drain_timeout=5.0)
 
     def test_nonlocal_bind_without_token_warns(self, server, capsys):
         srv = TS2DServer(server.tool, host='0.0.0.0', port=0)

@@ -40,6 +40,7 @@ import json
 import os
 import tempfile
 import threading
+from contextlib import contextmanager
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -98,22 +99,58 @@ class TS2DServer:
         if self.auth_token is None:
             return True
         import hmac
-        return hmac.compare_digest(headers.get('Authorization', ''),
-                                   f'Bearer {self.auth_token}')
+        # compare BYTES: compare_digest raises TypeError on non-ASCII str,
+        # and the header can carry any byte (http decodes it latin-1) — a
+        # malformed header must 401, not kill the handler with a traceback
+        supplied = headers.get('Authorization', '')
+        return hmac.compare_digest(
+            supplied.encode('utf-8', 'surrogateescape'),
+            f'Bearer {self.auth_token}'.encode('utf-8'))
 
-    def _predict_guarded(self, body: bytes, query: dict):
-        """Run a predict under the in-flight accounting (shutdown drains
-        it) and, when ``request_timeout`` is set, under a wall-clock
-        budget (HTTP 504 past it; the work itself finishes in its pool
-        worker — a device program cannot be interrupted mid-flight — and
-        the drain waits for it)."""
+    @contextmanager
+    def _track(self):
+        """Account one REQUEST SPAN in the shutdown drain: yields False
+        (the caller answers 503) once draining. The span must wrap the
+        whole handler — predict AND response write — so stop() never
+        reports 'drained' while a thread is still streaming a multi-MB
+        segmentation to a slow client."""
         with self._active_cv:
             if self._draining:
-                return 503, 'application/json', json.dumps(
-                    {'error': 'server is shutting down'}).encode()
+                yield False
+                return
             self._active += 1
+        try:
+            yield True
+        finally:
+            with self._active_cv:
+                self._active -= 1
+                self._active_cv.notify_all()
+
+    def _predict_guarded(self, body: bytes, query: dict):
+        """Run a predict; with ``request_timeout`` set, under a wall-clock
+        budget that starts when the predict BEGINS EXECUTING — queue wait
+        behind a full worker pool is budgeted separately, so a burst does
+        not spuriously 504 requests whose own predict would fit the
+        budget. Past either budget: HTTP 504. Timed-out work itself
+        finishes in its pool worker (a device program cannot be safely
+        interrupted mid-flight) holding its own drain count, so stop()
+        still waits for it; the pool bounds how many such orphans pile
+        up."""
+        if self.request_timeout is None:
+            return self._handle_predict(body, query)
+        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import TimeoutError as FutTimeout
+        with self._active_cv:
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    8, thread_name_prefix='ts2d-serve-predict')
+            # the task's OWN drain count: it may outlive this handler
+            # span (the timeout paths) and stop() must still wait for it
+            self._active += 1
+        started = threading.Event()
 
         def task():
+            started.set()
             try:
                 return self._handle_predict(body, query)
             finally:
@@ -121,23 +158,25 @@ class TS2DServer:
                     self._active -= 1
                     self._active_cv.notify_all()
 
-        if self.request_timeout is None:
-            return task()
-        from concurrent.futures import ThreadPoolExecutor
-        from concurrent.futures import TimeoutError as FutTimeout
-        with self._active_cv:
-            if self._pool is None:
-                self._pool = ThreadPoolExecutor(
-                    8, thread_name_prefix='ts2d-serve-predict')
-        fut = self._pool.submit(task)
-        try:
-            return fut.result(timeout=self.request_timeout)
-        except FutTimeout:
+        def timed_out(kind: str):
             with self._metrics_lock:
                 self._metrics['predict_timeouts'] += 1
             return 504, 'application/json', json.dumps(
-                {'error': f'predict exceeded the {self.request_timeout}s '
+                {'error': f'predict {kind} the {self.request_timeout}s '
                           f'request timeout'}).encode()
+
+        fut = self._pool.submit(task)
+        if not started.wait(self.request_timeout) and fut.cancel():
+            # never started: still queued behind a full pool after a full
+            # budget. The cancelled task never runs — release its count.
+            with self._active_cv:
+                self._active -= 1
+                self._active_cv.notify_all()
+            return timed_out('queued past')
+        try:
+            return fut.result(timeout=self.request_timeout)
+        except FutTimeout:
+            return timed_out('exceeded')
 
     def _record(self, seconds: float, error: bool) -> None:
         with self._metrics_lock:
@@ -333,16 +372,21 @@ class TS2DServer:
                 body = self.rfile.read(length)
                 import time
                 t0 = time.perf_counter()
-                try:
-                    result = server._predict_guarded(body,
-                                                     parse_qs(parsed.query))
-                except Exception as ex:
-                    warn(f'[serve] predict failed: {ex}')
-                    result = (500, 'application/json',
-                              json.dumps({'error': str(ex)}).encode())
-                server._record(time.perf_counter() - t0,
-                               error=result[0] != 200)
-                self._send(*result)
+                with server._track() as accepted:
+                    if not accepted:
+                        self._send(503, 'application/json', json.dumps(
+                            {'error': 'server is shutting down'}).encode())
+                        return
+                    try:
+                        result = server._predict_guarded(
+                            body, parse_qs(parsed.query))
+                    except Exception as ex:
+                        warn(f'[serve] predict failed: {ex}')
+                        result = (500, 'application/json',
+                                  json.dumps({'error': str(ex)}).encode())
+                    server._record(time.perf_counter() - t0,
+                                   error=result[0] != 200)
+                    self._send(*result)
 
         return Handler
 
