@@ -154,7 +154,16 @@ def make_realistic_volume():
     vertebral periodicity, a liver-class blob, CT noise texture): real
     CT structure drives realistic crop extents and gives the network
     spatially structured logits — pure noise volumes are both
-    unrepresentative and adversarially incompressible."""
+    unrepresentative and adversarially incompressible.
+
+    Deliberately NOT tests/synth_assets._torso_volume (the test-asset
+    phantom): this recipe is calibration-coupled to the bench engine's
+    seg-head bias (-2.2, tools/perf_probe19.py — tuned so per-label
+    foreground lands at the production 1-2.5%). Changing either the
+    recipe or the bias requires re-running probe19 and re-recording the
+    wire numbers in docs/performance.md; keeping the two generators
+    separate keeps test-asset realism fixes from silently moving the
+    benchmark workload between rounds."""
     Z, Y, X = REALISTIC_SHAPE
     z, y, x = np.meshgrid(np.linspace(-1, 1, Z), np.linspace(-1, 1, Y),
                           np.linspace(-1, 1, X), indexing='ij')

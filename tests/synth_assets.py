@@ -118,7 +118,11 @@ def _write_nrrd(path: str, name: str, data: np.ndarray) -> None:
 def _torso_volume(shape_zyx, seed) -> np.ndarray:
     """Torso-like int16 CT phantom: air background, elliptic soft-tissue
     body tapering along z, two low-density lungs, a bony spine column and
-    rib arcs, plus mild texture noise."""
+    rib arcs, plus mild texture noise.
+
+    bench.make_realistic_volume is intentionally a SEPARATE recipe — it
+    is calibration-coupled to the bench seg-head bias (probe19); realism
+    changes here must not move the benchmark workload."""
     z, y, x = shape_zyx
     rng = np.random.default_rng(seed)
     zz, yy, xx = np.meshgrid(np.arange(z), np.arange(y), np.arange(x),
@@ -210,7 +214,10 @@ def ensure_assets(names=None) -> str:
 
 
 def asset_path(name: str) -> str:
-    ensure_assets([name] if name in _BUILDERS else None)
+    if name not in _BUILDERS:
+        raise KeyError(f'unknown test asset {name!r}; available: '
+                       f'{sorted(_BUILDERS)}')
+    ensure_assets([name])
     return os.path.join(ASSET_DIR, name)
 
 

@@ -65,7 +65,7 @@ class FakeEngine:
                 self.dispatches.append(('solo', 1))
                 self.outputs.append(out)
             return out
-        return fn, None
+        return fn, {}  # meta dict, like the real builders
 
     # the dispatcher selects via _serving_program (pad_quantum indirection)
     _serving_program = _program
@@ -80,7 +80,7 @@ class FakeEngine:
                 self.dispatches.append(('batch', arr.shape[0]))
                 self.outputs.append(out)
             return out
-        return fnb
+        return fnb, {}
 
 
 def _mk(i, shape=(16, 12)):

@@ -15,6 +15,11 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 
+# these probes decompose the PLAIN mask wire; the compacted wire
+# (round 4, default on) returns (buf, occ) tuples from the raw
+# programs and has its own probes (perf_probe19/20)
+os.environ.setdefault('TS2D_COMPACT', '0')
+
 import jax
 import jax.numpy as jnp
 
@@ -55,7 +60,7 @@ def main():
         t_solo = timed_call(solo)
 
         B = 8
-        fnb = eng._batched_program(B, arr.shape[:2], sp, False)
+        fnb, _ = eng._batched_program(B, arr.shape[:2], sp, False)
         xb = jax.device_put(np.stack([arr] * B))
 
         def batched():

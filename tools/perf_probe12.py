@@ -26,6 +26,13 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 
+import os
+
+# these probes decompose the PLAIN mask wire; the compacted wire
+# (round 4, default on) returns (buf, occ) tuples from the raw
+# programs and has its own probes (perf_probe19/20)
+os.environ.setdefault('TS2D_COMPACT', '0')
+
 from tools.perf_probe import sync, timeit  # noqa: E402
 
 
@@ -77,7 +84,7 @@ def main():
     # compile + warm both programs through the serving path
     eng.predict_array(proj, sp)
 
-    fn8 = eng._batched_program(8, cropped.shape[:2], sp, False)
+    fn8, _ = eng._batched_program(8, cropped.shape[:2], sp, False)
     x8 = np.stack([cropped] * 8)
 
     # 1a. unidirectional transfers
@@ -130,7 +137,7 @@ def main():
           f'{td*1e3:.0f}; serial sum would be ~{(tu+td)*1e3:.0f})')
 
     # 2-4. pipelined variants
-    base = pipelined_rate(eng, vol, sp)
+    base = min(pipelined_rate(eng, vol, sp))
     print(f'pipelined baseline:        {base*1e3:8.2f} ms/scan')
     nodl = pipelined_scalar_drain(eng, vol, sp)
     print(f'pipelined scalar drain:    {nodl*1e3:8.2f} ms/scan '

@@ -23,6 +23,13 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 
+import os
+
+# these probes decompose the PLAIN mask wire; the compacted wire
+# (round 4, default on) returns (buf, occ) tuples from the raw
+# programs and has its own probes (perf_probe19/20)
+os.environ.setdefault('TS2D_COMPACT', '0')
+
 EVENTS = []
 T0 = [0.0]
 
@@ -51,7 +58,7 @@ def instrument(batcher):
             return
         B = len(take)
         from totalsegmentator2d_tpu.inference.batching import _BatchResult
-        fnb = engine._batched_program(batcher.max_batch,
+        fnb, _ = engine._batched_program(batcher.max_batch,
                                       take[0][0].shape[:2], spacing,
                                       has_mask, wire)
         t0 = time.perf_counter()

@@ -31,6 +31,13 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 
+import os
+
+# these probes decompose the PLAIN mask wire; the compacted wire
+# (round 4, default on) returns (buf, occ) tuples from the raw
+# programs and has its own probes (perf_probe19/20)
+os.environ.setdefault('TS2D_COMPACT', '0')
+
 from tools.perf_probe import sync  # noqa: E402
 
 
@@ -48,7 +55,7 @@ def main():
     wire = wire_detect(proj)
 
     fn1, _ = eng._program(proj.shape[:2], sp, wire)
-    fn8 = eng._batched_program(8, proj.shape[:2], sp, False, wire)
+    fn8, _ = eng._batched_program(8, proj.shape[:2], sp, False, wire)
     x1 = jax.device_put(_wire_pack(proj, wire))
     xs = _wire_pack(np.stack([proj] * 8), wire)
     x8 = jax.device_put(xs)

@@ -12,6 +12,11 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 
+# these probes decompose the PLAIN mask wire; the compacted wire
+# (round 4, default on) returns (buf, occ) tuples from the raw
+# programs and has its own probes (perf_probe19/20)
+os.environ.setdefault('TS2D_COMPACT', '0')
+
 from tools.perf_probe import timeit  # noqa: E402
 
 

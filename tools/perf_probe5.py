@@ -17,6 +17,13 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 
+import os
+
+# these probes decompose the PLAIN mask wire; the compacted wire
+# (round 4, default on) returns (buf, occ) tuples from the raw
+# programs and has its own probes (perf_probe19/20)
+os.environ.setdefault('TS2D_COMPACT', '0')
+
 from tools.perf_probe import sync, timeit, unet_flops  # noqa: E402
 
 PEAK_BF16 = 197e12
@@ -91,7 +98,7 @@ def main():
 
     # 7. pipelined singles (the bench loop)
     from bench import pipelined_rate
-    rate = pipelined_rate(eng, vol, sp, n=args.batch, rounds=3)
+    rate = min(pipelined_rate(eng, vol, sp, n=args.batch, rounds=3))
     print(f'pipelined singles (n={args.batch}): {rate*1e3:8.2f} ms/scan')
 
     # 8. micro-batched: ONE vmapped program over B identical-shape scans

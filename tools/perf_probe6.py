@@ -15,6 +15,13 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 
+import os
+
+# these probes decompose the PLAIN mask wire; the compacted wire
+# (round 4, default on) returns (buf, occ) tuples from the raw
+# programs and has its own probes (perf_probe19/20)
+os.environ.setdefault('TS2D_COMPACT', '0')
+
 from tools.perf_probe import sync, timeit  # noqa: E402
 
 
@@ -32,7 +39,7 @@ def main():
 
     # programs
     fn1, _ = eng._program(cropped.shape[:2], sp)
-    fn8 = eng._batched_program(8, cropped.shape[:2], sp, False)
+    fn8, _ = eng._batched_program(8, cropped.shape[:2], sp, False)
     x8 = np.stack([cropped] * 8)
 
     # uploads (fresh arrays each rep to defeat any caching)
@@ -74,7 +81,8 @@ def main():
 
     # stream shapes
     for n, threads in ((6, 1), (6, 4), (16, 1), (16, 4), (32, 4)):
-        r = pipelined_rate(eng, vol, sp, n=n, rounds=3, threads=threads)
+        r = min(pipelined_rate(eng, vol, sp, n=n, rounds=3,
+                               threads=threads))
         print(f'pipelined n={n:3d} threads={threads}: {r*1e3:8.2f} ms/scan')
 
 

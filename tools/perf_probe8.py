@@ -27,6 +27,11 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 
+# these probes decompose the PLAIN mask wire; the compacted wire
+# (round 4, default on) returns (buf, occ) tuples from the raw
+# programs and has its own probes (perf_probe19/20)
+os.environ.setdefault('TS2D_COMPACT', '0')
+
 from tools.perf_probe import timeit  # noqa: E402
 
 
@@ -45,7 +50,7 @@ def main():
     for flag in ('0', '1'):
         os.environ['TS2D_SPLITCAT'] = flag
         eng = build_engine()
-        fn8 = eng._batched_program(8, cropped.shape[:2], sp, False)
+        fn8, _ = eng._batched_program(8, cropped.shape[:2], sp, False)
         b8, m8 = timeit(fn8, 6, eng.params, x8)
         out = np.asarray(jax.device_get(fn8(eng.params, x8)))
         results[flag] = out

@@ -22,6 +22,13 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 
+import os
+
+# these probes decompose the PLAIN mask wire; the compacted wire
+# (round 4, default on) returns (buf, occ) tuples from the raw
+# programs and has its own probes (perf_probe19/20)
+os.environ.setdefault('TS2D_COMPACT', '0')
+
 from tools.perf_probe import timeit  # noqa: E402
 
 
@@ -37,25 +44,25 @@ def main():
     cropped = np.ascontiguousarray(proj)
 
     eng8 = build_engine()  # auto_batch=8
-    fn8 = eng8._batched_program(8, cropped.shape[:2], sp, False)
+    fn8, _ = eng8._batched_program(8, cropped.shape[:2], sp, False)
     x8 = jax.device_put(np.stack([cropped] * 8))
     b8, _ = timeit(fn8, 6, eng8.params, x8)
-    fn16 = eng8._batched_program(16, cropped.shape[:2], sp, False)
+    fn16, _ = eng8._batched_program(16, cropped.shape[:2], sp, False)
     x16 = jax.device_put(np.stack([cropped] * 16))
     b16, _ = timeit(fn16, 6, eng8.params, x16)
     print(f'program B=8: {b8/8*1e3:6.2f} ms/scan   '
           f'B=16: {b16/16*1e3:6.2f} ms/scan', flush=True)
 
-    r8 = pipelined_rate(eng8, vol, sp, n=24, rounds=3)
+    r8 = min(pipelined_rate(eng8, vol, sp, n=24, rounds=3))
     print(f'pipelined n=24 max_batch=8 : {r8*1e3:8.2f} ms/scan', flush=True)
 
     # same engine, bigger batcher cap (the B=16 program is already in the
     # engine's cache from the standalone timing above)
     eng8._batcher.max_batch = 16
-    r16 = pipelined_rate(eng8, vol, sp, n=24, rounds=3)
+    r16 = min(pipelined_rate(eng8, vol, sp, n=24, rounds=3))
     print(f'pipelined n=24 max_batch=16: {r16*1e3:8.2f} ms/scan')
     eng8._batcher.max_batch = 8
-    r8b = pipelined_rate(eng8, vol, sp, n=24, rounds=3)
+    r8b = min(pipelined_rate(eng8, vol, sp, n=24, rounds=3))
     print(f'pipelined n=24 max_batch=8 (repeat): {r8b*1e3:8.2f} ms/scan')
 
 

@@ -442,7 +442,7 @@ class DynamicBatcher:
             args = (engine.params, jax.device_put(_wire_pack(cropped, wire)))
             if mask is not None:
                 args += (jax.device_put(mask),)
-            br = _BatchResult(fn(*args), compact=(meta or {}).get('compact'))
+            br = _BatchResult(fn(*args), compact=meta.get('compact'))
             self._track(br)
             with self._cv:
                 self._occupancy[0] += 1
@@ -457,13 +457,9 @@ class DynamicBatcher:
             f'one device program); results may differ from solo runs on '
             f'borderline pixels — use batching=False / --no-batching for '
             f'bitwise reproducibility', once=True)
-        fnb = engine._batched_program(self.max_batch, take[0][0].shape[:2],
-                                      spacing, has_mask, wire)
-        # the compact-wire layout of the per-scan program (cache hit: the
-        # batched program above was built from it)
-        _, meta = engine._serving_program(take[0][0].shape[:2], spacing,
-                                          wire)
-        compact = (meta or {}).get('compact')
+        fnb, meta = engine._batched_program(
+            self.max_batch, take[0][0].shape[:2], spacing, has_mask, wire)
+        compact = meta.get('compact')
         pad = self.max_batch - B
         stacked = np.stack([it[0] for it in take] + [take[-1][0]] * pad)
         if wire is not None:

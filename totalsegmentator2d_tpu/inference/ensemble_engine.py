@@ -871,26 +871,29 @@ class EnsembleEngine:
     def _batched_program(self, batch: int, in_shape, in_spacing,
                          has_mask: bool, wire=None):
         """vmap of the fused 2D program over a stacked batch of same-shape
-        scans (the micro-batching dispatch path)."""
+        scans (the micro-batching dispatch path). Returns (fn, meta) like
+        the per-scan builders — meta is the underlying program's, so the
+        dispatcher never has to repeat the lookup."""
         if wire is not None and not any(wire):
             wire = None
         key = ('batch', int(batch), tuple(in_shape),
                tuple(round(float(s), 6) for s in in_spacing), bool(has_mask),
                wire, self.pad_quantum is not None)
         with self._cache_lock:
-            fn = self._cache.get(key)
-            if fn is None:
-                fn2d, _ = self._serving_program(in_shape, in_spacing, wire)
+            hit = self._cache.get(key)
+            if hit is None:
+                fn2d, meta = self._serving_program(in_shape, in_spacing,
+                                                   wire)
                 if has_mask:
                     fn = jax.jit(lambda params, xb, mb: jax.vmap(
                         lambda a, m: fn2d.__wrapped__(params, a, m))(xb, mb))
                 else:
                     fn = jax.jit(lambda params, xb: jax.vmap(
                         lambda a: fn2d.__wrapped__(params, a))(xb))
-                self._cache[key] = fn
+                hit = self._cache[key] = (fn, meta)
                 log(f'compiled batched ensemble program for shape={in_shape} '
                     f'batch={batch}')
-        return fn
+        return hit
 
     # -- fused volume path ---------------------------------------------------
 
@@ -1449,8 +1452,9 @@ class EnsembleEngine:
             # jit is lazy: execute one stacked batch so the batched program
             # actually compiles now
             B = self._batcher.max_batch
-            fn = self._batched_program(B, in_shape,
-                                       tuple(in_spacing), needs_mask, wire)
+            fn, _ = self._batched_program(B, in_shape,
+                                          tuple(in_spacing), needs_mask,
+                                          wire)
             payload = _wire_pack(dummy, wire)
             if isinstance(payload, tuple):
                 xb = tuple(np.stack([p] * B) for p in payload)
