@@ -240,8 +240,8 @@ def device_floor(engine, vol, spacing, rounds=4, solo=False):
         xb = jax.device_put(_wire_pack(cropped, wire))
     else:
         B = engine._batcher.max_batch
-        fn = engine._batched_program(B, cropped.shape[:2], tuple(spacing),
-                                     False, wire)
+        fn, _ = engine._batched_program(B, cropped.shape[:2],
+                                        tuple(spacing), False, wire)
         xb = jax.device_put(_wire_pack(np.stack([cropped] * B), wire))
 
     def sync(out):

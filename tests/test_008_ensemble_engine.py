@@ -917,6 +917,30 @@ class TestCompactWire:
             comp.close()
             plain.close()
 
+    def test_batched_fetch_edge_regimes(self, rng):
+        # fetch_compact_batch reconstructs from ONE prefix slab sized by
+        # the LARGEST per-scan count: all-empty batches (kmax from count
+        # 0), mixed empty/dense rows, and single-row batches must all
+        # rebuild bit-identically
+        import jax
+        from totalsegmentator2d_tpu.inference.ensemble_engine import (
+            _compact_pack, fetch_compact_batch)
+        h, w, nb = 37, 29, 3
+        cmeta = {'T': -(-h * w * nb // 8), 'shape': (h, w, nb)}
+        regimes = [
+            [0.0, 0.0, 0.0],        # every scan empty
+            [0.0, 1.0, 0.02],       # empty + dense + sparse in one batch
+            [0.3],                  # single-row batch
+        ]
+        for densities in regimes:
+            packed = np.stack([
+                ((rng.random((h, w, nb)) < d)
+                 * rng.integers(1, 256, (h, w, nb))).astype(np.uint8)
+                for d in densities])
+            pairs = jax.jit(jax.vmap(_compact_pack))(packed)
+            rebuilt = fetch_compact_batch(pairs, cmeta)
+            assert np.array_equal(rebuilt, packed), densities
+
     def test_env_gate(self, groups, monkeypatch):
         specs, params = groups
         monkeypatch.setenv('TS2D_COMPACT', '0')
