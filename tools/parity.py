@@ -629,6 +629,11 @@ def main():
         # check), so pin the whole process before the backend initializes.
         import jax
         os.environ['JAX_PLATFORMS'] = 'cpu'
+        # never share the persistent compilation cache with TPU/bench
+        # runs: AOT CPU entries written through the tunnel target a
+        # different host's CPU features and load with SIGILL-risk
+        # warnings (same guard as tests/conftest.py)
+        os.environ.setdefault('TS2D_COMPILE_CACHE', '0')
         try:
             jax.config.update('jax_platforms', 'cpu')
         except Exception:
