@@ -30,6 +30,13 @@ class TestKeyGrammar:
         assert not match_model_name('ts2d-v1', 'ts2d-v2-ep4000b2')
         assert not match_model_name('tsxr', 'ts2d-v2-ep4000b2')
         assert match_model_name(None, 'anything')
+        # a pattern with MORE components than the model must not match: a
+        # typoed/nonexistent longer key must raise 'no models resolved',
+        # not silently load the shorter model (documented divergence from
+        # the reference's _match_model_str)
+        assert not match_model_name('ts2d-v2-ep4000b2-bogus',
+                                    'ts2d-v2-ep4000b2')
+        assert not match_model_name('ts2d-v2-x', 'ts2d-v2')
 
 
 class TestDatabases:
@@ -102,6 +109,17 @@ class TestZoo:
         zoo = Zoo(remote=False, local=str(tmp_path))
         with pytest.raises(LookupError):
             zoo.access('ts2d-nonexistent_cardiac')
+
+    def test_resolve_falls_back_to_local(self, tmp_path):
+        # a locally-present model absent from the remote registry (e.g.
+        # trained with ts2d-train) must resolve with a remote configured —
+        # without requiring use_remote=False (documented divergence)
+        build_model_dir(str(tmp_path), model='ts2d-v9-mine')
+        zoo = Zoo(local=str(tmp_path))  # remote=None -> URL registry
+        assert zoo.resolve('ts2d-v9-mine') == ['ts2d-v9-mine_cardiac']
+        # registry-known keys still resolve via the remote
+        assert zoo.resolve('ts2d-v2-ep4000b2_cardiac') == \
+            ['ts2d-v2-ep4000b2_cardiac']
 
 
 class TestTiling:
@@ -240,6 +258,40 @@ class TestHostedModel:
 
     def test_mirror_axes_from_checkpoint(self, model):
         assert model.spec.allowed_mirroring_axes == (0, 1)
+
+    def test_single_startup_under_races(self, tmp_path, monkeypatch):
+        # start(wait=False) then apply()/start(wait=True) before the async
+        # boot completes must join the pending startup, not run a SECOND
+        # weight load + compile; stop() during a pending startup must not
+        # resurrect the model
+        import threading
+        root = str(tmp_path)
+        build_model_dir(root, patch=(64, 64), model='ts2d-v9-race')
+        zoo = Zoo(remote=False, local=root)
+        m = zoo.load('ts2d-v9-race_cardiac')
+        boots, gate = [], threading.Event()
+        real = type(m)._load_engine
+
+        def slow_boot(self):
+            boots.append(1)
+            gate.wait(10.0)
+            return real(self)
+
+        monkeypatch.setattr(type(m), '_load_engine', slow_boot)
+        m.start(wait=False)
+        t = threading.Thread(target=lambda: m.start(wait=True))
+        t.start()
+        gate.set()
+        t.join(30.0)
+        m.await_startup()
+        assert m.started and len(boots) == 1
+        # stop() while a fresh startup is pending: engine must stay down
+        m.stop()
+        gate.clear()
+        m.start(wait=False)
+        gate.set()
+        m.stop()
+        assert not m.started
 
 
 class TestNonMultilabel:

@@ -143,6 +143,18 @@ class TestCLI:
         cases = list(_enumerate_cases(str(tmp_path)))
         assert [n for n, _ in cases] == ['a']
 
+    def test_enumerate_disambiguates_same_stem(self, tmp_path, capsys):
+        # scan.nrrd + scan.nii would both save as 'scan.*' in dest, the
+        # second silently replacing the first patient's segmentation
+        import shutil
+        from totalsegmentator2d_tpu.io import read_image, write_image
+        shutil.copy(asset_path('sample_s0521.nrrd'), tmp_path / 'scan.nrrd')
+        write_image(read_image(asset_path('sample_s0521.nrrd')),
+                    str(tmp_path / 'scan.nii'))
+        names = [n for n, _ in _enumerate_cases(str(tmp_path))]
+        assert sorted(names) == ['scan', 'scan-2']
+        assert 'duplicate case name' in capsys.readouterr().err
+
     def test_enumerate_rejects_bad_single(self, tmp_path):
         bad = tmp_path / 'x.txt'
         bad.write_text('nope')

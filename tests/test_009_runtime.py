@@ -63,6 +63,60 @@ class TestAsyncRunner:
         assert fut.cancelled() or fut.done()
         assert not r.alive()
 
+    def test_stop_with_many_pending_does_not_raise(self):
+        # cancel() runs the done-callback synchronously, popping _tasks
+        # while stop() iterates it — must not RuntimeError
+        import threading
+        r = AsyncRunner(num_workers=1)
+        r.start()
+        release = threading.Event()
+        r.submit(release.wait)
+        futs = [r.submit(lambda i=i: i) for i in range(8)]
+        try:
+            r.stop(timeout=0.3)  # expires while the blocker runs
+        finally:
+            release.set()
+        assert all(f.cancelled() or f.done() for f in futs)
+
+    def test_cancel_inflight_does_not_kill_worker(self):
+        # a future is RUNNING once its task starts: cancel() must fail on
+        # it (not succeed and then blow up the worker on set_result)
+        import threading
+        r = AsyncRunner(num_workers=1)
+        r.start()
+        started, release = threading.Event(), threading.Event()
+
+        def slow():
+            started.set()
+            release.wait(5.0)
+            return 'done'
+
+        fut = r.submit(slow)
+        assert started.wait(5.0)
+        assert fut.cancel() is False  # in-flight: not cancellable
+        release.set()
+        assert fut.result(timeout=5) == 'done'
+        assert r.alive()
+        assert r.submit(lambda: 7).result(timeout=5) == 7
+        r.stop()
+
+    def test_restart_after_timed_out_stop(self):
+        # a worker that misses its pill (exits via the abort flag) leaves
+        # the pill in the queue; the NEXT generation's workers must ignore
+        # it instead of dying immediately
+        import threading
+        r = AsyncRunner(num_workers=1)
+        r.start()
+        release = threading.Event()
+        r.submit(release.wait)
+        r.stop(timeout=0.2)   # expires; pill stays enqueued
+        release.set()
+        time.sleep(0.3)       # old worker drains out via _stopping
+        r.start()
+        assert r.submit(lambda: 11).result(timeout=5) == 11
+        assert r.alive()
+        r.stop()
+
 
 class TestStageTimer:
     def test_deltas_and_report(self):

@@ -76,6 +76,9 @@ class TS2D:
         remote = URLDataBase(get_shared_urls(fetch_remote)) if use_remote else False
         self.zoo = Zoo(remote=remote, local=local)
         self.models: Dict[str, HostedModel] = {}
+        # set BEFORE any model loading: a constructor failure mid-load
+        # still reaches __del__ -> close(), which dereferences _fused
+        self._fused = None
 
         ids = self.zoo.resolve(key, unique_model=True)
         if not ids:
@@ -398,19 +401,19 @@ class TS2D:
             n = model.spec.arch.out_channels - (0 if model.multilabel else 1)
             seg_arr = np.ascontiguousarray(merged2d[..., offset:offset + n])
             seg = input2d.replace(array=seg_arr, is_vector=True, meta={})
-            set_annotation_meta(seg, names=model.labels,
-                                colors=self._model_colors(model))
+            colors = self._model_colors(model)
+            set_annotation_meta(seg, names=model.labels, colors=colors)
             if not (collapse or native_2d):
                 seg = restore_dimension(seg, model_input)
+            mname, mgroup = decompose_model_key(id_)[:2]
             result['models'][id_] = {
                 'id': id_,
-                'model': decompose_model_key(id_)[0],
-                'group': decompose_model_key(id_)[1],
+                'model': mname,
+                'group': mgroup,
                 'revision': model.revision,
                 'input': per_model_input,
                 'segmentation': seg,
             }
-            colors = self._model_colors(model)
             for lv, name in sorted(model.labels.items()):
                 offset_label = len(merged_names) + 1
                 merged_names[offset_label] = name

@@ -46,6 +46,26 @@ def _enumerate_cases(src: str) -> Iterator[Tuple[str, str]]:
     DICOM-series subdirectory of the input directory (beyond the
     reference, which requires prior conversion to NRRD/NIfTI)."""
     from .io.dicom import is_dicom_dir
+    from .utils.logging import warn
+
+    seen: dict = {}
+
+    def _uniq(name: str, path: str) -> str:
+        # same-stem inputs (a.nrrd + a.nii, or a DICOM subdir 'case1'
+        # next to case1.nii.gz) must not silently overwrite each other's
+        # outputs in dest — disambiguate the later one
+        if name not in seen:
+            seen[name] = 1
+            return name
+        new = name
+        while new in seen:
+            seen[name] += 1
+            new = f'{name}-{seen[name]}'
+        seen[new] = 1
+        warn(f"duplicate case name '{name}' ({path}): outputs would "
+             f"overwrite an earlier case's — writing this one as '{new}'")
+        return new
+
     isdir = os.path.isdir(src)
     if is_dicom_dir(src):
         yield os.path.basename(os.path.normpath(src)), src
@@ -54,7 +74,7 @@ def _enumerate_cases(src: str) -> Iterator[Tuple[str, str]]:
     if isdir:
         for sub in sorted(glob(os.path.join(src, '*'))):
             if is_dicom_dir(sub):
-                yield os.path.basename(os.path.normpath(sub)), sub
+                yield _uniq(os.path.basename(os.path.normpath(sub)), sub), sub
     for fp in sorted(paths):
         try:
             if not os.path.exists(fp):
@@ -79,7 +99,7 @@ def _enumerate_cases(src: str) -> Iterator[Tuple[str, str]]:
                      f'directory, or the file itself, as --src to segment it',
                      once=True)
                 continue
-            yield name, fp
+            yield _uniq(name, fp), fp
         except Exception:
             if isdir:
                 continue  # skip unsupported files when scanning a directory

@@ -78,6 +78,7 @@ class HostedModel:
 
         self._configure(config['root'])
         self._engine: Optional[InferenceEngine] = None
+        self._start_lock = threading.Lock()
         self._fold_params: Optional[List[dict]] = None
         self._startup_thread: Optional[threading.Thread] = None
         self._startup_error: Optional[BaseException] = None
@@ -182,17 +183,29 @@ class HostedModel:
         if self._fold_params is not None:
             return self._fold_params
         ckpt_file = f'checkpoint_{self.checkpoint_name}.pth'
-        fold_params, meta = [], {}
+        fold_params, axes_seen = [], []
         for f, d in self.fold_dirs:
             path = os.path.join(d, ckpt_file)
             if not os.path.exists(path):
                 raise RuntimeError(f'Missing checkpoint: {path}')
             params, meta = convert_checkpoint(path, self.spec.arch)
             fold_params.append(params)
-        if meta.get('inference_allowed_mirroring_axes') is not None:
+            ax = meta.get('inference_allowed_mirroring_axes')
+            if ax is not None:
+                axes_seen.append((f, tuple(ax)))
+        if axes_seen:
+            # the TTA axes come from the checkpoints, not just the last
+            # fold read: any fold carrying them refines the spec, and
+            # disagreeing folds get flagged (mixed-provenance checkpoints)
+            if len({ax for _, ax in axes_seen}) > 1:
+                warn(f'Model {self.id}: folds disagree on '
+                     f'inference_allowed_mirroring_axes ({axes_seen}); '
+                     f'using fold {axes_seen[0][0]}\'s {axes_seen[0][1]}')
             self.spec = parse_model_spec(
-                self.plans, self.dataset_json, configuration=self.configuration,
-                checkpoint_meta=meta)
+                self.plans, self.dataset_json,
+                configuration=self.configuration,
+                checkpoint_meta={'inference_allowed_mirroring_axes':
+                                 list(axes_seen[0][1])})
         self._fold_params = fold_params
         return fold_params
 
@@ -211,10 +224,9 @@ class HostedModel:
 
     def start(self, wait: bool = True) -> None:
         """Load weights and compile the default-shape program; non-blocking
-        when wait=False (pair with await_startup)."""
-        if self._engine is not None:
-            return
-
+        when wait=False (pair with await_startup). A start while an async
+        startup is already pending joins it (wait=True) or is a no-op
+        (wait=False) — never a second concurrent weight load + compile."""
         def _boot():
             try:
                 engine = self._load_engine()
@@ -223,22 +235,37 @@ class HostedModel:
             except BaseException as ex:  # surfaced by await_startup
                 self._startup_error = ex
 
+        with self._start_lock:
+            if self._engine is None and self._startup_thread is None:
+                self._startup_thread = threading.Thread(target=_boot,
+                                                        daemon=True)
+                self._startup_thread.start()
         if wait:
-            _boot()
             self.await_startup()
-        else:
-            self._startup_thread = threading.Thread(target=_boot, daemon=True)
-            self._startup_thread.start()
 
     def await_startup(self) -> None:
-        if self._startup_thread is not None:
-            self._startup_thread.join()
-            self._startup_thread = None
+        with self._start_lock:
+            t = self._startup_thread
+        if t is not None:
+            t.join()
+            with self._start_lock:
+                if self._startup_thread is t:
+                    self._startup_thread = None
         if self._startup_error is not None:
             err, self._startup_error = self._startup_error, None
             raise RuntimeError(f'Model {self.id} failed to start') from err
 
     def stop(self) -> None:
+        # a pending async startup would assign a fresh engine AFTER this
+        # call, resurrecting a stopped model — wait it out first
+        with self._start_lock:
+            t = self._startup_thread
+        if t is not None:
+            t.join()
+            with self._start_lock:
+                if self._startup_thread is t:
+                    self._startup_thread = None
+            self._startup_error = None
         self._engine = None
 
     @property

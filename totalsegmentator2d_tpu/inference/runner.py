@@ -42,7 +42,8 @@ class AsyncRunner:
     def __init__(self, num_workers: int = 1, name: str = 'ts2d'):
         self._num_workers = max(1, int(num_workers))
         self._name = name
-        self._queue: 'queue.Queue[Optional[Task]]' = queue.Queue()
+        # holds Task objects and ('pill', generation) poison pills
+        self._queue: 'queue.Queue[object]' = queue.Queue()
         self._threads: List[threading.Thread] = []
         self._tasks: Dict[str, Task] = {}
         # completed tasks drop their payloads immediately (a long batch run
@@ -54,6 +55,11 @@ class AsyncRunner:
         self._lock = threading.RLock()
         self._stopping = threading.Event()
         self._counter = 0
+        # worker generation: poison pills carry the generation they were
+        # issued for, so pills left unconsumed by a stop() (a worker that
+        # exited via the abort flag instead) cannot kill the NEXT
+        # generation's workers on a restart
+        self._gen = 0
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -63,8 +69,10 @@ class AsyncRunner:
         if self._threads:
             return self
         self._stopping.clear()
+        self._gen += 1
         for i in range(self._num_workers):
-            t = threading.Thread(target=self._worker, args=(i, warmup),
+            t = threading.Thread(target=self._worker,
+                                 args=(i, warmup, self._gen),
                                  name=f'{self._name}-worker-{i}', daemon=True)
             t.start()
             self._threads.append(t)
@@ -72,7 +80,7 @@ class AsyncRunner:
             self.submit(lambda: None).result()
         return self
 
-    def _worker(self, idx: int, warmup: Optional[Callable]):
+    def _worker(self, idx: int, warmup: Optional[Callable], gen: int):
         try:
             if warmup is not None:
                 warmup()
@@ -85,10 +93,15 @@ class AsyncRunner:
                 task = self._queue.get(timeout=0.1)
             except queue.Empty:
                 continue
-            if task is None:  # poison pill
-                break
-            if task.future.cancelled():
-                continue
+            if isinstance(task, tuple):  # poison pill ('pill', gen)
+                if task[1] >= gen:
+                    break
+                continue  # stale pill a previous generation never ate
+            # move the future to RUNNING: from here cancel() fails instead
+            # of succeeding on an in-flight task (which would make the
+            # set_result below raise InvalidStateError and kill the worker)
+            if not task.future.set_running_or_notify_cancel():
+                continue  # cancelled while queued
             task.timer.mark('get')
             try:
                 result = task.fn(*task.args, **task.kwargs)
@@ -152,7 +165,7 @@ class AsyncRunner:
     def stop(self, timeout: float = 10.0) -> None:
         """Graceful stop: poison pills, then abort flag."""
         for _ in self._threads:
-            self._queue.put(None)
+            self._queue.put(('pill', self._gen))
         for t in self._threads:
             t.join(timeout / max(len(self._threads), 1))
         self._stopping.set()
@@ -161,8 +174,12 @@ class AsyncRunner:
             warn(f'{self._name}: {len(still)} workers did not stop in time')
         self._threads = []
         with self._lock:
-            for task in self._tasks.values():
+            # snapshot: cancel() runs _on_done synchronously (RLock), which
+            # pops from _tasks — iterating the live dict would RuntimeError
+            for task in list(self._tasks.values()):
                 if not task.future.done():
+                    # queued tasks cancel; RUNNING ones (cancel() False)
+                    # finish in their worker and resolve normally
                     task.future.cancel()
             self._tasks.clear()
 

@@ -56,6 +56,14 @@ class Zoo:
             key = aliases[key]
         db = self._remote if self._remote is not None else self._local
         ids = db.ids(key=key)
+        if not ids and db is not self._local:
+            # a locally-present model absent from the remote registry
+            # (trained via ts2d-train, shared via pack_zip) must resolve
+            # without the caller knowing to pass use_remote=False.
+            # Documented divergence from the reference, which consults
+            # only the remote when one is configured.
+            db = self._local
+            ids = db.ids(key=key)
         if len(ids) > 1 and unique_model:
             models = db.models(key=key)
             if not models:
