@@ -941,6 +941,41 @@ class TestCompactWire:
             rebuilt = fetch_compact_batch(pairs, cmeta)
             assert np.array_equal(rebuilt, packed), densities
 
+    def test_speculative_hint_paths(self, rng):
+        # repeated fetches of one program share cmeta['hint_k']: the 2nd+
+        # fetch speculatively pulls the last bucket concurrently with the
+        # bitmap. Every speculation outcome — cover (hint >= count),
+        # undershoot (density jumped: top-up slab), overshoot (density
+        # dropped: extra rows ignored) — must stay bit-identical, for both
+        # the solo and the batched fetch.
+        import jax
+        from totalsegmentator2d_tpu.inference.ensemble_engine import (
+            _compact_pack, fetch_compact, fetch_compact_batch)
+        h, w, nb = 37, 29, 3
+        T = -(-h * w * nb // 8)
+
+        def mk(density):
+            return ((rng.random((h, w, nb)) < density)
+                    * rng.integers(1, 256, (h, w, nb))).astype(np.uint8)
+
+        cmeta = {'T': T, 'shape': (h, w, nb)}
+        pack = jax.jit(_compact_pack)
+        # cold (no hint) -> sparse -> dense (undershoot) -> sparse
+        # (overshoot) -> empty (overshoot to count 0)
+        for density in (0.02, 0.02, 0.9, 0.02, 0.0):
+            packed = mk(density)
+            rebuilt = fetch_compact(pack(packed), cmeta)
+            assert np.array_equal(rebuilt, packed), density
+            assert cmeta['hint_k'] >= 1
+
+        cmeta_b = {'T': T, 'shape': (h, w, nb)}
+        packb = jax.jit(jax.vmap(_compact_pack))
+        for densities in ([0.02, 0.0], [0.9, 0.02], [0.0, 0.0]):
+            packed = np.stack([mk(d) for d in densities])
+            rebuilt = fetch_compact_batch(packb(packed), cmeta_b)
+            assert np.array_equal(rebuilt, packed), densities
+            assert cmeta_b['hint_k'] >= 1
+
     def test_env_gate(self, groups, monkeypatch):
         specs, params = groups
         monkeypatch.setenv('TS2D_COMPACT', '0')

@@ -118,31 +118,48 @@ class TestArrivalAwarePolicy:
         finally:
             b.stop()
 
-    def test_burst_ramp_then_full_batch(self):
-        # 12 scans queued at once against a slow download wire: the policy
-        # must send ramp_solos=3 solos first (results start moving at solo
-        # latency), then coalesce 8 into one batch, then the 1 leftover as
-        # a solo (below min_fill).
+    def test_deep_queue_cancels_the_ramp(self):
+        # 12 scans queued at once: a full batch of one shape is ALREADY
+        # waiting, so the adaptive ramp must cancel (solo ramp dispatches
+        # cost ~3.5x the per-scan batch cost and throttle a streaming
+        # caller) — 8 coalesce immediately, the 4 leftover ride a padded
+        # batch (>= min_fill).
         eng = FakeEngine(fetch_delay=1.0)
         b = DynamicBatcher(eng, max_batch=8, accumulate_gap_ms=30.0)
         try:
             futs = _submit_locked(b, [_mk(i) for i in range(12)])
             res = _drain(futs)
             sizes = [d for d in eng.dispatches]
-            assert sizes == [('solo', 1)] * 3 + [('batch', 8)] + \
-                [('solo', 1)], sizes
+            assert sizes == [('batch', 8), ('batch', 8)], sizes
             # every scan got its own content back through its (br, idx)
             for i, (br, idx, _, _) in enumerate(res):
                 row = br.get()[0 if idx is None else idx]
                 np.testing.assert_array_equal(row, _mk(i))
             # occupancy counters reflect the dispatch pattern (/metrics)
             st = b.stats()
-            assert st['batch_occupancy'][0] == 4   # 3 ramp solos + leftover
             assert st['batch_occupancy'][7] == 1   # the full batch
-            assert st['batch_programs'] == 5
+            assert st['batch_occupancy'][3] == 1   # the padded leftover
+            assert st['batch_programs'] == 2
             assert st['batch_scans'] == 12
-            assert st['batch_scans_coalesced'] == 8
-            assert st['batch_mean_occupancy'] == pytest.approx(12 / 5)
+            assert st['batch_scans_coalesced'] == 12
+            assert st['batch_mean_occupancy'] == pytest.approx(6.0)
+        finally:
+            b.stop()
+
+    def test_burst_ramp_engages_on_shallow_queue(self):
+        # 5 scans queued at once (no full batch waiting): the burst ramp
+        # sends ramp_solos=3 solos first so results start moving at solo
+        # latency, then the 2 leftover flush as solos (below min_fill).
+        eng = FakeEngine(fetch_delay=1.0)
+        b = DynamicBatcher(eng, max_batch=8, accumulate_gap_ms=30.0)
+        try:
+            futs = _submit_locked(b, [_mk(i) for i in range(5)])
+            res = _drain(futs)
+            sizes = [d for d in eng.dispatches]
+            assert sizes == [('solo', 1)] * 5, sizes
+            for i, (br, idx, _, _) in enumerate(res):
+                row = br.get()[0 if idx is None else idx]
+                np.testing.assert_array_equal(row, _mk(i))
         finally:
             b.stop()
 

@@ -337,6 +337,23 @@ class DynamicBatcher:
                         # device went idle: a fresh burst begins
                         self._ramp_left = self.ramp_solos
                     if self._ramp_left > 0:
+                        # adaptive ramp (round 4): the burst ramp exists to
+                        # get FIRST results moving at solo latency when
+                        # arrivals trickle in — not to throttle a stream.
+                        # When a full batch of one shape is already queued,
+                        # the caller is submitting faster than solos retire
+                        # and ramp solos only burn device time (~3.5x the
+                        # per-scan cost of riding the batch; the compacted
+                        # mask wire removed the old start-the-download-
+                        # wire-early rationale, probe14 vs round 4). Cancel
+                        # the ramp and ride the batch.
+                        counts: dict = {}
+                        for k, _, _ in self._pending:
+                            counts[k] = counts.get(k, 0) + 1
+                            if counts[k] >= self.max_batch:
+                                self._ramp_left = 0
+                                break
+                    if self._ramp_left > 0:
                         self._ramp_left -= 1
                         take_cap = 1
                     else:
