@@ -56,6 +56,10 @@ class TestPredict:
         assert seg.ncomponents == 5
         assert set(res.get_projection()) == {'ch0', 'ch1'}
 
+    @pytest.mark.slow  # the 337x644 true-2D asset forces the suite's
+    # largest program compile (~11 s, the single slowest fast-tier test);
+    # the 2D-input API path stays fast-covered by test_predict_xray and
+    # the rotated-direction geometry by test_001/test_002
     def test_predict_true_2d(self, tool):
         res = tool.predict(asset_path('sample_s0616.nrrd'))
         seg = res.get_segmentation()

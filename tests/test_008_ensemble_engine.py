@@ -976,6 +976,29 @@ class TestCompactWire:
             assert np.array_equal(rebuilt, packed), densities
             assert cmeta_b['hint_k'] >= 1
 
+    def test_speculative_hint_concurrent_fetches(self, rng):
+        # concurrent fetches of one program share the mutable hint_k: the
+        # race is benign by design (any recent bucket works — undershoot
+        # tops up, overshoot over-fetches), but every interleaving must
+        # stay bit-identical
+        import jax
+        from concurrent.futures import ThreadPoolExecutor
+        from totalsegmentator2d_tpu.inference.ensemble_engine import (
+            _compact_pack, fetch_compact)
+        h, w, nb = 23, 19, 2
+        cmeta = {'T': -(-h * w * nb // 8), 'shape': (h, w, nb)}
+        pack = jax.jit(_compact_pack)
+        packs = []
+        for density in (0.02, 0.6, 0.0, 0.9, 0.1, 0.02, 1.0, 0.3):
+            packed = ((rng.random((h, w, nb)) < density)
+                      * rng.integers(1, 256, (h, w, nb))).astype(np.uint8)
+            packs.append((packed, pack(packed)))
+        with ThreadPoolExecutor(4) as pool:
+            outs = list(pool.map(lambda p: fetch_compact(p[1], cmeta),
+                                 packs))
+        for (packed, _), rebuilt in zip(packs, outs):
+            assert np.array_equal(rebuilt, packed)
+
     def test_env_gate(self, groups, monkeypatch):
         specs, params = groups
         monkeypatch.setenv('TS2D_COMPACT', '0')
