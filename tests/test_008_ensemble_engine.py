@@ -942,12 +942,14 @@ class TestCompactWire:
             assert np.array_equal(rebuilt, packed), densities
 
     def test_speculative_hint_paths(self, rng):
-        # repeated fetches of one program share cmeta['hint_k']: the 2nd+
+        # repeated fetches of one program keep a per-path hint (solo:
+        # 'hint_solo', batched: 'hint_batch'): the 2nd+
         # fetch speculatively pulls the last bucket concurrently with the
         # bitmap. Every speculation outcome — cover (hint >= count),
-        # undershoot (density jumped: top-up slab), overshoot (density
-        # dropped: extra rows ignored) — must stay bit-identical, for both
-        # the solo and the batched fetch.
+        # undershoot (density jumped: bucket prefix refetched), overshoot
+        # (density
+        # dropped: extra rows ignored) — must stay bit-identical, for
+        # both the solo and the batched fetch.
         import jax
         from totalsegmentator2d_tpu.inference.ensemble_engine import (
             _compact_pack, fetch_compact, fetch_compact_batch)
@@ -966,7 +968,7 @@ class TestCompactWire:
             packed = mk(density)
             rebuilt = fetch_compact(pack(packed), cmeta)
             assert np.array_equal(rebuilt, packed), density
-            assert cmeta['hint_k'] >= 1
+            assert cmeta['hint_solo'] >= 1
 
         cmeta_b = {'T': T, 'shape': (h, w, nb)}
         packb = jax.jit(jax.vmap(_compact_pack))
@@ -974,10 +976,36 @@ class TestCompactWire:
             packed = np.stack([mk(d) for d in densities])
             rebuilt = fetch_compact_batch(packb(packed), cmeta_b)
             assert np.array_equal(rebuilt, packed), densities
-            assert cmeta_b['hint_k'] >= 1
+            assert cmeta_b['hint_batch'] >= 1
+
+    def test_speculative_hint_solo_batch_isolation(self, rng):
+        # mixed solo/batch traffic on ONE program shares the cached meta
+        # dict: the paths must keep SEPARATE hint slots (batch-max counts
+        # run above solo counts; a shared slot would ping-pong the
+        # speculative prefix size) and stay bit-identical interleaved
+        import jax
+        from totalsegmentator2d_tpu.inference.ensemble_engine import (
+            _compact_pack, fetch_compact, fetch_compact_batch)
+        h, w, nb = 31, 27, 2
+        cmeta = {'T': -(-h * w * nb // 8), 'shape': (h, w, nb)}
+        pack = jax.jit(_compact_pack)
+        packb = jax.jit(jax.vmap(_compact_pack))
+
+        def mk(density):
+            return ((rng.random((h, w, nb)) < density)
+                    * rng.integers(1, 256, (h, w, nb))).astype(np.uint8)
+
+        for solo_d, batch_ds in ((0.02, [0.6, 0.02]), (0.02, [0.9, 0.0]),
+                                 (0.5, [0.02, 0.02])):
+            solo = mk(solo_d)
+            assert np.array_equal(fetch_compact(pack(solo), cmeta), solo)
+            batch = np.stack([mk(d) for d in batch_ds])
+            assert np.array_equal(
+                fetch_compact_batch(packb(batch), cmeta), batch)
+        assert cmeta['hint_solo'] >= 1 and cmeta['hint_batch'] >= 1
 
     def test_speculative_hint_concurrent_fetches(self, rng):
-        # concurrent fetches of one program share the mutable hint_k: the
+        # concurrent fetches of one program share the mutable hint: the
         # race is benign by design (any recent bucket works — undershoot
         # tops up, overshoot over-fetches), but every interleaving must
         # stay bit-identical

@@ -50,7 +50,10 @@ def main():
     stacked = _wire_pack(np.stack([cropped] * B), wire)
     xb = jax.device_put(stacked)
 
-    red = jax.jit(lambda t: jnp.sum(t[0].astype(jnp.int32))
+    # the calibration sync must depend on EVERY wire component (the int16
+    # wire returns a tuple; summing only t[0] would leave the float
+    # component's upload unawaited and under-measure put-synced)
+    red = jax.jit(lambda t: sum(jnp.sum(a.astype(jnp.int32)) for a in t)
                   if isinstance(t, tuple) else jnp.sum(t))
 
     def out_sync(out):

@@ -51,10 +51,13 @@ class _BatchResult:
 
     With a ``compact`` layout (ensemble_engine._compact_pack — the default
     mask wire), the device value is a (buf, occupancy-bitmap) pair: the
-    bitmap fetches first (tiny), its popcount sizes a bucketed PREFIX of
-    the buffer, and only that prefix crosses the wire — sparse anatomy
-    masks ship 4-15x fewer bytes. ``get`` still returns the plain packed
-    (B, H, W, nB) / (H, W, nB) array, reconstructed bit-identically.
+    tiny bitmap (whose popcount sizes a bucketed PREFIX of the buffer)
+    fetches concurrently with a speculative fetch of the bucket the last
+    result of the same program needed (fetch_compact's hint), so only the
+    prefix crosses the wire and a covering hint hides the bitmap
+    round-trip entirely — sparse anatomy masks ship 4-15x fewer bytes.
+    ``get`` still returns the plain packed (B, H, W, nB) / (H, W, nB)
+    array, reconstructed bit-identically.
     """
 
     # below this, one fetch stream is fine (small-CT/X-ray batches whose
@@ -268,6 +271,18 @@ class DynamicBatcher:
         self._pending = rest
         return key, take
 
+    def _full_key(self):
+        """First request key with a full batch pending, else None. The
+        fullness criterion for every dispatcher policy (linger, ramp
+        cancel, accumulate) lives here so they cannot silently diverge.
+        Caller holds the lock."""
+        counts: dict = {}
+        for k, _, _ in self._pending:
+            counts[k] = counts.get(k, 0) + 1
+            if counts[k] >= self.max_batch:
+                return k
+        return None
+
     def _run(self):
         try:
             self._loop()
@@ -307,25 +322,18 @@ class DynamicBatcher:
                     key0, t0, _ = self._pending[0]
                     deadline = t0 + linger
 
-                    def _full_key():
-                        counts: dict = {}
-                        for k, _, _ in self._pending:
-                            counts[k] = counts.get(k, 0) + 1
-                            if counts[k] >= self.max_batch:
-                                return k
-                        return None
-
                     def _mine():
                         return sum(1 for k, _, _ in self._pending
                                    if k == key0)
 
                     while (_mine() < self.max_batch
-                           and _full_key() is None and not self._stopped):
+                           and self._full_key() is None
+                           and not self._stopped):
                         remaining = deadline - time.monotonic()
                         if remaining <= 0:
                             break
                         self._cv.wait(timeout=remaining)
-                    full = _full_key()
+                    full = self._full_key()
                     if (full is not None and full != key0
                             and time.monotonic() < deadline):
                         # a ready-full batch of another shape goes first;
@@ -347,12 +355,8 @@ class DynamicBatcher:
                         # mask wire removed the old start-the-download-
                         # wire-early rationale, probe14 vs round 4). Cancel
                         # the ramp and ride the batch.
-                        counts: dict = {}
-                        for k, _, _ in self._pending:
-                            counts[k] = counts.get(k, 0) + 1
-                            if counts[k] >= self.max_batch:
-                                self._ramp_left = 0
-                                break
+                        if self._full_key() is not None:
+                            self._ramp_left = 0
                     if self._ramp_left > 0:
                         self._ramp_left -= 1
                         take_cap = 1
@@ -362,15 +366,6 @@ class DynamicBatcher:
                         # in, hold the queue so it fills; dispatch on a
                         # full head batch or an arrival pause
                         gap = self.accumulate_gap_ms / 1e3
-
-                        def _acc_full_key():
-                            counts: dict = {}
-                            for k, _, _ in self._pending:
-                                counts[k] = counts.get(k, 0) + 1
-                                if counts[k] >= self.max_batch:
-                                    return k
-                            return None
-
                         cnt = 0
                         while not self._stopped and self._pending:
                             head = self._pending[0][0]
@@ -378,7 +373,7 @@ class DynamicBatcher:
                                       if k == head)
                             if (cnt >= self.max_batch
                                     or self._inflight == 0
-                                    or _acc_full_key() is not None):
+                                    or self._full_key() is not None):
                                 break
                             since = time.monotonic() - self._last_submit
                             if since >= gap:
@@ -386,7 +381,7 @@ class DynamicBatcher:
                             self._cv.wait(timeout=gap - since + 1e-3)
                         if not self._pending:
                             continue
-                        full = _acc_full_key()
+                        full = self._full_key()
                         if full is not None and full != self._pending[0][0]:
                             # a ready-full batch of another key must not
                             # wait behind a minority-shape head: under

@@ -77,13 +77,16 @@ def unpack_bits(packed: np.ndarray, n_labels: int) -> np.ndarray:
 # compacts the packed byte stream on device — plane-major tiles of
 # _COMPACT_TILE bytes, occupied tiles scattered to a dense prefix via
 # cumsum positions (no sort) — and returns (buf, occupancy bitmap). The
-# host fetches the tiny bitmap first, derives the occupied-tile count,
-# then fetches only a bucketed PREFIX of the buffer: sparse masks ship
-# 4-15x fewer bytes through the download wire (the measured pipeline
-# floor on remote-attached TPUs, docs/performance.md), while dense masks
-# degrade to a full fetch plus a ~1.6% bitmap overhead. Reconstruction is
-# bit-identical by construction (tiles move losslessly; the buffer's
-# trash row for unoccupied scatter targets is never read back).
+# host fetches the tiny bitmap (whose popcount sizes a bucketed PREFIX
+# of the buffer) and, concurrently, speculatively fetches the bucket the
+# LAST result of the same program needed (fetch_compact's hint): only
+# the prefix crosses the wire, and on a hint cover the bitmap round-trip
+# costs no wall time. Sparse masks ship 4-15x fewer bytes through the
+# download wire (the measured pipeline floor on remote-attached TPUs,
+# docs/performance.md), while dense masks degrade to a full fetch plus a
+# ~1.6% bitmap overhead. Reconstruction is bit-identical by construction
+# (tiles move losslessly; the buffer's trash row for unoccupied scatter
+# targets is never read back).
 
 _COMPACT_TILE = 8
 
@@ -179,38 +182,47 @@ def fetch_split(dev, min_bytes: int = 1_000_000,
     return np.asarray(jax.device_get(dev))
 
 
-def fetch_compact(dev_pair, cmeta: dict) -> np.ndarray:
-    """Fetch a compacted solo result: the occupancy bitmap (tiny), then only
-    the bucketed prefix the count requires.
+def _fetch_speculative(occ, spec_thunk):
+    """Fetch the occupancy bitmap, overlapping an optional speculative
+    prefix fetch with its tunnel round-trip (~20-45 ms of pure RPC latency
+    that would otherwise SERIALIZE ahead of the prefix fetch). Returns
+    ``(occ_np, speculative_result_or_None)``."""
+    if spec_thunk is None:
+        return np.asarray(jax.device_get(occ)), None
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(2) as pool:
+        spec = pool.submit(spec_thunk)
+        occ_np = np.asarray(jax.device_get(occ))
+        return occ_np, spec.result()
 
-    The bitmap fetch is a full tunnel round-trip (~20-45 ms of pure RPC
-    latency) that would otherwise SERIALIZE ahead of the prefix fetch — on
-    the blocking path that latency is exposed directly. Serving workloads
-    are homogeneous, so the bucket the LAST result of this program needed
-    (``cmeta['hint_k']``, mutable in the per-program cached meta dict) is
-    speculatively fetched CONCURRENTLY with the bitmap; when it covers the
-    new count (the common case — buckets are coarse) the round-trip
-    vanishes, otherwise only the missing slab is fetched on top. Always
-    bit-identical: ``uncompact`` reads exactly ``prefix[:count]`` rows."""
+
+def fetch_compact(dev_pair, cmeta: dict) -> np.ndarray:
+    """Fetch a compacted solo result: the occupancy bitmap (tiny), plus
+    only the bucketed prefix the count requires.
+
+    Serving workloads are homogeneous, so the bucket the LAST solo result
+    of this program needed (``cmeta['hint_solo']``, mutable in the
+    per-program cached meta dict; the batched fetch keeps its own
+    ``hint_batch`` — their counts differ systematically, a shared slot
+    ping-pongs between prefix sizes) is speculatively fetched CONCURRENTLY
+    with the bitmap; when it covers the new count (the common case —
+    buckets are coarse) the bitmap round-trip vanishes. On undershoot the
+    bucket prefix refetches WHOLE rather than topping up ``buf[hint:k]``:
+    a pairwise (hint, k) slab would be a first-time device slice program
+    per pair (each stalling its first request on a tunnel compile), while
+    bucket prefixes reuse the same bounded program set the cold path
+    compiles. Always bit-identical: ``uncompact`` reads exactly
+    ``prefix[:count]`` rows."""
     buf, occ = dev_pair
     T = cmeta['T']
-    hint = cmeta.get('hint_k')
-    if hint:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(2) as pool:
-            spec = pool.submit(fetch_split, buf[:hint])
-            occ_np = np.asarray(jax.device_get(occ))
-            prefix = spec.result()
-    else:
-        occ_np = np.asarray(jax.device_get(occ))
-        prefix = None
+    hint = cmeta.get('hint_solo')
+    occ_np, prefix = _fetch_speculative(
+        occ, (lambda: fetch_split(buf[:hint])) if hint else None)
     count = occupied_count(occ_np, T)
     k = pick_prefix(count, T)
-    if prefix is None:
+    if prefix is None or count > hint:
         prefix = fetch_split(buf[:k])
-    elif count > hint:  # speculation undershot: top up with the missing slab
-        prefix = np.concatenate([prefix, fetch_split(buf[hint:k])])
-    cmeta['hint_k'] = k
+    cmeta['hint_solo'] = k
     return uncompact(prefix, occ_np, count, cmeta['shape'])
 
 
@@ -218,32 +230,23 @@ def fetch_compact_batch(dev_pair, cmeta: dict) -> np.ndarray:
     """Fetch a batch of compacted results ((B, T+1, tile) buffer +
     (B, occB) bitmaps): one prefix slab sized by the largest per-scan
     count crosses the wire, then every scan reconstructs with one
-    vectorized scatter. Returns the plain packed (B, H, W, nB) array,
-    bit-identical to the uncompacted wire."""
+    vectorized scatter. Speculation protocol and hint/undershoot
+    semantics as in ``fetch_compact`` (own ``hint_batch`` slot). Returns
+    the plain packed (B, H, W, nB) array, bit-identical to the
+    uncompacted wire."""
     buf, occ = dev_pair
     T = cmeta['T']
     h, w, n_bytes = cmeta['shape']
-    hint = cmeta.get('hint_k')
-    if hint:
-        # speculative slab prefetch concurrent with the bitmap round-trip
-        # (same rationale and identity argument as fetch_compact)
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(2) as pool:
-            spec = pool.submit(fetch_split, buf[:, :hint])
-            occ_np = np.asarray(jax.device_get(occ))
-            slab = spec.result()
-    else:
-        occ_np = np.asarray(jax.device_get(occ))
-        slab = None
+    hint = cmeta.get('hint_batch')
+    occ_np, slab = _fetch_speculative(
+        occ, (lambda: fetch_split(buf[:, :hint])) if hint else None)
     bits = np.unpackbits(np.ascontiguousarray(occ_np), axis=-1,
                          bitorder='little')[:, :T].astype(bool)
     counts = bits.sum(axis=-1)
     kmax = pick_prefix(int(counts.max()), T)
-    if slab is None:
+    if slab is None or int(counts.max()) > hint:
         slab = fetch_split(buf[:, :kmax])
-    elif int(counts.max()) > hint:  # undershot: top up the missing columns
-        slab = np.concatenate([slab, fetch_split(buf[:, hint:kmax])], axis=1)
-    cmeta['hint_k'] = kmax
+    cmeta['hint_batch'] = kmax
     B = slab.shape[0]
     out = np.zeros((B, T, _COMPACT_TILE), np.uint8)
     out[bits] = np.concatenate([slab[i, :counts[i]] for i in range(B)])
