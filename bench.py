@@ -165,10 +165,15 @@ def make_realistic_volume():
     separate keeps test-asset realism fixes from silently moving the
     benchmark workload between rounds."""
     Z, Y, X = REALISTIC_SHAPE
+    # sparse (broadcastable) grids: dense meshgrid would materialize
+    # three full float64 volumes (~590 MB) on the 1-core bench host
     z, y, x = np.meshgrid(np.linspace(-1, 1, Z), np.linspace(-1, 1, Y),
-                          np.linspace(-1, 1, X), indexing='ij')
+                          np.linspace(-1, 1, X), indexing='ij', sparse=True)
     vol = np.full(REALISTIC_SHAPE, -1024.0, np.float32)
-    body = (y ** 2 / 0.81 + x ** 2 / 0.72) <= 1.0
+    # broadcast to full shape: body is z-independent (shape (1, Y, X)
+    # under sparse grids) but indexes the full volume below
+    body = np.broadcast_to((y ** 2 / 0.81 + x ** 2 / 0.72) <= 1.0,
+                           REALISTIC_SHAPE)
     vol[body] = 40.0
     for sx in (-0.35, 0.35):  # lungs
         lung = ((z + 0.45) ** 2 / 0.16 + y ** 2 / 0.25

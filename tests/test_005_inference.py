@@ -29,6 +29,13 @@ class TestKeyGrammar:
         assert match_model_name('ts2d', 'ts2d-v2-ep4000b2')
         assert not match_model_name('ts2d-v1', 'ts2d-v2-ep4000b2')
         assert not match_model_name('tsxr', 'ts2d-v2-ep4000b2')
+        # surplus NON-EMPTY components reject (typo guard)...
+        assert not match_model_name('ts2d-v2-ep4000b2-bogus',
+                                    'ts2d-v2-ep4000b2')
+        # ...but surplus EMPTY ones keep the empty-parts-match-anything
+        # rule (a trailing dash from scripted key construction)
+        assert match_model_name('ts2d-v2-ep4000b2-', 'ts2d-v2-ep4000b2')
+        assert match_model_name('ts2d-v2-', 'ts2d-v2-ep4000b2')
         assert match_model_name(None, 'anything')
         # a pattern with MORE components than the model must not match: a
         # typoed/nonexistent longer key must raise 'no models resolved',

@@ -117,6 +117,32 @@ class TestAsyncRunner:
         assert r.alive()
         r.stop()
 
+    def test_worker_outliving_stop_exits_on_restart(self):
+        # a worker still mid-task when stop() times out must EXIT once a
+        # new generation starts (its own pill was discarded as stale by
+        # the replacement) instead of re-entering the loop and competing
+        # with the new worker for queue tasks forever
+        import threading
+        r = AsyncRunner(num_workers=1, name='ts2d-zombie')
+        r.start()
+        release = threading.Event()
+        r.submit(release.wait)
+        r.stop(timeout=0.2)   # expires: the worker is still in the task
+        r.start()             # gen 2 spawns while the gen-1 worker lives
+        release.set()         # gen-1 finishes its task...
+        deadline = time.monotonic() + 5
+        stale = True
+        while time.monotonic() < deadline:
+            stale = [t for t in threading.enumerate()
+                     if t.name.startswith('ts2d-zombie-worker')
+                     and t not in r._threads]
+            if not stale:
+                break
+            time.sleep(0.05)
+        assert not stale      # ...and exits via the generation check
+        assert r.submit(lambda: 7).result(timeout=5) == 7
+        r.stop()
+
 
 class TestStageTimer:
     def test_deltas_and_report(self):

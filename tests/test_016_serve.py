@@ -367,6 +367,38 @@ class TestProductionKnobs:
         finally:
             srv.stop()
 
+    def test_auth_non_ascii_token_authenticates(self, server):
+        # http.server hands headers to the app latin-1-decoded; the
+        # compare must recover the RAW WIRE BYTES, so a client sending
+        # the UTF-8 bytes of a non-ASCII token must authenticate
+        # (re-encoding the supplied header as UTF-8 double-encodes and
+        # would 401 every request for such a token)
+        srv = TS2DServer(server.tool, port=0, auth_token='tökn')
+        srv.start()
+        try:
+            import http.client
+            conn = http.client.HTTPConnection('127.0.0.1', srv.port,
+                                              timeout=5)
+            conn.request('GET', '/labels', headers={
+                'Authorization': 'Bearer tökn'.encode('utf-8')})
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+            conn.close()
+        finally:
+            srv.stop()
+
+    def test_stop_closes_listening_socket(self, server):
+        # shutdown() alone leaves the listening socket open: clients
+        # would handshake into the accept backlog and hang forever
+        import socket
+        srv = TS2DServer(server.tool, port=0)
+        srv.start()
+        port = srv.port
+        assert srv.stop()
+        with pytest.raises(OSError):
+            socket.create_connection(('127.0.0.1', port), timeout=2)
+
     @pytest.mark.slow
     def test_request_timeout_budget_starts_at_execution(self, server):
         # a burst deeper than the worker pool must not 504 requests whose

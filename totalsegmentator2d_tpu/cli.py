@@ -93,7 +93,6 @@ def _enumerate_cases(src: str) -> Iterator[Tuple[str, str]]:
                 # would silently produce near-meaningless output. Point the
                 # tool at the series directory instead; explicit single-file
                 # input (-i file.dcm) still works.
-                from .utils.logging import warn
                 warn(f'skipping loose DICOM file {fn} in a mixed directory '
                      f'(likely one slice of a series) — pass the series '
                      f'directory, or the file itself, as --src to segment it',

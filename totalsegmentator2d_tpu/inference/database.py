@@ -48,18 +48,19 @@ def match_model_name(pattern: Optional[str], model: str) -> bool:
     """Component-wise prefix match: each '-'-part of the pattern must equal
     the corresponding part of the model name (empty parts match anything).
 
-    A pattern with MORE components than the model does not match —
-    documented divergence from the reference (_match_model_str iterates
-    only the model's parts, so 'ts2d-v2-ep4000b2-bogus' silently resolves
-    to ts2d-v2-ep4000b2 there, loading the wrong model on a typo; here it
-    raises 'no models resolved' instead, which is what that file's own
-    docstring describes)."""
+    A pattern with MORE non-empty components than the model does not
+    match — documented divergence from the reference (_match_model_str
+    iterates only the model's parts, so 'ts2d-v2-ep4000b2-bogus' silently
+    resolves to ts2d-v2-ep4000b2 there, loading the wrong model on a
+    typo; here it raises 'no models resolved' instead, which is what that
+    file's own docstring describes). Surplus EMPTY components still match
+    (the empty-parts-match-anything rule: 'ts2d-v2-' matches 'ts2d-v2')."""
     if pattern is None:
         return True
     if '-' in model:
         pat = pattern.split('-')
         parts = model.split('-')
-        if len(pat) > len(parts):
+        if len(pat) > len(parts) and any(pat[len(parts):]):
             return False
         for i in range(len(parts)):
             if i < len(pat) and pat[i] and pat[i] != parts[i]:

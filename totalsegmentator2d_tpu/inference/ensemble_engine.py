@@ -18,6 +18,7 @@ input and the memory traffic of every stage.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -161,6 +162,27 @@ def uncompact(prefix: np.ndarray, occ_packed: np.ndarray, count: int,
     return np.ascontiguousarray(planes.transpose(1, 2, 0))
 
 
+_fetch_pools: Dict[str, object] = {}
+_fetch_pool_lock = threading.Lock()
+
+
+def _fetch_pool(kind: str, workers: int):
+    """Shared IO pools for result downloads (same pattern as
+    io/dicom._series_decode_pool): the fetch paths run once per scan in
+    the serving hot loop, and per-call executors would spawn and join up
+    to 6 OS threads per mask download — a pure tax on the 1-core host.
+    Deadlock-free by construction: 'slab' tasks never submit into a
+    pool, and 'spec' tasks submit only into 'slab' — acyclic."""
+    with _fetch_pool_lock:
+        pool = _fetch_pools.get(kind)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(
+                workers, thread_name_prefix=f'ts2d-fetch-{kind}')
+            _fetch_pools[kind] = pool
+        return pool
+
+
 def fetch_split(dev, min_bytes: int = 1_000_000,
                 streams: int = 4) -> np.ndarray:
     """Fetch a device array as concurrent contiguous-slab streams along
@@ -174,10 +196,10 @@ def fetch_split(dev, min_bytes: int = 1_000_000,
         k = min(streams, n)
         bounds = [n * i // k for i in range(k + 1)]
         slabs = [dev[bounds[i]:bounds[i + 1]] for i in range(k)]
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(k) as pool:
-            parts = list(pool.map(
-                lambda s: np.asarray(jax.device_get(s)), slabs))
+        # 8 workers: two fetch_split calls can run concurrently (the
+        # speculative prefix racing a top-up / another program's result)
+        parts = list(_fetch_pool('slab', 8).map(
+            lambda s: np.asarray(jax.device_get(s)), slabs))
         return np.concatenate(parts)
     return np.asarray(jax.device_get(dev))
 
@@ -189,11 +211,9 @@ def _fetch_speculative(occ, spec_thunk):
     ``(occ_np, speculative_result_or_None)``."""
     if spec_thunk is None:
         return np.asarray(jax.device_get(occ)), None
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(2) as pool:
-        spec = pool.submit(spec_thunk)
-        occ_np = np.asarray(jax.device_get(occ))
-        return occ_np, spec.result()
+    spec = _fetch_pool('spec', 2).submit(spec_thunk)
+    occ_np = np.asarray(jax.device_get(occ))
+    return occ_np, spec.result()
 
 
 def fetch_compact(dev_pair, cmeta: dict) -> np.ndarray:

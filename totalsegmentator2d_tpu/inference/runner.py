@@ -89,6 +89,13 @@ class AsyncRunner:
             warn(f'{self._name}-worker-{idx} failed during warmup')
             # keep serving: per-task errors surface on their futures
         while not self._stopping.is_set():
+            if self._gen != gen:
+                # a stop() timed out while this worker was mid-task and a
+                # new generation has started: this thread is no longer in
+                # _threads (alive()/stop() see only the replacements) and
+                # its own pill was already discarded as stale — exit
+                # instead of competing with the new workers forever
+                break
             try:
                 task = self._queue.get(timeout=0.1)
             except queue.Empty:

@@ -100,11 +100,16 @@ class TS2DServer:
             return True
         import hmac
         # compare BYTES: compare_digest raises TypeError on non-ASCII str,
-        # and the header can carry any byte (http decodes it latin-1) — a
-        # malformed header must 401, not kill the handler with a traceback
+        # and the header can carry any byte — a malformed header must 401,
+        # not kill the handler with a traceback. http.server decodes header
+        # bytes as latin-1, so encoding the supplied value back as latin-1
+        # recovers the raw wire bytes (lossless: latin-1 round-trips every
+        # byte); the expected side is the UTF-8 bytes a client puts on the
+        # wire for the configured token. Encoding supplied as UTF-8 instead
+        # would double-encode non-ASCII tokens and 401 every request.
         supplied = headers.get('Authorization', '')
         return hmac.compare_digest(
-            supplied.encode('utf-8', 'surrogateescape'),
+            supplied.encode('latin-1', 'surrogateescape'),
             f'Bearer {self.auth_token}'.encode('utf-8'))
 
     @contextmanager
@@ -115,10 +120,16 @@ class TS2DServer:
         reports 'drained' while a thread is still streaming a multi-MB
         segmentation to a slow client."""
         with self._active_cv:
-            if self._draining:
-                yield False
-                return
-            self._active += 1
+            draining = self._draining
+            if not draining:
+                self._active += 1
+        if draining:
+            # yield OUTSIDE the lock: the caller writes the 503 response
+            # inside this span, and a stalled client socket must not hold
+            # _active_cv (finishing predicts need it to decrement, and
+            # stop()'s drain wait would see them as still in flight)
+            yield False
+            return
         try:
             yield True
         finally:
@@ -418,6 +429,11 @@ class TS2DServer:
             self._draining = True
         if self._httpd is not None:
             self._httpd.shutdown()
+            # shutdown() only exits serve_forever; the listening socket
+            # stays open without server_close() — new clients would
+            # handshake into the accept backlog and hang (nothing accepts
+            # anymore), and every start/stop cycle would leak the fd
+            self._httpd.server_close()
             self._httpd = None
         drained = True
         deadline = time.monotonic() + drain_timeout
