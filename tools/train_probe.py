@@ -1,0 +1,133 @@
+"""Probe 22 — training-step throughput/MFU on the real chip.
+
+The training subsystem (training/train.py: nnU-Net recipe as one jitted
+step) had no measured numbers on TPU — every committed figure is
+inference-side. This probe times the production step on the bench-scale
+group model (6-stage flagship arch, 256x256 patches, 24 labels, deep
+supervision) across precision/batch/remat/augment configs and reports
+s/step, patches/s, and MFU against the v5e bf16 peak.
+
+Method: batch is device-resident (the host data pipeline runs ahead and
+overlaps in production; this measures the device step), one compile
+warmup, then N timed steps each synced by fetching the loss scalar
+(block_until_ready returns early through the relay — CLAUDE.md).
+Training FLOPs are estimated as 3x analytic forward FLOPs (backward
+~2x forward), forward counted conv-by-conv like tools/roofline.py with
+deep-supervision heads included.
+
+Usage: python tools/train_probe.py   (alone on the box; ONE JAX process)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, '/root/repo')
+
+PEAK_FLOPS = 197e12  # v5e bf16 (tools/roofline.py)
+PATCH = 256
+N_STAGES = 6
+LABELS = 24
+IN_CH = 2
+K = 9  # 3x3
+
+
+def forward_flops(b: int) -> float:
+    """Analytic forward FLOPs for one batch of the flagship group model
+    (matches models/unet.forward's structure; roofline.py's counting)."""
+    feats = tuple(min(32 * 2 ** i, 512) for i in range(N_STAGES))
+    total = 0.0
+    h = w = PATCH
+    cin = IN_CH
+    enc_hw = []
+    for s, c in enumerate(feats):
+        if s > 0:
+            h //= 2
+            w //= 2
+        total += 2.0 * b * h * w * c * K * cin   # conv0
+        total += 2.0 * b * h * w * c * K * c     # conv1
+        enc_hw.append((h, w, c))
+        cin = c
+    for d in range(N_STAGES - 1):
+        enc_stage = N_STAGES - 1 - d
+        hb, wb, cb = enc_hw[enc_stage]
+        hs, ws, cs = enc_hw[enc_stage - 1]
+        total += 2.0 * b * hs * ws * cs * cb          # transpconv
+        total += 2.0 * b * hs * ws * cs * K * 2 * cs  # conv0 (concat in)
+        total += 2.0 * b * hs * ws * cs * K * cs      # conv1
+        # deep-supervision 1x1 head at this level
+        total += 2.0 * b * hs * ws * LABELS * cs
+    return total
+
+
+def main():
+    import jax
+
+    from totalsegmentator2d_tpu.training import TrainConfig, Trainer
+    from __graft_entry__ import _flagship_spec
+
+    print('devices:', jax.devices(), file=sys.stderr)
+    spec = _flagship_spec(out_channels=LABELS, in_channels=IN_CH,
+                          n_stages=N_STAGES)
+    rng = np.random.default_rng(0)
+
+    def make_batch(b):
+        return {
+            'image': rng.standard_normal(
+                (b, PATCH, PATCH, IN_CH)).astype(np.float32),
+            'target': (rng.random(
+                (b, PATCH, PATCH, LABELS)) > 0.98).astype(np.uint8),
+        }
+
+    configs = [
+        ('fp32 b8', dict(compute_dtype=None), 8),
+        ('bf16 b8', dict(compute_dtype='bf16'), 8),
+        ('bf16 b16', dict(compute_dtype='bf16'), 16),
+        ('bf16 b32', dict(compute_dtype='bf16'), 32),
+        ('bf16 b64', dict(compute_dtype='bf16'), 64),
+        ('bf16+remat b32', dict(compute_dtype='bf16', remat=True), 32),
+        ('bf16+remat b64', dict(compute_dtype='bf16', remat=True), 64),
+        ('bf16+remat b128', dict(compute_dtype='bf16', remat=True), 128),
+        ('bf16+augment b16', dict(compute_dtype='bf16', augment=True), 16),
+    ]
+    results = {}
+    for name, kw, b in configs:
+        cfg = TrainConfig(lr=1e-2, total_steps=1000, multilabel=True,
+                          deep_supervision=True, **kw)
+        try:
+            tr = Trainer(spec, cfg, seed=0)
+            batch = jax.device_put(make_batch(b))
+            t0 = time.perf_counter()
+            loss = tr.step(batch)
+            np.asarray(loss)  # sync: includes compile
+            compile_s = time.perf_counter() - t0
+            times = []
+            for _ in range(6):
+                t0 = time.perf_counter()
+                loss = tr.step(batch)
+                np.asarray(loss)
+                times.append(time.perf_counter() - t0)
+            del tr, batch
+        except Exception as ex:  # OOM at the big batches is a result too
+            results[name] = {'error': repr(ex)[:120]}
+            print(f'{name}: {results[name]}', flush=True)
+            continue
+        t = float(np.median(times))
+        tf = 3.0 * forward_flops(b)
+        results[name] = {
+            's_per_step': round(t, 4),
+            'patches_per_s': round(b / t, 1),
+            'tflops': round(tf / t / 1e12, 1),
+            'mfu_pct': round(100.0 * tf / t / PEAK_FLOPS, 1),
+            'compile_s': round(compile_s, 1),
+            'spread': [round(x, 4) for x in times],
+        }
+        print(f'{name}: {results[name]}', flush=True)
+    json.dump(results, sys.stdout, indent=1)
+    print()
+
+
+if __name__ == '__main__':
+    main()
