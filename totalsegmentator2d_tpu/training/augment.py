@@ -36,6 +36,7 @@ scipy/numpy reference.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, Sequence, Tuple
 
 import jax
@@ -45,6 +46,18 @@ from ..ops.resample import _resize_jit, bspline_prefilter
 
 #: discrete zoom levels for the low-resolution simulation (see module doc)
 LOWRES_ZOOMS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+#: output-pixel chunk per matmul step of the fast warp (tools/train_probe4.py)
+_WARP_CHUNK = 2048
+
+
+def _use_fast_warp() -> bool:
+    """TS2D_WARP=gather restores the per-tap advanced-index sampler inside
+    spatial_transform. The default recasts the interpolation as one-hot
+    matmuls (image) and packed-bit point gathers (one-hot target), which
+    the TPU runs 5.5x / 2.9x faster (tools/train_probe4.py; point gathers
+    scalarize on TPU, matmuls ride the MXU)."""
+    return os.environ.get('TS2D_WARP', 'matmul') != 'gather'
 
 
 # ---------------------------------------------------------------------------
@@ -120,6 +133,125 @@ def map_coordinates(img: jnp.ndarray, coords: jnp.ndarray, order: int,
     elif mode != 'mirror':
         raise ValueError(f'Unsupported mode: {mode}')
     return out
+
+
+def _tap_data(coords: jnp.ndarray, order: int, shape: Tuple[int, int]
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mirror-folded integer tap indices + interpolation weights for the
+    flattened output grid: coords (2, H', W') -> iy/ix (P, S) int32 and
+    wy/wx (P, S) float32, S = 4 (order 3) or 2 (order 1). The taps and
+    weights are exactly ``map_coordinates``'s (same ``_mirror_idx`` fold,
+    same B-spline/linear kernels), only laid out tap-minor."""
+    H, W = shape
+    y = coords[0].reshape(-1)
+    x = coords[1].reshape(-1)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    if order == 3:
+        rng_ = range(-1, 3)
+        wy = jnp.stack([_bspline3(y - (y0 + d)) for d in rng_], -1)
+        wx = jnp.stack([_bspline3(x - (x0 + d)) for d in rng_], -1)
+    elif order == 1:
+        rng_ = range(0, 2)
+        ty, tx = y - y0, x - x0
+        wy = jnp.stack([1.0 - ty, ty], -1)
+        wx = jnp.stack([1.0 - tx, tx], -1)
+    else:
+        raise ValueError(f'Unsupported fast-warp order: {order}')
+    iy = jnp.stack([_mirror_idx(y0 + d, H) for d in rng_], -1)
+    ix = jnp.stack([_mirror_idx(x0 + d, W) for d in rng_], -1)
+    return iy, ix, wy, wx
+
+
+def _pad_taps(P: int, *arrs):
+    """Pad the tap arrays' pixel axis up to a _WARP_CHUNK multiple."""
+    nch = -(-P // _WARP_CHUNK)
+    pad = nch * _WARP_CHUNK - P
+    if pad:
+        arrs = tuple(jnp.pad(a, ((0, pad), (0, 0))) for a in arrs)
+    return (nch,) + arrs
+
+
+def warp_image(img: jnp.ndarray, coords: jnp.ndarray, order: int = 3,
+               cval: float = 0.0, prefiltered: bool = False) -> jnp.ndarray:
+    """mode='constant' resample of a channelled image (H, W, C) at
+    ``coords`` (2, H', W') via one-hot MATMULS: per output-pixel chunk,
+    row/column weight matrices Ry (P, H) / Rx (P, W) are built as weighted
+    one-hots of the mirrored tap indices and the interpolation becomes
+    (Ry @ img) @ Rx, so the MXU does the data movement instead of 16
+    scalarized point gathers. Matches ``map_coordinates(img, coords,
+    order, 'constant')`` to fp32 einsum precision (~6e-7 measured;
+    tools/train_probe4.py — 11.4 -> 2.3 ms/patch on v5e at the training
+    patch shapes)."""
+    H, W, C = img.shape
+    src = img.astype(jnp.float32)
+    if order == 3 and not prefiltered:
+        src = bspline_prefilter(src, (0, 1))
+    Ho, Wo = coords.shape[1], coords.shape[2]
+    P = Ho * Wo
+    iy, ix, wy, wx = _tap_data(coords, order, (H, W))
+    nch, iy, ix, wy, wx = _pad_taps(P, iy, ix, wy, wx)
+    imgf = src.reshape(H, W * C)
+    ii = jnp.arange(H, dtype=jnp.int32)
+    jj = jnp.arange(W, dtype=jnp.int32)
+    hi = jax.lax.Precision.HIGHEST
+
+    def step(c0):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, _WARP_CHUNK, 0)
+        iyc, ixc, wyc, wxc = sl(iy), sl(ix), sl(wy), sl(wx)
+        Ry = jnp.zeros((_WARP_CHUNK, H), jnp.float32)
+        Rx = jnp.zeros((_WARP_CHUNK, W), jnp.float32)
+        for d in range(iyc.shape[-1]):
+            Ry = Ry + wyc[:, d, None] * (
+                iyc[:, d, None] == ii).astype(jnp.float32)
+            Rx = Rx + wxc[:, d, None] * (
+                ixc[:, d, None] == jj).astype(jnp.float32)
+        tmp = jnp.einsum('ph,hj->pj', Ry, imgf, precision=hi)
+        tmp = tmp.reshape(_WARP_CHUNK, W, C)
+        return jnp.einsum('pw,pwc->pc', Rx, tmp, precision=hi)
+
+    outs = jax.lax.map(
+        step, jnp.arange(nch, dtype=jnp.int32) * _WARP_CHUNK)
+    out = outs.reshape(nch * _WARP_CHUNK, C)[:P].reshape(Ho, Wo, C)
+    y, x = coords[0], coords[1]
+    valid = (y >= 0) & (y <= H - 1) & (x >= 0) & (x <= W - 1)
+    return jnp.where(valid[..., None], out, cval)
+
+
+def warp_onehot(target: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Order-1 + 0.5-threshold mode='constant' warp of a binary one-hot
+    target (H, W, L) -> bool (H', W', L): the L bit-planes pack into
+    ceil(L/32) uint32 words so each of the four linear taps is ONE point
+    gather regardless of L; the taps unpack to 0/1 floats and accumulate
+    in exactly ``map_coordinates``'s term order, so the result is
+    BIT-IDENTICAL to ``map_coordinates(target.astype(f32), coords, 1,
+    'constant') > 0.5`` (pinned in tests/test_018; 8.1 -> 2.8 ms/patch
+    on v5e, tools/train_probe4.py)."""
+    H, W, L = target.shape
+    Ho, Wo = coords.shape[1], coords.shape[2]
+    P = Ho * Wo
+    bits = (target > 0).astype(jnp.uint32)
+    words = []
+    for w0 in range(0, L, 32):
+        chunk = bits[..., w0:w0 + 32]
+        shifts = jnp.arange(chunk.shape[-1], dtype=jnp.uint32)
+        words.append(jnp.sum(chunk << shifts, axis=-1, dtype=jnp.uint32))
+    packed = jnp.stack(words, axis=-1)  # (H, W, nwords)
+    flat = packed.reshape(H * W, len(words))
+    iy, ix, wy, wx = _tap_data(coords, 1, (H, W))
+    lanes = jnp.arange(32, dtype=jnp.uint32)
+    acc = 0.0
+    for dy in range(2):
+        for dx in range(2):
+            idx = iy[:, dy] * W + ix[:, dx]
+            v = jnp.take(flat, idx, axis=0)  # (P, nwords)
+            tap = ((v[..., None] >> lanes) & 1).astype(jnp.float32)
+            acc = acc + tap * (wy[:, dy] * wx[:, dx])[:, None, None]
+    out = (acc > 0.5).reshape(P, len(words) * 32)[:, :L]
+    out = out.reshape(Ho, Wo, L)
+    y, x = coords[0], coords[1]
+    valid = (y >= 0) & (y <= H - 1) & (x >= 0) & (x <= W - 1)
+    return jnp.where(valid[..., None], out, False)
 
 
 def gaussian_blur(img: jnp.ndarray, sigma, radius: int = 5,
