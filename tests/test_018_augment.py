@@ -85,6 +85,91 @@ class TestGaussianBlur:
         assert not np.allclose(a, b)
 
 
+class TestFastWarp:
+    """The MXU fast-warp path (warp_image / warp_onehot) vs the gather
+    path (map_coordinates): the shipped-default equivalences."""
+
+    @pytest.fixture
+    def coords(self, rng):
+        # sampling positions spanning interior AND out-of-bounds: the
+        # constant-mode masking must agree between the paths
+        return np.stack([rng.uniform(-8, 47, (21, 19)),
+                         rng.uniform(-8, 43, (21, 19))]).astype(np.float32)
+
+    @pytest.mark.parametrize('L', [1, 3, 24, 33, 64])
+    def test_warp_onehot_bit_identical(self, rng, coords, L):
+        """warp_onehot == (map_coordinates(f32, order=1, 'constant') > 0.5)
+        EXACTLY, including across the uint32 word boundary (L=33/64)."""
+        target = (rng.random((40, 36, L)) > 0.85).astype(np.uint8)
+        fast = np.asarray(A.warp_onehot(jnp.asarray(target),
+                                        jnp.asarray(coords)))
+        ref = np.asarray(A.map_coordinates(
+            jnp.asarray(target.astype(np.float32)), jnp.asarray(coords),
+            order=1, mode='constant')) > 0.5
+        np.testing.assert_array_equal(fast, ref)
+
+    @pytest.mark.parametrize('order', [1, 3])
+    def test_warp_image_matches_gather(self, rng, coords, order):
+        imgc = rng.standard_normal((40, 36, 2)).astype(np.float32)
+        fast = np.asarray(A.warp_image(jnp.asarray(imgc),
+                                       jnp.asarray(coords), order=order))
+        ref = np.asarray(A.map_coordinates(jnp.asarray(imgc),
+                                           jnp.asarray(coords), order=order,
+                                           mode='constant'))
+        np.testing.assert_allclose(fast, ref, atol=1e-5)
+
+    def test_warp_image_vs_scipy_interior(self, rng):
+        """Scipy golden on the fast path directly: constant-mode semantics
+        agree with scipy away from the border band (our constant mode
+        interpolates interior taps over the mirrored neighborhood)."""
+        from scipy.ndimage import map_coordinates as scipy_mc
+        imgc = rng.standard_normal((40, 36)).astype(np.float32)
+        coords = np.stack([rng.uniform(2, 37, (15, 17)),
+                           rng.uniform(2, 33, (15, 17))]).astype(np.float32)
+        fast = np.asarray(A.warp_image(jnp.asarray(imgc[..., None]),
+                                       jnp.asarray(coords), order=3))[..., 0]
+        ref = scipy_mc(imgc, coords, order=3, mode='constant', cval=0.0)
+        np.testing.assert_allclose(fast, ref, atol=2e-4)
+
+    def test_spatial_transform_paths_agree(self, rng, monkeypatch):
+        """One drawn rotation+zoom through spatial_transform on both
+        backends: target bit-identical, image to fp32-einsum tolerance."""
+        image = rng.standard_normal((48, 44, 2)).astype(np.float32)
+        target = (rng.random((48, 44, 5)) > 0.8).astype(np.uint8)
+        key = jax.random.PRNGKey(21)
+        outs = {}
+        for mode in ('matmul', 'gather'):
+            monkeypatch.setenv('TS2D_WARP', mode)
+            outs[mode] = A.spatial_transform(
+                key, jnp.asarray(image), jnp.asarray(target),
+                p_rot=1.0, p_scale=1.0)
+        np.testing.assert_array_equal(np.asarray(outs['matmul'][1]),
+                                      np.asarray(outs['gather'][1]))
+        np.testing.assert_allclose(np.asarray(outs['matmul'][0]),
+                                   np.asarray(outs['gather'][0]), atol=1e-4)
+
+    def test_default_is_matmul_and_env_validated(self, monkeypatch):
+        monkeypatch.delenv('TS2D_WARP', raising=False)
+        assert A._use_fast_warp() is True
+        monkeypatch.setenv('TS2D_WARP', 'gather')
+        assert A._use_fast_warp() is False
+        monkeypatch.setenv('TS2D_WARP', 'gahter')
+        with pytest.raises(ValueError, match='TS2D_WARP'):
+            A._use_fast_warp()
+
+    def test_fast_warp_jits_under_vmap(self, rng):
+        """The shipped usage: spatial_transform vmapped over a batch inside
+        jit (the augment_batch path) compiles and keeps the target binary."""
+        image = rng.standard_normal((4, 32, 32, 2)).astype(np.float32)
+        target = (rng.random((4, 32, 32, 3)) > 0.8).astype(np.uint8)
+        fn = jax.jit(jax.vmap(lambda k, i, t: A.spatial_transform(
+            k, i, t, p_rot=1.0, p_scale=1.0)))
+        img_o, tgt_o = fn(jax.random.split(jax.random.PRNGKey(2), 4),
+                          jnp.asarray(image), jnp.asarray(target))
+        assert img_o.shape == image.shape and tgt_o.shape == target.shape
+        assert set(np.unique(np.asarray(tgt_o))) <= {0, 1}
+
+
 class TestSpatial:
     def test_affine_grid_vs_scipy_rotation(self, rng, img):
         """Our grid + our sampler vs scipy map_coordinates on the SAME
@@ -118,9 +203,12 @@ class TestSpatial:
         np.testing.assert_array_equal(np.asarray(img_o), image)
         np.testing.assert_array_equal(np.asarray(tgt_o), target)
 
-    def test_spatial_transform_rotates_pair_consistently(self, rng):
+    @pytest.mark.parametrize('warp', ['matmul', 'gather'])
+    def test_spatial_transform_rotates_pair_consistently(self, rng,
+                                                         monkeypatch, warp):
         """With p=1 the image and its one-hot target move together and the
-        target stays binary."""
+        target stays binary — on BOTH warp backends."""
+        monkeypatch.setenv('TS2D_WARP', warp)
         image = np.zeros((48, 48, 1), np.float32)
         image[10:20, 30:40] = 1.0
         target = (image > 0.5).astype(np.uint8)

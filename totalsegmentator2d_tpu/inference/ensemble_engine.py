@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.plans import ModelSpec
-from ..models.unet import forward
+from ..models.unet import forward, stats_override
 from ..ops.gaussian import gaussian_map
 from ..ops.normalize import nonzero_norm_mask, normalize_channels
 from ..ops.resample import apply_separable, axis_weights, bspline_prefilter
@@ -878,6 +878,14 @@ class EnsembleEngine:
         if self.compact_wire:
             def program(params, arr, nz_mask):
                 return _compact_pack(raw(params, arr, nz_mask))
+        inner = program
+
+        def program(params, arr, nz_mask):
+            # quantized-bucket serving is already non-bitwise vs the exact
+            # per-shape program (geometry-as-data f32 arithmetic), so it
+            # takes the one-pass-stats traversal cut — unet.stats_override
+            with stats_override('1pass'):
+                return inner(params, arr, nz_mask)
         jitted = jax.jit(program)
         meta = {'rs_canvas': rs_canvas, 'n_tiles_max': NT[0] * NT[1],
                 'n_mirror': len(mirrors), 'needs_mask': True, 'raw': raw}
@@ -946,12 +954,21 @@ class EnsembleEngine:
             if hit is None:
                 fn2d, meta = self._serving_program(in_shape, in_spacing,
                                                    wire)
+                # batched programs are already non-bitwise vs the solo
+                # exact program (batch-size-dependent conv scheduling,
+                # the borderline-flip class pinned in tools/parity.py),
+                # so they take the one-pass-stats traversal cut too
                 if has_mask:
-                    fn = jax.jit(lambda params, xb, mb: jax.vmap(
-                        lambda a, m: fn2d.__wrapped__(params, a, m))(xb, mb))
+                    def batched(params, xb, mb):
+                        with stats_override('1pass'):
+                            return jax.vmap(lambda a, m: fn2d.__wrapped__(
+                                params, a, m))(xb, mb)
                 else:
-                    fn = jax.jit(lambda params, xb: jax.vmap(
-                        lambda a: fn2d.__wrapped__(params, a))(xb))
+                    def batched(params, xb):
+                        with stats_override('1pass'):
+                            return jax.vmap(lambda a: fn2d.__wrapped__(
+                                params, a))(xb)
+                fn = jax.jit(batched)
                 hit = self._cache[key] = (fn, meta)
                 log(f'compiled batched ensemble program for shape={in_shape} '
                     f'batch={batch}')

@@ -22,6 +22,8 @@ folds/groups is a vmap over the params pytree.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -70,17 +72,50 @@ def _conv_transpose(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
     return out
 
 
+_STATS_CTX = contextvars.ContextVar('ts2d_stats_override', default=None)
+
+
+@contextlib.contextmanager
+def stats_override(mode: str):
+    """Trace-scoped InstanceNorm statistics form ('1pass' / '2pass'),
+    consulted by _one_pass_stats when TS2D_STATS is unset. The ensemble
+    engine wraps its batched and quantized-bucket serving programs in
+    stats_override('1pass'): those paths are already non-bitwise vs the
+    solo exact program (batch-dependent conv scheduling / geometry-as-
+    data float arithmetic, the borderline-flip class pinned in
+    tests/test_008 and tools/parity.py), so they take the measured 7%
+    device win (tools/perf_probe20.py) while the solo exact program —
+    the bitwise torch-parity path — stays two-pass."""
+    if mode not in ('1pass', '2pass'):
+        raise ValueError(f"stats_override must be '1pass' or '2pass', "
+                         f"got {mode!r}")
+    tok = _STATS_CTX.set(mode)
+    try:
+        yield
+    finally:
+        _STATS_CTX.reset(tok)
+
+
 def _one_pass_stats() -> bool:
     """TS2D_STATS=1pass computes the InstanceNorm variance as
     E[x^2] - E[x]^2 so both reductions ride ONE HBM traversal (XLA fuses
     sibling reductions over the same operand into one multi-output
     fusion) — the two-pass form reads the conv output twice because the
     centered-square reduction depends on the mean. One traversal of six
-    per conv-norm-act unit (tools/roofline.py). Default off: the
-    subtraction form drifts logits ~1e-6 vs the torch-matching two-pass
-    statistics, and bitwise parity is the default contract."""
+    per conv-norm-act unit (tools/roofline.py). The subtraction form
+    drifts logits ~1e-6 vs the torch-matching two-pass statistics, so
+    bitwise-parity paths default to two-pass; serving paths that are
+    already non-bitwise opt in per program via stats_override. Setting
+    TS2D_STATS explicitly forces one form everywhere (read at trace
+    time)."""
     import os
-    return os.environ.get('TS2D_STATS', '2pass') == '1pass'
+    env = os.environ.get('TS2D_STATS')
+    if env is not None:
+        if env not in ('1pass', '2pass'):
+            raise ValueError(
+                f"TS2D_STATS must be '1pass' or '2pass', got {env!r}")
+        return env == '1pass'
+    return _STATS_CTX.get() == '1pass'
 
 
 def _instance_norm(x: jnp.ndarray, scale: Optional[jnp.ndarray],

@@ -13,7 +13,12 @@ Implemented transforms, with the nnUNetTrainer default probabilities
  1. spatial: rotation U(-180°, 180°) p=0.2, zoom U(0.7, 1.4) p=0.2,
     optional elastic deformation (OFF by default, as in nnU-Net v2) —
     composed into one order-3 B-spline resample (seg: order 1 + 0.5
-    threshold), constant-0 outside
+    threshold), constant-0 outside. The resample dispatches on TS2D_WARP
+    (see _use_fast_warp): the default recasts the sampling as one-hot
+    MATMULS (warp_image) + quad-packed-bit gathers (warp_onehot) so it
+    rides the MXU instead of scalarized point gathers — the full chain
+    runs 6x faster on v5e (19.4 -> 3.24 ms/patch, docs/performance.md
+    "the spatial warp")
  2. gaussian noise p=0.1, variance U(0, 0.1)
  3. gaussian blur p=0.2, sigma U(0.5, 1.0), per-channel p=0.5
  4. multiplicative brightness U(0.75, 1.25) p=0.15
@@ -52,12 +57,22 @@ _WARP_CHUNK = 2048
 
 
 def _use_fast_warp() -> bool:
-    """TS2D_WARP=gather restores the per-tap advanced-index sampler inside
-    spatial_transform. The default recasts the interpolation as one-hot
-    matmuls (image) and packed-bit point gathers (one-hot target), which
-    the TPU runs 5.5x / 2.9x faster (tools/train_probe4.py; point gathers
-    scalarize on TPU, matmuls ride the MXU)."""
-    return os.environ.get('TS2D_WARP', 'matmul') != 'gather'
+    """Spatial-warp backend switch, read at trace time by
+    ``spatial_transform``. The default (``TS2D_WARP=matmul``) recasts the
+    interpolation as one-hot matmuls (image, ``warp_image``) and ONE
+    quad-packed-bit point gather per pixel (one-hot target,
+    ``warp_onehot``), which the TPU runs 4.8x / 7.5x faster than the
+    advanced-index sampler (point gathers scalarize on TPU, matmuls ride
+    the MXU; measured in tools/train_probe4-8.py, shipped numbers in
+    docs/performance.md "the spatial warp").
+    ``TS2D_WARP=gather`` selects the per-tap ``map_coordinates`` sampler
+    instead (the pre-round-5 path; the two paths' agreement is pinned in
+    tests/test_018_augment.py)."""
+    value = os.environ.get('TS2D_WARP', 'matmul')
+    if value not in ('matmul', 'gather'):
+        raise ValueError(
+            f"TS2D_WARP must be 'matmul' or 'gather', got {value!r}")
+    return value == 'matmul'
 
 
 # ---------------------------------------------------------------------------
@@ -221,12 +236,23 @@ def warp_image(img: jnp.ndarray, coords: jnp.ndarray, order: int = 3,
 def warp_onehot(target: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Order-1 + 0.5-threshold mode='constant' warp of a binary one-hot
     target (H, W, L) -> bool (H', W', L): the L bit-planes pack into
-    ceil(L/32) uint32 words so each of the four linear taps is ONE point
-    gather regardless of L; the taps unpack to 0/1 floats and accumulate
-    in exactly ``map_coordinates``'s term order, so the result is
-    BIT-IDENTICAL to ``map_coordinates(target.astype(f32), coords, 1,
-    'constant') > 0.5`` (pinned in tests/test_018; 8.1 -> 2.8 ms/patch
-    on v5e, tools/train_probe4.py)."""
+    ceil(L/32) uint32 words, and the packed field's 2x2 tap neighborhood
+    is pre-packed with static mirror-shifts (Q[y, x] = (T[y,x], T[y,xn],
+    T[yn,x], T[yn,xn]), xn/yn the mirror successors) so ALL FOUR linear
+    taps arrive in ONE point gather per output pixel regardless of L —
+    point gathers scalarize on TPU, so halving/quartering their count is
+    the whole win (4 gathers 3.2 -> 1 gather 1.1 ms/patch on v5e,
+    tools/train_probe7.py; the 4-gather form was already 2.9x over the
+    unpacked sampler, train_probe4.py).
+
+    Exactness: a pre-packed neighbor can only differ from the exact
+    mirror-folded tap ``mirror(y0+1)`` when ``y0`` itself was folded
+    (coordinate out of bounds -> masked by mode='constant') or sits on
+    the top edge with fractional part exactly 0 (tap weight exactly 0) —
+    so the fp32 accumulation, taken in ``map_coordinates``'s term order,
+    is BIT-IDENTICAL to ``map_coordinates(target.astype(f32), coords, 1,
+    'constant') > 0.5`` (pinned in tests/test_018_augment.py::TestFastWarp,
+    verified on-device in train_probe7)."""
     H, W, L = target.shape
     Ho, Wo = coords.shape[1], coords.shape[2]
     P = Ho * Wo
@@ -236,18 +262,23 @@ def warp_onehot(target: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
         chunk = bits[..., w0:w0 + 32]
         shifts = jnp.arange(chunk.shape[-1], dtype=jnp.uint32)
         words.append(jnp.sum(chunk << shifts, axis=-1, dtype=jnp.uint32))
-    packed = jnp.stack(words, axis=-1)  # (H, W, nwords)
-    flat = packed.reshape(H * W, len(words))
+    packed = jnp.stack(words, axis=-1)  # (H, W, nw)
+    nw = len(words)
+    xn = _mirror_idx(jnp.arange(W) + 1, W)  # static mirror successors
+    yn = _mirror_idx(jnp.arange(H) + 1, H)
+    px = packed[:, xn]
+    quad = jnp.concatenate([packed, px, packed[yn], px[yn]], axis=-1)
+    qf = quad.reshape(H * W, 4 * nw)
     iy, ix, wy, wx = _tap_data(coords, 1, (H, W))
+    taps = jnp.take(qf, iy[:, 0] * W + ix[:, 0], axis=0).reshape(P, 4, nw)
+    w = jnp.stack([wy[:, 0] * wx[:, 0], wy[:, 0] * wx[:, 1],
+                   wy[:, 1] * wx[:, 0], wy[:, 1] * wx[:, 1]], axis=1)
     lanes = jnp.arange(32, dtype=jnp.uint32)
     acc = 0.0
-    for dy in range(2):
-        for dx in range(2):
-            idx = iy[:, dy] * W + ix[:, dx]
-            v = jnp.take(flat, idx, axis=0)  # (P, nwords)
-            tap = ((v[..., None] >> lanes) & 1).astype(jnp.float32)
-            acc = acc + tap * (wy[:, dy] * wx[:, dx])[:, None, None]
-    out = (acc > 0.5).reshape(P, len(words) * 32)[:, :L]
+    for t in range(4):  # map_coordinates' exact term order
+        bit = ((taps[:, t, :, None] >> lanes) & 1).astype(jnp.float32)
+        acc = acc + bit * w[:, t, None, None]
+    out = (acc > 0.5).reshape(P, nw * 32)[:, :L]
     out = out.reshape(Ho, Wo, L)
     y, x = coords[0], coords[1]
     valid = (y >= 0) & (y <= H - 1) & (x >= 0) & (x <= W - 1)
@@ -340,9 +371,17 @@ def spatial_transform(key: jax.Array, image: jnp.ndarray,
                                      maxval=elastic_sigma[1])
             off = elastic_offsets(k[5], img.shape[:2], alpha, sig)
             coords = coords + jnp.where(do_el, 1.0, 0.0) * off
-        img_out = map_coordinates(img, coords, order=3, mode='constant')
-        tgt_out = (map_coordinates(tgt.astype(jnp.float32), coords, order=1,
-                                   mode='constant') > 0.5).astype(tgt.dtype)
+        if _use_fast_warp():
+            # MXU/packed-bit fast path (the default; see _use_fast_warp):
+            # warp_onehot is bit-identical to the gather path, warp_image
+            # matches it to fp32-einsum precision (~6e-7)
+            img_out = warp_image(img, coords, order=3)
+            tgt_out = warp_onehot(tgt, coords).astype(tgt.dtype)
+        else:
+            img_out = map_coordinates(img, coords, order=3, mode='constant')
+            tgt_out = (map_coordinates(tgt.astype(jnp.float32), coords,
+                                       order=1, mode='constant')
+                       > 0.5).astype(tgt.dtype)
         return img_out, tgt_out
 
     any_spatial = do_rot | do_scale | (do_el if p_elastic > 0 else False)

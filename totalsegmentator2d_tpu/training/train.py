@@ -216,7 +216,12 @@ class Trainer:
         if self.cfg.augment:
             from .augment import augment_batch
             if self._augment_fn is None:
-                self._augment_fn = jax.jit(augment_batch)
+                # fresh lambda, NOT jax.jit(augment_batch): jit's trace
+                # cache is global per function OBJECT, so jitting the
+                # module-level function directly would reuse another
+                # Trainer's trace and ignore this one's TS2D_WARP
+                self._augment_fn = jax.jit(
+                    lambda k, b: augment_batch(k, b))
             self._augment_key, sub = jax.random.split(self._augment_key)
             if self._ensemble:
                 # (G, N, ...) batches: each group draws its own augmentations
