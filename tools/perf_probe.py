@@ -20,64 +20,12 @@ sys.path.insert(0, '/root/repo')
 
 import os
 
-# these probes decompose the PLAIN mask wire; the compacted wire
+# this probe decomposes the PLAIN mask wire; the compacted wire
 # (round 4, default on) returns (buf, occ) tuples from the raw
-# programs and has its own probes (perf_probe19/20)
+# programs and has its own probe (perf_probe20)
 os.environ.setdefault('TS2D_COMPACT', '0')
 
-PEAK_BF16 = 197e12
-
-
-def sync(out):
-    """block_until_ready does not actually wait through the axon tunnel;
-    force completion by downloading a tiny scalar that depends on the
-    output."""
-    import jax
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(jax.device_get(leaf.ravel()[0]))
-
-
-def timeit(fn, reps, *args):
-    sync(fn(*args))  # compile
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        sync(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return float(np.min(times)), float(np.median(times))
-
-
-def unet_flops(spec, h, w):
-    """Conv FLOPs (mults*2) of one forward at spatial (h, w)."""
-    a = spec
-    total = 0
-    sh, sw = h, w
-    cin = a.in_channels
-    enc_hw = []
-    for s in range(a.n_stages):
-        st = a.strides[s]
-        sh //= st[0]
-        sw //= st[1]
-        enc_hw.append((sh, sw))
-        k = a.kernel_sizes[s][0] * a.kernel_sizes[s][1]
-        for c in range(a.n_conv_per_stage[s]):
-            ci = cin if c == 0 else a.features_per_stage[s]
-            total += 2 * sh * sw * ci * a.features_per_stage[s] * k
-        cin = a.features_per_stage[s]
-    n_dec = a.n_stages - 1
-    for d in range(n_dec):
-        enc_stage = n_dec - d
-        hh, ww = enc_hw[enc_stage - 1]
-        cbelow = a.features_per_stage[enc_stage]
-        cskip = a.features_per_stage[enc_stage - 1]
-        st = a.strides[enc_stage]
-        total += 2 * hh * ww * cbelow * cskip * 1  # transpconv (k=s)
-        k = a.kernel_sizes[enc_stage - 1][0] * a.kernel_sizes[enc_stage - 1][1]
-        for c in range(a.n_conv_per_stage_decoder[d]):
-            ci = 2 * cskip if c == 0 else cskip
-            total += 2 * hh * ww * ci * cskip * k
-        total += 2 * hh * ww * cskip * a.out_channels  # seg head (only last used)
-    return total
+from probelib import PEAK_BF16, sync, timeit, unet_flops  # noqa: E402,F401
 
 
 def main():

@@ -34,14 +34,12 @@ import numpy as np
 
 sys.path.insert(0, '/root/repo')
 
-PEAK_HBM = 819e9
+from probelib import (  # noqa: E402
+    IN_CH, LABELS, N_STAGES, PATCH, PEAK_HBM)
+
 PEAK_FLOPS = 197e12
 BF16 = 2
 M = 64            # the real program's forward chunk (tiles x TTA chunking)
-PATCH = 256
-IN_CH = 2
-LABELS = 24
-N_STAGES = 6
 N_REPS = 8
 
 

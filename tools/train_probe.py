@@ -25,41 +25,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, '/root/repo')
+sys.path.insert(0, '/root/repo/tools')
 
-PEAK_FLOPS = 197e12  # v5e bf16 (tools/roofline.py)
-PATCH = 256
-N_STAGES = 6
-LABELS = 24
-IN_CH = 2
-K = 9  # 3x3
-
-
-def forward_flops(b: int) -> float:
-    """Analytic forward FLOPs for one batch of the flagship group model
-    (matches models/unet.forward's structure; roofline.py's counting)."""
-    feats = tuple(min(32 * 2 ** i, 512) for i in range(N_STAGES))
-    total = 0.0
-    h = w = PATCH
-    cin = IN_CH
-    enc_hw = []
-    for s, c in enumerate(feats):
-        if s > 0:
-            h //= 2
-            w //= 2
-        total += 2.0 * b * h * w * c * K * cin   # conv0
-        total += 2.0 * b * h * w * c * K * c     # conv1
-        enc_hw.append((h, w, c))
-        cin = c
-    for d in range(N_STAGES - 1):
-        enc_stage = N_STAGES - 1 - d
-        hb, wb, cb = enc_hw[enc_stage]
-        hs, ws, cs = enc_hw[enc_stage - 1]
-        total += 2.0 * b * hs * ws * cs * cb          # transpconv
-        total += 2.0 * b * hs * ws * cs * K * 2 * cs  # conv0 (concat in)
-        total += 2.0 * b * hs * ws * cs * K * cs      # conv1
-        # deep-supervision 1x1 head at this level
-        total += 2.0 * b * hs * ws * LABELS * cs
-    return total
+from probelib import (  # noqa: E402,F401  (re-exported for train_probe5/6)
+    IN_CH, K, LABELS, N_STAGES, PATCH,
+    PEAK_BF16 as PEAK_FLOPS, flagship_train_flops as forward_flops)
 
 
 def main():
