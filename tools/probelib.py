@@ -10,6 +10,15 @@ item 6). The idioms live here once:
  - ``timeit(fn, reps, *args)``: compile warmup + min/median-of-N with
    sync-fetch per rep. Min is the device figure (tunnel noise is
    one-sided); median shows the weather.
+
+CAVEATS for micro-benchmarks (round-5 findings, docs/performance.md):
+every synced execution pays a ~25 ms dispatch+fetch floor through the
+relay which min-of-N does NOT remove — measure a null program
+(``jit(lambda s: s + 1.0)``) and subtract, or fit a slope over K
+in-program repetitions. And ``sync``'s ravel dispatches a reshape whose
+cost depends on the output's layout — fine for pipeline timing
+(constant across reps), wrong for cross-variant comparisons: fold a
+``jnp.sum`` INTO the jitted program and fetch that scalar instead.
  - analytic FLOP counters for the flagship nnU-Net arch, matching
    models/unet.forward's structure (same counting as tools/roofline.py).
  - the flagship bench-scale model constants (256x256, 2ch, 24 labels,

@@ -10,10 +10,14 @@ per stage. This tool produces that bill:
    labels) and PREFIX programs: encoder stages enc0..enc5, then decoder
    stages dec0..dec4, then the seg head — each jitted separately on the
    real chunk shape (64 patch-forwards, bf16, input resident).
- - measures each prefix back-to-back (min-of-N, scalar-fetch sync) and
-   differences consecutive prefixes: dT_k = stage k's cost inside a
-   program that still contains everything before it (shared prefixes
-   cancel to the extent XLA compiles them identically).
+ - measures each prefix back-to-back (min-of-N, output folded to one
+   scalar inside the program) and differences consecutive prefixes:
+   dT_k = stage k's cost inside a program that still contains everything
+   before it (shared prefixes cancel to the extent XLA compiles them
+   identically). A null program measures the per-execution dispatch
+   overhead (~25-30 ms through this relay) and seeds the differencing —
+   without it the first row absorbs the whole overhead (the round-5
+   first run misattributed it all to enc0).
  - computes each stage's xla-2pass HBM roofline at the same shapes
    (the roofline.py memory model, M=64) and prints measured / roofline
    / realization per stage, plus the total vs the separately-measured
@@ -136,16 +140,36 @@ def main():
         return f
 
     def measure(fn):
-        jfn = jax.jit(fn)
-        out = jfn(params, x)
-        np.asarray(jax.device_get(out[:1, :2, :2, :1]))  # sync + compile
+        # fold the output to one fp32 scalar INSIDE the program: fetching a
+        # slice dispatches a second program per rep, and ravel()-style syncs
+        # materialize the whole output at a layout-dependent price
+        # (stage0_probe round-5 artifact). The sum adds one read of the
+        # prefix output (~0.3 ms) that differences out up to the small
+        # delta between consecutive prefixes' output sizes.
+        jfn = jax.jit(lambda p, xx: jnp.sum(fn(p, xx).astype(jnp.float32)))
+        float(np.asarray(jax.device_get(jfn(params, x))))  # compile
         times = []
         for _ in range(N_REPS):
             t0 = time.perf_counter()
-            out = jfn(params, x)
-            np.asarray(jax.device_get(out[:1, :2, :2, :1]))
+            float(np.asarray(jax.device_get(jfn(params, x))))
             times.append(time.perf_counter() - t0)
         return float(np.min(times))
+
+    # per-execution dispatch+fetch overhead through the relay: measured by
+    # a null program and subtracted from every prefix (it corrupted the
+    # FIRST row by its full ~25-30 ms in the round-5 first run — the
+    # differencing cancels it for every later row)
+    one = jax.device_put(np.float32(1.0))
+    null = jax.jit(lambda s: s + 1.0)
+    float(np.asarray(jax.device_get(null(one))))
+    null_times = []
+    for _ in range(N_REPS):
+        t0 = time.perf_counter()
+        float(np.asarray(jax.device_get(null(one))))
+        null_times.append(time.perf_counter() - t0)
+    t_null = float(np.min(null_times))
+    print(f'null program (dispatch+fetch overhead): {t_null*1e3:.2f} ms',
+          flush=True)
 
     names, fns = [], []
     for s in range(1, N_STAGES + 1):
@@ -159,7 +183,7 @@ def main():
 
     roof = stage_roofline(args.stats)
     rows = []
-    prev = 0.0
+    prev = t_null  # differencing starts from the dispatch overhead
     total_roof = 0.0
     for name, fn in zip(names, fns):
         t = measure(fn)
@@ -174,10 +198,11 @@ def main():
         print(f'{name:6s} measured {dt:7.2f} ms   roofline {r:6.2f} ms   '
               f'realization {rows[-1]["realization_pct"]}%', flush=True)
 
-    full = prev * 1e3
+    full = (prev - t_null) * 1e3
     print(json.dumps({
         'stats_mode': args.stats,
         'chunk': M,
+        'dispatch_overhead_ms': round(t_null * 1e3, 2),
         'stages': rows,
         'full_forward_ms': round(full, 2),
         'sum_roofline_ms': round(total_roof, 2),
