@@ -75,7 +75,7 @@ def _sparse_heads(params, delta=-2.2):
     return params
 
 
-def build_engine():
+def build_engine(compact=None):
     import jax.numpy as jnp
     from totalsegmentator2d_tpu.inference import EnsembleEngine
     from totalsegmentator2d_tpu.models.plans import ModelSpec, PreprocessSpec
@@ -99,7 +99,7 @@ def build_engine():
         params.append([_sparse_heads(init_params_np(i, arch))])
     return EnsembleEngine(specs, params, tile_step_size=0.5,
                           use_mirroring=True, compute_dtype=jnp.bfloat16,
-                          auto_batch=8)
+                          auto_batch=8, compact_wire=compact)
 
 
 def build_xray_engine():
@@ -394,9 +394,24 @@ def main():
         # stays auditable.
         proj_t = min(_time_projection(vol_r) for _ in range(3))
         blocking_est = round(proj_t + floor_solo + 0.001, 5)
+        # per-execution dispatch+fetch overhead through the relay (round-5
+        # stage0_probe2 discovery: ~25 ms, which single-program
+        # measurements absorb whole; device_floor amortizes it over
+        # rounds*B enqueues but the SOLO figure still carries ~1/rounds of
+        # it). Versioned so floors are comparable across relay weather.
+        import jax as _jax
+        _one = _jax.device_put(np.float32(1.0))
+        _null = _jax.jit(lambda s: s + 1.0)
+        float(np.asarray(_jax.device_get(_null(_one))))  # compile
+        _nt = []
+        for _ in range(6):
+            _t0 = time.perf_counter()
+            float(np.asarray(_jax.device_get(_null(_one))))
+            _nt.append(time.perf_counter() - _t0)
+        dispatch_overhead = round(float(np.min(_nt)), 5)
     except Exception as ex:  # pragma: no cover
         floor = floor_solo = f'unavailable ({type(ex).__name__})'
-        blocking_est = floor
+        blocking_est = dispatch_overhead = floor
     try:
         wire = wire_stats(engine, vol_r, sp_r)
     except Exception as ex:  # pragma: no cover
@@ -420,6 +435,17 @@ def main():
     except Exception as ex:  # pragma: no cover
         xray = f'unavailable ({type(ex).__name__})'
 
+    # plain-wire device floor: what a NON-tunneled deployment would run —
+    # it has no reason to pay the compact pack's device cost (~2.8 ms/scan
+    # post-gather-rewrite; the compacted wire exists to beat the relay's
+    # 16-20 MB/s download). Measured, not derived (VERDICT r4 item 5).
+    try:
+        peng = build_engine(compact=False)
+        floor_plain = round(device_floor(peng, vol_r, sp_r), 5)
+        peng.close()
+    except Exception as ex:  # pragma: no cover
+        floor_plain = f'unavailable ({type(ex).__name__})'
+
     print(json.dumps({
         'metric': ('sec/scan, full 5-model/117-label ts2d-v2-style ensemble '
                    'on a torso-phantom 350x250x280 CT (4 tiles/model, '
@@ -437,6 +463,7 @@ def main():
         'pipelined_all_rounds': pipe_all,
         'blocking_all_runs': lat_all,
         'device_floor_s_per_scan': floor,
+        'device_floor_plain_wire_s': floor_plain,
         # the solo-program device time bounds a NON-TUNNELED deployment's
         # blocking latency (+ ~7 ms host projection + ~1 ms local PCIe);
         # through this relay, upload RPC (~50 ms) + the solo program
@@ -444,6 +471,7 @@ def main():
         # docs/performance.md "The blocking-latency floor"
         'device_solo_s': floor_solo,
         'device_blocking_est_s': blocking_est,
+        'dispatch_overhead_s': dispatch_overhead,
         'wire': wire,
     }))
 

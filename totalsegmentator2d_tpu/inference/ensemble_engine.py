@@ -117,10 +117,17 @@ def pick_prefix(count: int, T: int) -> int:
 def _compact_pack(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Device side: (H, W, nB) bit-packed masks -> (buf, occ) where
     ``buf`` is (T+1, _COMPACT_TILE) uint8 with the occupied plane-major
-    tiles scattered to a dense prefix (row T is the trash target for
+    tiles compacted to a dense prefix (row T is the trash target for
     unoccupied tiles) and ``occ`` is the packed tile-occupancy bitmap.
     The occupied count is NOT shipped separately — the host derives it
-    from the bitmap (one fewer wire fetch)."""
+    from the bitmap (one fewer wire fetch).
+
+    The prefix is built as a 4-byte index scatter + row GATHER, not a
+    64-byte row scatter: `zeros.at[idx].set(tiles)` cost 7.8 ms/scan
+    inside the batch-8 vmapped program (vmapped data-dependent row
+    scatters lower ~4x worse than solo) vs 2.75 for this form — 2.8x,
+    bit-identical output incl. the trash row, since unoccupied tiles are
+    exactly the all-zero tiles (tools/compact_probe.py, round 5)."""
     planes = jnp.transpose(packed, (2, 0, 1))       # (nB, H, W): a label
     # byte-plane's support is spatially local, so plane-major tiles go
     # all-zero together (pixel-major interleaves all 117 labels per pixel
@@ -134,7 +141,11 @@ def _compact_pack(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     occ = jnp.any(tiles != 0, axis=1)
     pos = jnp.cumsum(occ) - 1
     idx = jnp.where(occ, pos, T)
-    buf = jnp.zeros((T + 1, _COMPACT_TILE), jnp.uint8).at[idx].set(tiles)
+    src = jnp.full((T + 1,), T, jnp.int32).at[idx].set(
+        jnp.arange(T, dtype=jnp.int32))
+    tiles_p = jnp.concatenate(
+        [tiles, jnp.zeros((1, _COMPACT_TILE), jnp.uint8)])
+    buf = jnp.take(tiles_p, src, axis=0)
     occ_packed = _pack_bits(occ.astype(jnp.uint8)[None])[0]
     return buf, occ_packed
 
