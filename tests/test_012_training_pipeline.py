@@ -162,3 +162,41 @@ class TestMixedPrecisionTraining:
         import pytest
         with pytest.raises(ValueError, match='bfloat16'):
             TrainConfig(compute_dtype='float16')
+
+
+class TestStatsForm:
+    """TrainConfig.stats: training defaults to one-pass InstanceNorm
+    statistics (no bitwise-parity contract on the training path —
+    unet._one_pass_stats); '2pass' restores torch-identical statistics."""
+
+    def test_default_is_1pass_and_validated(self):
+        from totalsegmentator2d_tpu.training import TrainConfig
+        import pytest
+        assert TrainConfig().stats == '1pass'
+        with pytest.raises(ValueError, match='1pass'):
+            TrainConfig(stats='onepass')
+
+    def test_both_forms_train_and_agree(self, rng, monkeypatch):
+        """Both statistics forms descend on the same fixed batch and track
+        each other closely (the forms differ only in fp32 rounding of the
+        variance). The env override must not leak in."""
+        from totalsegmentator2d_tpu.training import TrainConfig, Trainer
+        from __graft_entry__ import _flagship_spec
+
+        monkeypatch.delenv('TS2D_STATS', raising=False)
+        spec = _flagship_spec(out_channels=2, in_channels=2, n_stages=3)
+        batch = {
+            'image': rng.standard_normal((2, 32, 32, 2)).astype(np.float32),
+            'target': (rng.random((2, 32, 32, 2)) > 0.7).astype(np.uint8),
+        }
+        losses = {}
+        for form in ('1pass', '2pass'):
+            cfg = TrainConfig(lr=1e-2, total_steps=4, multilabel=True,
+                              deep_supervision=True, stats=form)
+            tr = Trainer(spec, cfg, seed=0)
+            ls = [float(tr.step(batch)) for _ in range(4)]
+            assert np.isfinite(ls).all()
+            assert ls[-1] < ls[0]
+            losses[form] = ls
+        np.testing.assert_allclose(losses['1pass'], losses['2pass'],
+                                   rtol=1e-4, atol=1e-5)

@@ -15,10 +15,16 @@ Training FLOPs are estimated as 3x analytic forward FLOPs (backward
 ~2x forward), forward counted conv-by-conv like tools/roofline.py with
 deep-supervision heads included.
 
-Usage: python tools/train_probe.py   (alone on the box; ONE JAX process)
+Usage: python tools/train_probe.py [--stats {2pass,1pass}] [--configs a,b]
+(alone on the box; ONE JAX process). --stats forces the InstanceNorm
+statistics form for the whole run (TS2D_STATS, read at trace time) —
+the A/B for making one-pass stats the training default; --configs
+filters the matrix by substring (e.g. --configs "bf16 b128").
 """
 
+import argparse
 import json
+import os
 import sys
 import time
 
@@ -33,6 +39,13 @@ from probelib import (  # noqa: E402,F401  (re-exported for train_probe5/6)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--stats', choices=['2pass', '1pass'])
+    ap.add_argument('--configs', default='')
+    args = ap.parse_args()
+    if args.stats:
+        os.environ['TS2D_STATS'] = args.stats
+
     import jax
 
     from totalsegmentator2d_tpu.training import TrainConfig, Trainer
@@ -57,11 +70,15 @@ def main():
         ('bf16 b16', dict(compute_dtype='bf16'), 16),
         ('bf16 b32', dict(compute_dtype='bf16'), 32),
         ('bf16 b64', dict(compute_dtype='bf16'), 64),
+        ('bf16 b128', dict(compute_dtype='bf16'), 128),
         ('bf16+remat b32', dict(compute_dtype='bf16', remat=True), 32),
         ('bf16+remat b64', dict(compute_dtype='bf16', remat=True), 64),
         ('bf16+remat b128', dict(compute_dtype='bf16', remat=True), 128),
         ('bf16+augment b16', dict(compute_dtype='bf16', augment=True), 16),
     ]
+    if args.configs:
+        wanted = [w.strip() for w in args.configs.split(',')]
+        configs = [c for c in configs if any(w in c[0] for w in wanted)]
     results = {}
     for name, kw, b in configs:
         cfg = TrainConfig(lr=1e-2, total_steps=1000, multilabel=True,

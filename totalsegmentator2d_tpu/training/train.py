@@ -20,7 +20,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.plans import ArchSpec
-from ..models.unet import forward, init_params
+from ..models.unet import forward, init_params, stats_override
 from ..parallel.sharding import batch_sharding, param_shardings
 from .losses import deep_supervision_loss, dice_and_ce
 
@@ -45,6 +45,12 @@ class TrainConfig:
     # apply the full on-device nnU-Net augmentation recipe (augment.py)
     # to every batch the Trainer steps on
     augment: bool = False
+    # InstanceNorm statistics form for the training step. Training has no
+    # bitwise-parity contract (unlike the solo inference program, which
+    # matches torch two-pass statistics — unet._one_pass_stats), so it
+    # defaults to the one-HBM-traversal E[x^2]-E[x]^2 form; '2pass'
+    # restores torch-identical statistics. TS2D_STATS (env) overrides both.
+    stats: str = '1pass'
 
     def __post_init__(self):
         if self.compute_dtype not in (None, 'bfloat16', 'bf16'):
@@ -55,6 +61,9 @@ class TrainConfig:
                 f"got {self.compute_dtype!r} (fp16 is not offered — bf16 "
                 f"is the TPU mixed-precision dtype and needs no loss "
                 f"scaling)")
+        if self.stats not in ('1pass', '2pass'):
+            raise ValueError(
+                f"stats must be '1pass' or '2pass'; got {self.stats!r}")
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -74,13 +83,16 @@ def loss_fn(params, batch, spec: ArchSpec, cfg: TrainConfig):
     if cfg.remat:
         fwd = jax.checkpoint(forward, static_argnums=(2, 3, 4, 5))
     # bf16 heads keep the head conv's backward dtype-consistent; the loss
-    # itself always runs fp32
-    if cfg.deep_supervision:
-        outs = fwd(params, x, spec, True, cdt, cdt)
-        outs = [o.astype(jnp.float32) for o in outs]
-        return deep_supervision_loss(outs, y, cfg.multilabel)
-    logits = fwd(params, x, spec, False, cdt, cdt)
-    return dice_and_ce(logits.astype(jnp.float32), y, cfg.multilabel)
+    # itself always runs fp32. The stats_override context is active while
+    # this body TRACES, which is when unet._one_pass_stats is consulted —
+    # it covers every jit entry point (Trainer, build_sharded_train_step).
+    with stats_override(cfg.stats):
+        if cfg.deep_supervision:
+            outs = fwd(params, x, spec, True, cdt, cdt)
+            outs = [o.astype(jnp.float32) for o in outs]
+            return deep_supervision_loss(outs, y, cfg.multilabel)
+        logits = fwd(params, x, spec, False, cdt, cdt)
+        return dice_and_ce(logits.astype(jnp.float32), y, cfg.multilabel)
 
 
 def train_step(params, opt_state, batch, *, spec: ArchSpec, cfg: TrainConfig,
