@@ -435,16 +435,21 @@ def main():
     except Exception as ex:  # pragma: no cover
         xray = f'unavailable ({type(ex).__name__})'
 
-    # plain-wire device floor: what a NON-tunneled deployment would run —
+    # plain-wire device floors: what a NON-tunneled deployment would run —
     # it has no reason to pay the compact pack's device cost (~2.8 ms/scan
     # post-gather-rewrite; the compacted wire exists to beat the relay's
     # 16-20 MB/s download). Measured, not derived (VERDICT r4 item 5).
+    # The solo plain figure feeds the device-local blocking estimate;
+    # rounds=8 keeps the ~25 ms dispatch overhead share to ~3 ms.
     try:
         peng = build_engine(compact=False)
         floor_plain = round(device_floor(peng, vol_r, sp_r), 5)
+        floor_solo_plain = round(device_floor(peng, vol_r, sp_r, rounds=8,
+                                              solo=True), 5)
         peng.close()
+        blocking_est = round(proj_t + floor_solo_plain + 0.001, 5)
     except Exception as ex:  # pragma: no cover
-        floor_plain = f'unavailable ({type(ex).__name__})'
+        floor_plain = floor_solo_plain = f'unavailable ({type(ex).__name__})'
 
     print(json.dumps({
         'metric': ('sec/scan, full 5-model/117-label ts2d-v2-style ensemble '
@@ -470,6 +475,10 @@ def main():
         # already exceed 0.1 s before any download — see
         # docs/performance.md "The blocking-latency floor"
         'device_solo_s': floor_solo,
+        # plain-wire solo (rounds=8): the program a local deployment would
+        # run blocking — no compact pack, smaller dispatch-overhead share.
+        # device_blocking_est_s = host projection + this + ~1 ms local wire.
+        'device_solo_plain_s': floor_solo_plain,
         'device_blocking_est_s': blocking_est,
         'dispatch_overhead_s': dispatch_overhead,
         'wire': wire,
