@@ -157,6 +157,41 @@ class TestFastWarp:
         with pytest.raises(ValueError, match='TS2D_WARP'):
             A._use_fast_warp()
 
+    @pytest.mark.parametrize('angle,scale', [
+        (0.0, 1.0), (0.7, 1.4), (-2.4, 0.7), (np.pi / 4, 1.17)])
+    @pytest.mark.parametrize('order', [1, 3])
+    def test_windowed_affine_matches_full(self, rng, angle, scale, order):
+        """warp_image_affine (tile-local windowed matmuls) == warp_image
+        (full-height matmuls) on affine grids across the rotation/zoom
+        extremes, incl. a non-tile-multiple output shape."""
+        img = rng.standard_normal((48, 44, 2)).astype(np.float32)
+        coords = A.affine_grid((48, 44), angle, scale)
+        full = np.asarray(A.warp_image(jnp.asarray(img), coords,
+                                       order=order))
+        win = np.asarray(A.warp_image_affine(jnp.asarray(img), coords,
+                                             order=order, smax=1.4))
+        np.testing.assert_allclose(win, full, atol=1e-5)
+
+    def test_windowed_affine_matches_gather(self, rng):
+        """And against the map_coordinates reference directly."""
+        img = rng.standard_normal((48, 44, 2)).astype(np.float32)
+        coords = A.affine_grid((48, 44), -1.1, 1.33)
+        ref = np.asarray(A.map_coordinates(jnp.asarray(img), coords,
+                                           order=3, mode='constant'))
+        win = np.asarray(A.warp_image_affine(jnp.asarray(img), coords,
+                                             order=3, smax=1.4))
+        np.testing.assert_allclose(win, ref, atol=1e-5)
+
+    def test_windowed_affine_small_image_fallback(self, rng):
+        """Images too small for the source window take the warp_image
+        fallback (window 40 > padded height 28)."""
+        img = rng.standard_normal((24, 24, 1)).astype(np.float32)
+        coords = A.affine_grid((24, 24), 0.5, 1.2)
+        full = np.asarray(A.warp_image(jnp.asarray(img), coords, order=3))
+        win = np.asarray(A.warp_image_affine(jnp.asarray(img), coords,
+                                             order=3, smax=1.4))
+        np.testing.assert_allclose(win, full, atol=1e-6)
+
     def test_fast_warp_jits_under_vmap(self, rng):
         """The shipped usage: spatial_transform vmapped over a batch inside
         jit (the augment_batch path) compiles and keeps the target binary."""
