@@ -163,13 +163,16 @@ class TestFastWarp:
     def test_windowed_affine_matches_full(self, rng, angle, scale, order):
         """warp_image_affine (tile-local windowed matmuls) == warp_image
         (full-height matmuls) on affine grids across the rotation/zoom
-        extremes, incl. a non-tile-multiple output shape."""
+        extremes, incl. a non-tile-multiple output shape (tile=16 keeps
+        the window inside this small image; the shipped tile=32 default
+        is covered below at a realistic image size)."""
         img = rng.standard_normal((48, 44, 2)).astype(np.float32)
         coords = A.affine_grid((48, 44), angle, scale)
         full = np.asarray(A.warp_image(jnp.asarray(img), coords,
                                        order=order))
         win = np.asarray(A.warp_image_affine(jnp.asarray(img), coords,
-                                             order=order, smax=1.4))
+                                             order=order, smax=1.4,
+                                             tile=16))
         np.testing.assert_allclose(win, full, atol=1e-5)
 
     def test_windowed_affine_matches_gather(self, rng):
@@ -179,8 +182,30 @@ class TestFastWarp:
         ref = np.asarray(A.map_coordinates(jnp.asarray(img), coords,
                                            order=3, mode='constant'))
         win = np.asarray(A.warp_image_affine(jnp.asarray(img), coords,
-                                             order=3, smax=1.4))
+                                             order=3, smax=1.4, tile=16))
         np.testing.assert_allclose(win, ref, atol=1e-5)
+
+    @pytest.mark.parametrize('shape', [(96, 88), (100, 96)])
+    def test_windowed_affine_default_tile32(self, rng, shape):
+        """The shipped default (tile=32, window 72, serialized tile
+        chunks) against the full-height path at an image size where the
+        window genuinely engages, incl. a non-tile-multiple shape."""
+        img = rng.standard_normal(shape + (2,)).astype(np.float32)
+        coords = A.affine_grid(shape, 0.9, 1.31)
+        full = np.asarray(A.warp_image(jnp.asarray(img), coords, order=3))
+        win = np.asarray(A.warp_image_affine(jnp.asarray(img), coords,
+                                             order=3, smax=1.4))
+        np.testing.assert_allclose(win, full, atol=1e-5)
+
+    def test_windowed_affine_chunked_tiles(self, rng):
+        """More tiles than _WARP_TILE_CHUNK: the serialized lax.map over
+        tile chunks (incl. a padded final chunk) changes nothing."""
+        img = rng.standard_normal((120, 104, 1)).astype(np.float32)
+        coords = A.affine_grid((120, 104), -0.6, 0.8)
+        full = np.asarray(A.warp_image(jnp.asarray(img), coords, order=3))
+        win = np.asarray(A.warp_image_affine(jnp.asarray(img), coords,
+                                             order=3, smax=1.4, tile=8))
+        np.testing.assert_allclose(win, full, atol=1e-5)
 
     def test_windowed_affine_small_image_fallback(self, rng):
         """Images too small for the source window take the warp_image
@@ -189,8 +214,70 @@ class TestFastWarp:
         coords = A.affine_grid((24, 24), 0.5, 1.2)
         full = np.asarray(A.warp_image(jnp.asarray(img), coords, order=3))
         win = np.asarray(A.warp_image_affine(jnp.asarray(img), coords,
-                                             order=3, smax=1.4))
+                                             order=3, smax=1.4, tile=16))
         np.testing.assert_allclose(win, full, atol=1e-6)
+
+    def test_spatial_partition_counts_and_passthrough(self, rng):
+        """spatial_transform_batch warps EXACTLY round(B * p_any) samples
+        (p_any = 1-(1-p_rot)(1-p_scale)) and passes the rest through
+        bit-identically."""
+        B = 16
+        image = rng.standard_normal((B, 48, 44, 2)).astype(np.float32)
+        target = (rng.random((B, 48, 44, 5)) > 0.8).astype(np.uint8)
+        out_i, out_t = A.spatial_transform_batch(
+            jax.random.PRNGKey(3), jnp.asarray(image), jnp.asarray(target))
+        out_i, out_t = np.asarray(out_i), np.asarray(out_t)
+        changed = [i for i in range(B)
+                   if not np.array_equal(out_i[i], image[i])]
+        assert len(changed) == round(B * 0.36)  # p_any at the defaults
+        for i in range(B):
+            if i not in changed:
+                np.testing.assert_array_equal(out_i[i], image[i])
+                np.testing.assert_array_equal(out_t[i], target[i])
+        assert set(np.unique(out_t)) <= {0, 1}
+
+    def test_spatial_partition_alignment(self, rng):
+        """Warped samples keep image/target registration: a target equal
+        to a thresholded image channel stays aligned through the warp."""
+        B = 8
+        image = rng.standard_normal((B, 64, 60, 1)).astype(np.float32)
+        image[:, 20:40, 20:40] += 4.0
+        target = (image > 2.0).astype(np.uint8)
+        out_i, out_t = A.spatial_transform_batch(
+            jax.random.PRNGKey(11), jnp.asarray(image), jnp.asarray(target),
+            p_rot=1.0, p_scale=0.0)  # K = B: every sample warps
+        out_i, out_t = np.asarray(out_i), np.asarray(out_t)
+        for i in range(B):
+            assert not np.array_equal(out_i[i], image[i])
+            mask = (out_i[i, ..., 0] > 2.0)
+            agree = (mask == out_t[i, ..., 0].astype(bool)).mean()
+            assert agree > 0.97, f'sample {i}: {agree}'
+
+    def test_spatial_mode_env(self, monkeypatch):
+        monkeypatch.delenv('TS2D_SPATIAL', raising=False)
+        assert A._spatial_mode() == 'partition'
+        monkeypatch.setenv('TS2D_SPATIAL', 'persample')
+        assert A._spatial_mode() == 'persample'
+        monkeypatch.setenv('TS2D_SPATIAL', 'partiton')
+        with pytest.raises(ValueError, match='TS2D_SPATIAL'):
+            A._spatial_mode()
+
+    def test_augment_batch_partition_deterministic(self, rng):
+        """The partitioned default path: same key reproduces bit-identically
+        through jit; different keys differ."""
+        image = rng.standard_normal((8, 48, 44, 2)).astype(np.float32)
+        target = (rng.random((8, 48, 44, 3)) > 0.8).astype(np.uint8)
+        batch = {'image': jnp.asarray(image), 'target': jnp.asarray(target)}
+        fn = jax.jit(lambda k, b: A.augment_batch(k, b))
+        a = fn(jax.random.PRNGKey(5), batch)
+        b = fn(jax.random.PRNGKey(5), batch)
+        c = fn(jax.random.PRNGKey(6), batch)
+        np.testing.assert_array_equal(np.asarray(a['image']),
+                                      np.asarray(b['image']))
+        np.testing.assert_array_equal(np.asarray(a['target']),
+                                      np.asarray(b['target']))
+        assert not np.allclose(np.asarray(a['image']),
+                               np.asarray(c['image']))
 
     def test_fast_warp_jits_under_vmap(self, rng):
         """The shipped usage: spatial_transform vmapped over a batch inside

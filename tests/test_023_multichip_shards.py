@@ -206,3 +206,37 @@ class TestTrainingSharded:
         _, compiled = compiled_step
         _, _, loss_sh = compiled.output_shardings
         assert loss_sh.is_fully_replicated
+
+
+class TestAugmentSharded:
+    def test_partitioned_augment_runs_on_dp_sharded_batch(self, rng=None):
+        """The batch-partitioned spatial stage (permutation gather +
+        static-count warp, training/augment.spatial_transform_batch) must
+        compile and execute under GSPMD with the batch sharded on a data
+        axis — the Trainer's multichip augment path. The permutation
+        crosses shard boundaries, so GSPMD inserts collectives; this
+        pins that it stays a working program, with the output still
+        device-distributed."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from totalsegmentator2d_tpu.training.augment import augment_batch
+
+        if len(jax.devices()) < N_DEV:
+            pytest.skip(f'needs {N_DEV} devices')
+        mesh = make_mesh({'data': N_DEV}, devices=jax.devices()[:N_DEV])
+        sh = NamedSharding(mesh, P('data'))
+        r = np.random.default_rng(0)
+        image = r.standard_normal((16, 48, 44, 2)).astype(np.float32)
+        target = (r.random((16, 48, 44, 3)) > 0.8).astype(np.uint8)
+        batch = {'image': jax.device_put(image, sh),
+                 'target': jax.device_put(target, sh)}
+        # out_shardings pinned to the input's, as Trainer.step does — the
+        # permutation otherwise makes GSPMD replicate the output
+        out = jax.jit(lambda k, b: augment_batch(k, b),
+                      out_shardings={'image': sh, 'target': sh})(
+            jax.random.PRNGKey(0), batch)
+        img = np.asarray(out['image'])
+        assert img.shape == image.shape
+        assert np.isfinite(img).all()
+        assert set(np.unique(np.asarray(out['target']))) <= {0, 1}
+        assert not out['image'].sharding.is_fully_replicated

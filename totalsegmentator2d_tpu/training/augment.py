@@ -15,10 +15,13 @@ Implemented transforms, with the nnUNetTrainer default probabilities
     composed into one order-3 B-spline resample (seg: order 1 + 0.5
     threshold), constant-0 outside. The resample dispatches on TS2D_WARP
     (see _use_fast_warp): the default recasts the sampling as one-hot
-    MATMULS (warp_image) + quad-packed-bit gathers (warp_onehot) so it
-    rides the MXU instead of scalarized point gathers — the full chain
-    runs 6x faster on v5e (19.4 -> 3.24 ms/patch, docs/performance.md
-    "the spatial warp")
+    MATMULS at tile-local window size for affine grids
+    (warp_image_affine) + quad-packed-bit gathers (warp_onehot) so it
+    rides the MXU instead of scalarized point gathers; batches of >= 8
+    additionally warp a fixed-count random subset instead of paying the
+    warp for every sample (TS2D_SPATIAL, see _spatial_mode). Full chain:
+    19.4 -> 1.0 ms/patch on v5e (docs/performance.md "the spatial warp"
+    + "the windowed affine warp")
  2. gaussian noise p=0.1, variance U(0, 0.1)
  3. gaussian blur p=0.2, sigma U(0.5, 1.0), per-channel p=0.5
  4. multiplicative brightness U(0.75, 1.25) p=0.15
@@ -54,6 +57,29 @@ LOWRES_ZOOMS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
 #: output-pixel chunk per matmul step of the fast warp (tools/train_probe4.py)
 _WARP_CHUNK = 2048
+
+
+#: spatial_transform's default draw ranges (nnU-Net 2D defaults), shared
+#: with the batch-partitioned form so the two paths cannot drift
+ROTATION_RANGE = (-math.pi, math.pi)
+SCALE_RANGE = (0.7, 1.4)
+
+
+def _spatial_mode() -> str:
+    """Batch spatial-augmentation strategy, read at trace time by
+    ``augment_batch``. The default (``TS2D_SPATIAL=partition``) warps a
+    random subset of exactly round(B * p_any) samples per batch — under
+    vmap, ``lax.cond`` lowers to select, so the per-sample form pays the
+    full warp for every sample even though only p_any = 36% draw one
+    (docs/performance.md "the spatial warp").
+    ``TS2D_SPATIAL=persample`` restores independent per-sample Bernoulli
+    draws (the batchgenerators semantics; also the automatic fallback
+    for elastic deformation and batches smaller than 8)."""
+    value = os.environ.get('TS2D_SPATIAL', 'partition')
+    if value not in ('partition', 'persample'):
+        raise ValueError(
+            f"TS2D_SPATIAL must be 'partition' or 'persample', got {value!r}")
+    return value
 
 
 def _use_fast_warp() -> bool:
@@ -245,8 +271,15 @@ def _win_size(tile: int, order: int, smax: float) -> int:
     return -(-w // 8) * 8
 
 
+#: tiles per serialized step of warp_image_affine: bounds the one-hot
+#: temporaries to chunk*tile^2*WIN floats so the b128-vmapped augment
+#: program stays in HBM (the un-chunked form spilled at batch 128:
+#: 5.7 s/step vs 0.25 at b64 — tools/train_probe9.py)
+_WARP_TILE_CHUNK = 64
+
+
 def warp_image_affine(img: jnp.ndarray, coords: jnp.ndarray, order: int = 3,
-                      cval: float = 0.0, smax: float = 1.4, tile: int = 16,
+                      cval: float = 0.0, smax: float = 1.4, tile: int = 32,
                       prefiltered: bool = False) -> jnp.ndarray:
     """``warp_image`` specialized to AFFINE sampling grids (rotation +
     zoom <= ``smax``, i.e. every ``affine_grid`` output): neighboring
@@ -257,8 +290,10 @@ def warp_image_affine(img: jnp.ndarray, coords: jnp.ndarray, order: int = 3,
     full image height — ~40x fewer FLOPs than ``warp_image`` at the
     training patch shapes for the same taps and weights (same one-hot
     construction, HIGHEST-precision einsums; agreement pinned at 1e-5 in
-    tests/test_018_augment.py). Falls back to ``warp_image`` when the
-    image is too small for the window.
+    tests/test_018_augment.py; 2.38 -> 1.03 ms/patch on v5e,
+    tools/train_probe9.py). Tiles process in ``_WARP_TILE_CHUNK`` groups
+    via lax.map so the vmapped batch program stays memory-bounded. Falls
+    back to ``warp_image`` when the image is too small for the window.
 
     Correctness requires the Lipschitz bound: callers with free-form
     coords (elastic offsets, test grids) must use ``warp_image``.
@@ -295,29 +330,48 @@ def warp_image_affine(img: jnp.ndarray, coords: jnp.ndarray, order: int = 3,
     xs = jnp.clip(jnp.min(x0, axis=1) + 1, 0, Wp - WIN)  # starts, (T,)
 
     if order == 3:
-        offs = jnp.arange(-1, 3, dtype=jnp.int32)
-        wy = jnp.stack([_bspline3(y - (y0 + d)) for d in range(-1, 3)], -1)
-        wx = jnp.stack([_bspline3(x - (x0 + d)) for d in range(-1, 3)], -1)
+        offs = range(-1, 3)
+        wy = jnp.stack([_bspline3(y - (y0 + d)) for d in offs], -1)
+        wx = jnp.stack([_bspline3(x - (x0 + d)) for d in offs], -1)
     elif order == 1:
-        offs = jnp.arange(0, 2, dtype=jnp.int32)
+        offs = range(0, 2)
         ty, tx = y - y0, x - x0
         wy = jnp.stack([1.0 - ty, ty], -1)
         wx = jnp.stack([1.0 - tx, tx], -1)
     else:
         raise ValueError(f'Unsupported fast-warp order: {order}')
-    iy = y0[..., None] + offs + 2 - ys[:, None, None]    # (T, P, S) local
-    ix = x0[..., None] + offs + 2 - xs[:, None, None]
+    doffs = jnp.asarray(list(offs), jnp.int32)
+    iy = y0[..., None] + doffs + 2 - ys[:, None, None]   # (T, P, S) local
+    ix = x0[..., None] + doffs + 2 - xs[:, None, None]
 
-    win = jax.vmap(lambda sy, sx: jax.lax.dynamic_slice(
-        pad, (sy, sx, 0), (WIN, WIN, C)))(ys, xs)        # (T, WIN, WIN, C)
+    G = min(_WARP_TILE_CHUNK, T)
+    nch = -(-T // G)
+    tpad = nch * G - T
+    if tpad:
+        padt = lambda a: jnp.pad(a, ((0, tpad),) + ((0, 0),) * (a.ndim - 1))
+        iy, ix, wy, wx = padt(iy), padt(ix), padt(wy), padt(wx)
+        ys, xs = padt(ys), padt(xs)
     lanes = jnp.arange(WIN, dtype=jnp.int32)
-    Ry = jnp.sum(wy[..., None] * (iy[..., None] == lanes), axis=2)
-    Rx = jnp.sum(wx[..., None] * (ix[..., None] == lanes), axis=2)
     hi = jax.lax.Precision.HIGHEST
-    tmp = jnp.einsum('tpw,twk->tpk', Ry, win.reshape(T, WIN, WIN * C),
-                     precision=hi)
-    out = jnp.einsum('tpw,tpwc->tpc', Rx, tmp.reshape(T, P, WIN, C),
-                     precision=hi)
+
+    def step(c0):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c0, G, 0)
+        iyc, ixc, wyc, wxc = sl(iy), sl(ix), sl(wy), sl(wx)
+        win = jax.vmap(lambda sy, sx: jax.lax.dynamic_slice(
+            pad, (sy, sx, 0), (WIN, WIN, C)))(sl(ys), sl(xs))
+        Ry = jnp.zeros((G, P, WIN), jnp.float32)
+        Rx = jnp.zeros((G, P, WIN), jnp.float32)
+        for d in range(iyc.shape[-1]):                   # tap loop: keeps
+            Ry = Ry + wyc[..., d, None] * (              # temporaries at
+                iyc[..., d, None] == lanes)              # (G, P, WIN)
+            Rx = Rx + wxc[..., d, None] * (ixc[..., d, None] == lanes)
+        tmp = jnp.einsum('tpw,twk->tpk', Ry, win.reshape(G, WIN, WIN * C),
+                         precision=hi)
+        return jnp.einsum('tpw,tpwc->tpc', Rx, tmp.reshape(G, P, WIN, C),
+                          precision=hi)
+
+    outs = jax.lax.map(step, jnp.arange(nch, dtype=jnp.int32) * G)
+    out = outs.reshape(nch * G, P, C)[:T]
     out = out.reshape(Ht, Wt, tile, tile, C).transpose(0, 2, 1, 3, 4)
     out = out.reshape(Ht * tile, Wt * tile, C)[:Ho, :Wo]
     yv, xv = coords[0], coords[1]
@@ -431,9 +485,9 @@ def elastic_offsets(key: jax.Array, shape: Tuple[int, int], alpha,
 
 def spatial_transform(key: jax.Array, image: jnp.ndarray,
                       target: jnp.ndarray,
-                      rotation: Tuple[float, float] = (-math.pi, math.pi),
+                      rotation: Tuple[float, float] = ROTATION_RANGE,
                       p_rot: float = 0.2,
-                      scale: Tuple[float, float] = (0.7, 1.4),
+                      scale: Tuple[float, float] = SCALE_RANGE,
                       p_scale: float = 0.2,
                       p_elastic: float = 0.0,
                       elastic_alpha: Tuple[float, float] = (0.0, 200.0),
@@ -484,6 +538,76 @@ def spatial_transform(key: jax.Array, image: jnp.ndarray,
 
     any_spatial = do_rot | do_scale | (do_el if p_elastic > 0 else False)
     return jax.lax.cond(any_spatial, resample, lambda a: a, (image, target))
+
+
+def spatial_transform_batch(key: jax.Array, images: jnp.ndarray,
+                            targets: jnp.ndarray, p_rot: float = 0.2,
+                            p_scale: float = 0.2,
+                            rotation: Tuple[float, float] = ROTATION_RANGE,
+                            scale: Tuple[float, float] = SCALE_RANGE,
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch-level rotation+zoom with a STATIC warped count: a uniformly
+    random subset of exactly K = round(B * p_any) samples is warped,
+    p_any = 1 - (1-p_rot)(1-p_scale), and each warped sample draws its
+    (do_rot, do_scale) pair from the exact conditional-on-any
+    distribution, then its angle/zoom from the usual ranges.
+
+    Why: under vmap, ``lax.cond`` lowers to select — BOTH branches
+    execute — so per-sample Bernoulli gating makes every sample pay the
+    full warp (docs/performance.md "the spatial warp"). Partitioning the
+    batch keeps the warp's shapes static while only the K selected
+    samples pay it: ~2.8x less spatial-augmentation work at the recipe's
+    probabilities. Each sample is warped with probability K/B ~= p_any
+    and draws identical per-sample warp parameters; the only
+    distributional deviation is that the per-batch COUNT of warped
+    samples is the rounded mean instead of Binomial(B, p_any) — a
+    documented TPU-first adaptation (cf. the discrete LOWRES_ZOOMS).
+
+    Elastic deformation is not offered here: its field is free-form, so
+    callers wanting it use the per-sample path (``augment_batch``
+    falls back automatically)."""
+    B = images.shape[0]
+    p_any = 1.0 - (1.0 - p_rot) * (1.0 - p_scale)
+    K = int(round(B * p_any))
+    if K == 0:
+        return images, targets
+    ksel, kdraw = jax.random.split(key)
+    perm = jax.random.permutation(ksel, B)
+    inv = jnp.argsort(perm)
+    sel_img = jnp.take(images, perm[:K], axis=0)
+    sel_tgt = jnp.take(targets, perm[:K], axis=0)
+    # P(rot only | any), P(scale only | any); remainder = both
+    a = p_rot * (1.0 - p_scale) / p_any
+    b = (1.0 - p_rot) * p_scale / p_any
+    smax = max(1.0, scale[1])
+
+    def one(k, img, tgt):
+        k1, k2, k3 = jax.random.split(k, 3)
+        r = jax.random.uniform(k1, ())
+        do_rot = (r < a) | (r >= a + b)
+        do_scale = r >= a
+        angle = jnp.where(do_rot, jax.random.uniform(
+            k2, (), minval=rotation[0], maxval=rotation[1]), 0.0)
+        sc = jnp.where(do_scale, jax.random.uniform(
+            k3, (), minval=scale[0], maxval=scale[1]), 1.0)
+        coords = affine_grid(img.shape[:2], angle, sc)
+        if _use_fast_warp():
+            w_img = warp_image_affine(img, coords, order=3, smax=smax)
+            w_tgt = warp_onehot(tgt, coords).astype(tgt.dtype)
+        else:
+            w_img = map_coordinates(img, coords, order=3, mode='constant')
+            w_tgt = (map_coordinates(tgt.astype(jnp.float32), coords,
+                                     order=1, mode='constant')
+                     > 0.5).astype(tgt.dtype)
+        return w_img, w_tgt
+
+    ks = jax.random.split(kdraw, K)
+    w_img, w_tgt = jax.vmap(one)(ks, sel_img.astype(jnp.float32), sel_tgt)
+    out_img = jnp.concatenate(
+        [w_img, jnp.take(images, perm[K:], axis=0).astype(jnp.float32)], 0)
+    out_tgt = jnp.concatenate(
+        [w_tgt, jnp.take(targets, perm[K:], axis=0)], 0)
+    return jnp.take(out_img, inv, axis=0), jnp.take(out_tgt, inv, axis=0)
 
 
 def add_gaussian_noise(key: jax.Array, image: jnp.ndarray, p: float = 0.1,
@@ -627,11 +751,18 @@ def augment_pair(key: jax.Array, image: jnp.ndarray, target: jnp.ndarray,
     """Apply the full nnU-Net default 2D augmentation chain (order as in
     nnunetv2 get_training_transforms) to one (H, W, C) image + (H, W, L)
     one-hot target pair. All defaults match the nnU-Net recipe; elastic
-    deformation is available but off by default, as upstream."""
+    deformation is available but off by default, as upstream.
+
+    The spatial probabilities are STATIC (Python floats): all-zero
+    spatial probabilities skip the resample at trace time, which is what
+    lets ``augment_batch``'s partitioned path pay the warp only for the
+    selected sub-batch."""
     image = image.astype(jnp.float32)
     ks = jax.random.split(key, 9)
-    image, target = spatial_transform(ks[0], image, target, p_rot=p_rot,
-                                      p_scale=p_scale, p_elastic=p_elastic)
+    if p_rot or p_scale or p_elastic:
+        image, target = spatial_transform(ks[0], image, target, p_rot=p_rot,
+                                          p_scale=p_scale,
+                                          p_elastic=p_elastic)
     image = add_gaussian_noise(ks[1], image, p=p_noise)
     image = blur_transform(ks[2], image, p=p_blur)
     image = brightness_transform(ks[3], image, p=p_brightness)
@@ -644,8 +775,25 @@ def augment_pair(key: jax.Array, image: jnp.ndarray, target: jnp.ndarray,
 
 def augment_batch(key: jax.Array, batch: Dict[str, jnp.ndarray],
                   **kw) -> Dict[str, jnp.ndarray]:
+    """Augment a whole (N, H, W, C)/(N, H, W, L) batch in one program.
+
+    The spatial stage runs batch-partitioned by default (exactly
+    round(N * p_any) samples warp — see ``spatial_transform_batch`` /
+    ``_spatial_mode``); elastic deformation, batches under 8, or
+    ``TS2D_SPATIAL=persample`` use independent per-sample draws. The
+    remaining recipe always applies per-sample under vmap."""
     n = batch['image'].shape[0]
+    image, target = batch['image'], batch['target']
+    p_rot = kw.get('p_rot', 0.2)
+    p_scale = kw.get('p_scale', 0.2)
+    p_elastic = kw.get('p_elastic', 0.0)
+    if (_spatial_mode() == 'partition' and not p_elastic and n >= 8
+            and (p_rot or p_scale)):
+        key, kp = jax.random.split(key)
+        image, target = spatial_transform_batch(
+            kp, image, target, p_rot=p_rot, p_scale=p_scale)
+        kw = dict(kw, p_rot=0.0, p_scale=0.0, p_elastic=0.0)
     keys = jax.random.split(key, n)
     img, tgt = jax.vmap(lambda kk, i, t: augment_pair(kk, i, t, **kw))(
-        keys, batch['image'], batch['target'])
+        keys, image, target)
     return {'image': img, 'target': tgt}

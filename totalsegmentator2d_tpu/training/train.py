@@ -231,9 +231,19 @@ class Trainer:
                 # fresh lambda, NOT jax.jit(augment_batch): jit's trace
                 # cache is global per function OBJECT, so jitting the
                 # module-level function directly would reuse another
-                # Trainer's trace and ignore this one's TS2D_WARP
+                # Trainer's trace and ignore this one's TS2D_WARP.
+                # On a sharded batch, pin out_shardings to the input's:
+                # the partitioned spatial stage's permutation makes GSPMD
+                # replicate the output otherwise, gathering the batch to
+                # every device before the step resharded it anyway.
+                out_sh = None
+                if not self._ensemble:
+                    sh = getattr(batch['image'], 'sharding', None)
+                    if isinstance(sh, jax.sharding.NamedSharding):
+                        out_sh = {k: v.sharding for k, v in batch.items()}
                 self._augment_fn = jax.jit(
-                    lambda k, b: augment_batch(k, b))
+                    lambda k, b: augment_batch(k, b),
+                    **({'out_shardings': out_sh} if out_sh else {}))
             self._augment_key, sub = jax.random.split(self._augment_key)
             if self._ensemble:
                 # (G, N, ...) batches: each group draws its own augmentations
