@@ -81,6 +81,59 @@ class TestPatchSampler:
         assert batch['image'].shape == (2, 64, 64, 2)
 
 
+class TestPackedTargetWire:
+    """The training-batch wire discipline: one-hot targets ship as packed
+    bit-planes (data.pack_target_np, 8x fewer bytes) and unpack on device
+    bit-identically (train.unpack_target)."""
+
+    @pytest.mark.parametrize('L', [1, 7, 8, 24, 33])
+    def test_pack_unpack_roundtrip(self, rng, L):
+        import jax.numpy as jnp
+        from totalsegmentator2d_tpu.training.data import pack_target_np
+        from totalsegmentator2d_tpu.training.train import unpack_target
+
+        tgt = (rng.random((3, 20, 18, L)) > 0.7).astype(np.uint8)
+        packed = pack_target_np(tgt)
+        assert packed.dtype == np.uint8
+        assert packed.shape == (3, 20, 18, -(-L // 8))
+        back = np.asarray(unpack_target(jnp.asarray(packed), L))
+        np.testing.assert_array_equal(back, tgt)
+
+    def test_sampler_pack_flag(self, rng):
+        img, seg = _case(rng)
+        sampler = PatchSampler([(img.array, seg.array)], patch_size=(32, 32),
+                               seed=0)
+        batch = sampler.sample_batch(4, pack_targets=True)
+        assert 'target' not in batch and 'target_packed' in batch
+        assert batch['target_packed'].shape == (4, 32, 32, 1)
+
+    @pytest.mark.parametrize('augment', [False, True])
+    def test_trainer_step_packed_equals_unpacked(self, rng, augment):
+        """Same seed + same batch through two Trainers, one fed packed:
+        bit-identical losses (the wire is lossless and the unpack feeds
+        the very same programs)."""
+        import jax
+        from totalsegmentator2d_tpu.models.plans import ArchSpec
+        from totalsegmentator2d_tpu.training.data import pack_target_np
+
+        spec = ArchSpec(n_stages=3, features_per_stage=(8, 16, 32),
+                        kernel_sizes=((3, 3),) * 3,
+                        strides=((1, 1), (2, 2), (2, 2)),
+                        n_conv_per_stage=(1, 1, 1),
+                        n_conv_per_stage_decoder=(1, 1),
+                        in_channels=2, out_channels=9)
+        cfg = TrainConfig(lr=1e-2, total_steps=4, multilabel=True,
+                          augment=augment)
+        batch = {
+            'image': rng.standard_normal((8, 32, 32, 2)).astype(np.float32),
+            'target': (rng.random((8, 32, 32, 9)) > 0.85).astype(np.uint8)}
+        packed = {'image': batch['image'],
+                  'target_packed': pack_target_np(batch['target'])}
+        l_plain = float(np.asarray(Trainer(spec, cfg, seed=3).step(batch)))
+        l_packed = float(np.asarray(Trainer(spec, cfg, seed=3).step(packed)))
+        assert l_plain == l_packed
+
+
 class TestEndToEndTrainingLoop:
     def test_plan_train_export_predict(self, rng, tmp_path):
         """The full circle: fingerprint -> plans -> trainer -> export ->

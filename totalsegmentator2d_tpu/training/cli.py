@@ -280,7 +280,9 @@ def ts2d_train(dataset: str, output: str, model: str = 'ts2d-custom',
             start = trainer.step_count
             log(f'fold {fold}: resumed at step {start}')
         for s in range(start, steps):
-            batch = sampler.sample_batch(bsz)
+            # multilabel targets ship as packed bit-planes (8x fewer
+            # host->device wire bytes; Trainer.step unpacks on device)
+            batch = sampler.sample_batch(bsz, pack_targets=multilabel)
             if not multilabel:
                 batch['target'] = batch['target'][..., 0].astype(np.int32)
             loss = trainer.step(batch)

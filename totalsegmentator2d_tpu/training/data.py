@@ -56,8 +56,22 @@ def preprocess_case(img: MedicalImage, seg: Optional[MedicalImage],
     return data, target
 
 
+def pack_target_np(target: np.ndarray) -> np.ndarray:
+    """Pack a (..., L) binary one-hot target into (..., ceil(L/8)) uint8
+    bit-plane bytes for the host->device wire: bit l of byte w is label
+    8w + l (np.packbits bitorder='little'). A b128 24-label 256px batch
+    ships 8.4 MB instead of 201 MB — the training-batch analogue of the
+    serving paths' int16/compacted wire discipline (Trainer.step unpacks
+    on device, bit-identically; see train.unpack_target)."""
+    return np.packbits(np.asarray(target) > 0, axis=-1, bitorder='little')
+
+
 class PatchSampler:
-    """Random patch batches with nnU-Net-style foreground oversampling."""
+    """Random patch batches with nnU-Net-style foreground oversampling.
+
+    ``sample_batch(..., pack_targets=True)`` ships the one-hot target as
+    packed bit-planes under the ``'target_packed'`` key (8x fewer wire
+    bytes; ``Trainer.step`` unpacks on device)."""
 
     def __init__(self, cases: Sequence[Tuple[np.ndarray, np.ndarray]],
                  patch_size: Tuple[int, int],
@@ -89,7 +103,8 @@ class PatchSampler:
             ti = np.pad(ti, pads + [(0, 0)])
         return di, ti
 
-    def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+    def sample_batch(self, batch_size: int,
+                     pack_targets: bool = False) -> Dict[str, np.ndarray]:
         imgs, tgts = [], []
         for b in range(batch_size):
             ci = int(self.rng.integers(len(self.cases)))
@@ -105,4 +120,8 @@ class PatchSampler:
             di, ti = self._extract(data, tgt, center)
             imgs.append(di)
             tgts.append(ti)
-        return {'image': np.stack(imgs), 'target': np.stack(tgts)}
+        target = np.stack(tgts)
+        if pack_targets:
+            return {'image': np.stack(imgs),
+                    'target_packed': pack_target_np(target)}
+        return {'image': np.stack(imgs), 'target': target}

@@ -189,8 +189,24 @@ def _opt_leaf_sharding(leaf, mesh: Mesh, ensemble: bool, model_axis='model'):
                                           ens_axis, stacked=ensemble))
 
 
+def unpack_target(packed: jnp.ndarray, n_labels: int) -> jnp.ndarray:
+    """Device-side inverse of data.pack_target_np: (..., ceil(L/8)) uint8
+    bit-plane bytes -> (..., L) uint8 one-hot (bit l of byte w is label
+    8w + l). One cheap traversal on device; the wire ships 8x fewer
+    bytes."""
+    lanes = jnp.arange(8, dtype=jnp.uint8)
+    bits = (packed[..., :, None] >> lanes) & jnp.uint8(1)
+    flat = bits.reshape(packed.shape[:-1] + (packed.shape[-1] * 8,))
+    return flat[..., :n_labels]
+
+
 class Trainer:
-    """Minimal training loop with orbax checkpoint/resume."""
+    """Minimal training loop with orbax checkpoint/resume.
+
+    Batches may carry the one-hot target either as ``'target'``
+    (N, H, W, L) uint8 or as ``'target_packed'`` bit-plane bytes
+    (``data.pack_target_np``); packed targets are unpacked on device
+    (bit-identical, 8x fewer host->device wire bytes)."""
 
     def __init__(self, spec: ArchSpec, cfg: TrainConfig,
                  mesh: Optional[Mesh] = None, seed: int = 0,
@@ -200,6 +216,7 @@ class Trainer:
         self.mesh = mesh
         self.step_count = 0
         self._augment_fn = None
+        self._unpack_fn = None
         self._augment_key = jax.random.PRNGKey(seed ^ 0x5EED)
         key = jax.random.PRNGKey(seed)
         if ensemble_size:
@@ -225,6 +242,15 @@ class Trainer:
                 base, spec=spec, cfg=cfg, optimizer=self.optimizer))
 
     def step(self, batch: Dict[str, jnp.ndarray]):
+        if 'target_packed' in batch:
+            if self._unpack_fn is None:
+                L = self.spec.out_channels
+                # fresh lambda per Trainer (same trace-cache rule as the
+                # augment fn below)
+                self._unpack_fn = jax.jit(
+                    lambda p: unpack_target(p, L))
+            batch = dict(batch)
+            batch['target'] = self._unpack_fn(batch.pop('target_packed'))
         if self.cfg.augment:
             from .augment import augment_batch
             if self._augment_fn is None:
