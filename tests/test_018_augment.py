@@ -253,6 +253,24 @@ class TestFastWarp:
             agree = (mask == out_t[i, ..., 0].astype(bool)).mean()
             assert agree > 0.97, f'sample {i}: {agree}'
 
+    def test_spatial_partition_backends_agree(self, rng, monkeypatch):
+        """spatial_transform_batch under TS2D_WARP=gather (per-tap
+        sampler) vs the matmul default: same draws -> targets
+        bit-identical, images to fp32-einsum tolerance."""
+        B = 8
+        image = rng.standard_normal((B, 48, 44, 2)).astype(np.float32)
+        target = (rng.random((B, 48, 44, 3)) > 0.8).astype(np.uint8)
+        outs = {}
+        for mode in ('matmul', 'gather'):
+            monkeypatch.setenv('TS2D_WARP', mode)
+            outs[mode] = A.spatial_transform_batch(
+                jax.random.PRNGKey(7), jnp.asarray(image),
+                jnp.asarray(target))
+        np.testing.assert_array_equal(np.asarray(outs['matmul'][1]),
+                                      np.asarray(outs['gather'][1]))
+        np.testing.assert_allclose(np.asarray(outs['matmul'][0]),
+                                   np.asarray(outs['gather'][0]), atol=1e-4)
+
     def test_spatial_mode_env(self, monkeypatch):
         monkeypatch.delenv('TS2D_SPATIAL', raising=False)
         assert A._spatial_mode() == 'partition'

@@ -209,6 +209,8 @@ class TestTrainingSharded:
 
 
 class TestAugmentSharded:
+    @pytest.mark.slow  # heavy 8-device compile; the per-round dryrun
+    # (__graft_entry__.dryrun_multichip) exercises the same path
     def test_partitioned_augment_runs_on_dp_sharded_batch(self, rng=None):
         """The batch-partitioned spatial stage (permutation gather +
         static-count warp, training/augment.spatial_transform_batch) must
