@@ -287,11 +287,13 @@ def warp_image_affine(img: jnp.ndarray, coords: jnp.ndarray, order: int = 3,
     output block reads only a bounded source window (``_win_size``). Each
     tile slices its window with a traced-start ``dynamic_slice`` and the
     one-hot interpolation matmuls run at the WINDOW size instead of the
-    full image height — ~40x fewer FLOPs than ``warp_image`` at the
-    training patch shapes for the same taps and weights (same one-hot
-    construction, HIGHEST-precision einsums; agreement pinned at 1e-5 in
-    tests/test_018_augment.py; 2.38 -> 1.03 ms/patch on v5e,
-    tools/train_probe9.py). Tiles process in ``_WARP_TILE_CHUNK`` groups
+    full image height — ~13x fewer FLOPs than ``warp_image`` at the
+    shipped tile=32 / 256px training patches (41x at tile=16, but the
+    larger windows' matmuls run closer to MXU peak and tile=32 measures
+    fastest: 2.38 -> 1.03 ms/patch on v5e vs tile16's 1.29,
+    tools/train_probe9.py). Same one-hot construction and
+    HIGHEST-precision einsums as ``warp_image``; agreement pinned at
+    1e-5 in tests/test_018_augment.py. Tiles process in ``_WARP_TILE_CHUNK`` groups
     via lax.map so the vmapped batch program stays memory-bounded. Falls
     back to ``warp_image`` when the image is too small for the window.
 
@@ -522,7 +524,7 @@ def spatial_transform(key: jax.Array, image: jnp.ndarray,
             # warp_onehot is bit-identical to the gather path, warp_image
             # matches it to fp32-einsum precision (~6e-7). Pure-affine
             # grids (elastic off, the nnU-Net default) qualify for the
-            # windowed form — tile-local matmuls, ~40x fewer FLOPs.
+            # windowed form — tile-local matmuls at ~1/13th the FLOPs.
             if p_elastic > 0:
                 img_out = warp_image(img, coords, order=3)
             else:

@@ -60,7 +60,7 @@ def pack_target_np(target: np.ndarray) -> np.ndarray:
     """Pack a (..., L) binary one-hot target into (..., ceil(L/8)) uint8
     bit-plane bytes for the host->device wire: bit l of byte w is label
     8w + l (np.packbits bitorder='little'). A b128 24-label 256px batch
-    ships 8.4 MB instead of 201 MB — the training-batch analogue of the
+    ships 25 MB instead of 201 MB — the training-batch analogue of the
     serving paths' int16/compacted wire discipline (Trainer.step unpacks
     on device, bit-identically; see train.unpack_target)."""
     return np.packbits(np.asarray(target) > 0, axis=-1, bitorder='little')
